@@ -1,0 +1,234 @@
+package graft.html
+
+import graft.pdf.TextSpan
+import scala.collection.mutable
+
+/** One text block between block-level tag boundaries. */
+final case class Block(
+    text: String,
+    words: Int,
+    linkedWords: Int,
+    headingLevel: Int, // 0 = not a heading
+    inChrome: Boolean, // inside nav/aside/footer
+    srcOffset: Int) {  // char offset of the block's first text in the page
+  def linkDensity: Double = if (words == 0) 0.0 else linkedWords.toDouble / words
+}
+
+final case class HtmlResult(
+    title: String,
+    text: String,
+    spans: Seq[TextSpan],
+    blocks: Int,
+    contentBlocks: Int)
+
+/** Main-content extraction for HTML pages: a hand-written tag scanner (no
+  * DOM library — zero-dependency, allocation-light for 10^12-row scans)
+  * feeding a shallow-text-features block classifier.
+  *
+  * The classifier is the public NumWordsRules decision stump from
+  * Kohlschütter, Fankhauser & Nejdl, "Boilerplate Detection using Shallow
+  * Text Features" (WSDM 2011): a block is content iff its link density is
+  * ≤ 1/3 and the (prev, curr, next) word counts pass the published
+  * thresholds. Blocks inside nav/aside/footer containers are always
+  * boilerplate (Arc90-readability-style structural prior). This module is
+  * NOT derived from the reference — PdfParser contains no HTML code; the
+  * heuristics are from the published literature.
+  */
+object Boilerplate {
+
+  private val BlockTags: Set[String] = Set(
+    "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol", "dl", "dt", "dd",
+    "table", "tr", "td", "th", "thead", "tbody", "article", "section", "main", "header",
+    "footer", "nav", "aside", "blockquote", "pre", "form", "fieldset", "figure",
+    "figcaption", "hr", "address", "center", "body", "html", "title", "summary", "details")
+
+  private val SkipContentTags: Set[String] = Set("script", "style", "noscript", "template", "svg", "iframe")
+
+  private val ChromeTags: Set[String] = Set("nav", "aside", "footer")
+
+  def extract(htmlBytes: Array[Byte]): HtmlResult =
+    extract(new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8))
+
+  def extract(html: String): HtmlResult = {
+    val blocks = scan(html)
+    val title = blocks.find(_.headingLevel == -1).map(_.text).getOrElse("")
+    val bodyBlocks = blocks.filter(_.headingLevel != -1).toIndexedSeq
+
+    val content = classify(bodyBlocks)
+    val out = new StringBuilder
+    val spans = mutable.ArrayBuffer.empty[TextSpan]
+    var kept = 0
+    bodyBlocks.indices.foreach { i =>
+      if (content(i)) {
+        if (out.nonEmpty) out.append('\n')
+        val start = out.length
+        out.append(bodyBlocks(i).text)
+        spans += TextSpan(start, out.length, bodyBlocks(i).srcOffset, "block")
+        kept += 1
+      }
+    }
+    HtmlResult(title, out.toString, spans.toSeq, bodyBlocks.length, kept)
+  }
+
+  /** NumWordsRules decision stump (WSDM 2011, §4.3). */
+  private def classify(blocks: IndexedSeq[Block]): IndexedSeq[Boolean] = {
+    def words(i: Int): Int = if (i < 0 || i >= blocks.length) 0 else blocks(i).words
+    def ld(i: Int): Double = if (i < 0 || i >= blocks.length) 0.0 else blocks(i).linkDensity
+    blocks.indices.map { i =>
+      val b = blocks(i)
+      if (b.inChrome) false
+      else if (b.linkDensity > 0.333333) false
+      else if (ld(i - 1) <= 0.555556)
+        b.words > 16 || words(i + 1) > 15 || words(i - 1) > 4
+      else
+        b.words > 40 || words(i + 1) > 17
+    }
+  }
+
+  /** Single forward pass: tags, comments, CDATA, entities → blocks.
+    * The <title> block is emitted with headingLevel = -1. */
+  private def scan(html: String): Seq[Block] = {
+    val blocks = mutable.ArrayBuffer.empty[Block]
+    val text = new StringBuilder
+    var words = 0
+    var linkedWords = 0
+    var blockStart = -1
+    var headingLevel = 0
+    var chromeDepth = 0
+    var anchorDepth = 0
+    var inTitle = false
+    var skipTag: String = null // inside <script>/<style>/…
+    var pendingSpace = false
+    var inWord = false
+
+    def endWord(): Unit = {
+      if (inWord) {
+        words += 1
+        if (anchorDepth > 0) linkedWords += 1
+        inWord = false
+      }
+    }
+
+    def flushBlock(): Unit = {
+      endWord()
+      // trim trailing space
+      while (text.nonEmpty && text.charAt(text.length - 1) == ' ') text.setLength(text.length - 1)
+      if (text.nonEmpty) {
+        blocks += Block(
+          text.toString,
+          words,
+          linkedWords,
+          if (inTitle) -1 else headingLevel,
+          chromeDepth > 0,
+          blockStart)
+      }
+      text.setLength(0)
+      words = 0
+      linkedWords = 0
+      blockStart = -1
+      pendingSpace = false
+    }
+
+    def appendChar(c: Char, at: Int): Unit = {
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\u00a0' || c == '\f') {
+        if (text.nonEmpty) pendingSpace = true
+        endWord()
+      } else {
+        if (pendingSpace) { text.append(' '); pendingSpace = false }
+        if (blockStart < 0) blockStart = at
+        text.append(c)
+        inWord = true
+      }
+    }
+
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (i + 3 < n && html.charAt(i + 1) == '!' && html.charAt(i + 2) == '-' && html.charAt(i + 3) == '-') {
+          val end = html.indexOf("-->", i + 4)
+          i = if (end < 0) n else end + 3
+        } else if (i + 8 < n && html.regionMatches(true, i + 1, "![CDATA[", 0, 8)) {
+          val end = html.indexOf("]]>", i + 9)
+          i = if (end < 0) n else end + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!' || html.charAt(i + 1) == '?')) {
+          val end = html.indexOf('>', i + 1)
+          i = if (end < 0) n else end + 1
+        } else {
+          val closing = i + 1 < n && html.charAt(i + 1) == '/'
+          var j = i + (if (closing) 2 else 1)
+          val nameStart = j
+          while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
+          val name = html.substring(nameStart, j).toLowerCase
+          val end = html.indexOf('>', j)
+          val tagEnd = if (end < 0) n else end + 1
+          val selfClosed = end > 0 && html.charAt(end - 1) == '/'
+
+          if (skipTag != null) {
+            if (closing && name == skipTag) skipTag = null
+            i = tagEnd
+          } else if (name.isEmpty) {
+            // stray '<' — treat as text
+            appendChar('<', i)
+            i += 1
+          } else {
+            if (!closing && SkipContentTags.contains(name) && !selfClosed) skipTag = name
+            else if (name == "a") {
+              if (closing) anchorDepth = math.max(0, anchorDepth - 1) else if (!selfClosed) anchorDepth += 1
+            } else if (name == "br") {
+              pendingSpace = true
+              endWord()
+            }
+            if (BlockTags.contains(name)) {
+              flushBlock()
+              if (name == "title") inTitle = !closing
+              if (ChromeTags.contains(name)) {
+                if (closing) chromeDepth = math.max(0, chromeDepth - 1)
+                else if (!selfClosed) chromeDepth += 1
+              }
+              headingLevel =
+                if (!closing && name.length == 2 && name.charAt(0) == 'h' && name.charAt(1).isDigit)
+                  name.charAt(1) - '0'
+                else 0
+            }
+            i = tagEnd
+          }
+        }
+      } else if (c == '&') {
+        val (decoded, next) = entity(html, i)
+        appendChar(decoded, i)
+        i = next
+      } else {
+        if (skipTag == null) appendChar(c, i)
+        i += 1
+      }
+    }
+    flushBlock()
+    blocks.toSeq
+  }
+
+  /** Minimal entity decoder: named basics + numeric (decimal/hex). */
+  private def entity(html: String, i: Int): (Char, Int) = {
+    val semi = html.indexOf(';', i + 1)
+    if (semi < 0 || semi - i > 10) return ('&', i + 1)
+    val body = html.substring(i + 1, semi)
+    val decoded: Char = body match {
+      case "amp"  => '&'
+      case "lt"   => '<'
+      case "gt"   => '>'
+      case "quot" => '"'
+      case "apos" => '\''
+      case "nbsp" => ' '
+      case _ =>
+        if (body.startsWith("#x") || body.startsWith("#X")) {
+          try Integer.parseInt(body.substring(2), 16).toChar
+          catch { case _: Exception => return ('&', i + 1) }
+        } else if (body.startsWith("#")) {
+          try Integer.parseInt(body.substring(1)).toChar
+          catch { case _: Exception => return ('&', i + 1) }
+        } else return ('&', i + 1)
+    }
+    (decoded, semi + 1)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.pdf
+
+import scala.collection.mutable
+
+/** One extracted character-span: [start,end) in `text`, the byte offset of
+  * the producing content stream in the source document, and a kind tag
+  * (span bookkeeping modeled on the reference's TextStore line→byte-offset
+  * mapping; reference: TextStoreLib/TextStore.cs:81-144). */
+final case class TextSpan(start: Int, end: Int, srcOffset: Int, kind: String)
+
+/** Document-level extraction result. `text` is the byte-identical surface:
+  * pages in tree order → contents in array order → each content's assembled
+  * text (reference: PdfParser/PdfContent.cs:186, browser concatenation). */
+final case class ExtractResult(
+    text: String,
+    fragments: Seq[String],
+    spans: Seq[TextSpan],
+    pages: Int,
+    decodeFailures: Int,
+    error: Option[String],
+    pdfVersion: Option[String],
+    documentInfo: Option[String],
+    documentId: Option[String],
+    metadata: Option[String])
+
+/** E1 façade: the reference's `new PdfParser(bytes, …)` entry point as a pure
+  * function (reference: PdfParser/PdfParser.cs:92-106). Per-document parse
+  * errors are captured into the result, never thrown — one bad document must
+  * not fail a 10^12-row job. */
+object PdfExtract {
+
+  def isPdf(bytes: Array[Byte]): Boolean = {
+    if (bytes == null || bytes.length < 8) return false
+    if (startsWithHeader(bytes, 0)) return true
+    // FPDF tolerance: header within the first 2000 bytes (reference: Tokeniser.cs:190-200)
+    val limit = math.min(2000, bytes.length - 8)
+    var i = 1
+    while (i < limit) {
+      if (startsWithHeader(bytes, i)) return true
+      i += 1
+    }
+    false
+  }
+
+  private def startsWithHeader(b: Array[Byte], i: Int): Boolean =
+    b(i) == '%' && b(i + 1) == 'P' && b(i + 2) == 'D' && b(i + 3) == 'F' && b(i + 4) == '-' &&
+      b(i + 5) == '1' && b(i + 6) == '.'
+
+  def extract(
+      bytes: Array[Byte],
+      password: String = "",
+      contentDelimiter: String = "|",
+      buffers: WorkBuffers = new WorkBuffers()): ExtractResult = {
+    val tk = new PdfTokeniser(bytes, password, contentDelimiter, buffers)
+    try {
+      tk.verifyFileHeader()
+      tk.findPages()
+
+      val text = new StringBuilder
+      val fragments = mutable.ArrayBuffer.empty[String]
+      val spans = mutable.ArrayBuffer.empty[TextSpan]
+      val errors = new StringBuilder
+      var decodeFailures = 0
+
+      tk.pageList.foreach { page =>
+        if (page.exception != null) {
+          decodeFailures += 1
+          errors.append(page.exception).append('\n')
+        }
+        page.fonts.valuesIterator.foreach { f =>
+          if (f.exception != null) decodeFailures += 1
+        }
+        page.contents.foreach { content =>
+          val start = text.length
+          if (content.text != null) text.append(content.text)
+          fragments ++= content.textFragments
+          if (text.length > start)
+            spans += TextSpan(start, text.length, content.srcOffset, "content")
+          if (content.exception != null) {
+            decodeFailures += 1
+            errors.append(content.exception).append('\n')
+          }
+          if (content.error != null) errors.append(content.error).append('\n')
+        }
+      }
+      if (tk.isDecryptionError) {
+        decodeFailures += 1
+        errors.append("Document cannot be decrypted with provided password.").append('\n')
+      }
+
+      ExtractResult(
+        text = text.toString,
+        fragments = fragments.toSeq,
+        spans = spans.toSeq,
+        pages = tk.pageList.size,
+        decodeFailures = decodeFailures,
+        error = if (errors.isEmpty) None else Some(errors.toString),
+        pdfVersion = Some(tk.versionString),
+        documentInfo = Option(tk.documentInfo),
+        documentId = Option(tk.documentId),
+        metadata = Option(tk.metadata))
+    } catch {
+      case e: Throwable =>
+        val msg = e match {
+          case pe: PdfException       => "PdfException: " + pe.shortMessage
+          case pe: PdfStreamException => "PdfStreamException: " + pe.shortMessage
+          case other                  => other.getClass.getSimpleName + ": " + Option(other.getMessage).getOrElse("")
+        }
+        ExtractResult(
+          text = "",
+          fragments = Nil,
+          spans = Nil,
+          pages = 0,
+          decodeFailures = 1,
+          error = Some(msg),
+          pdfVersion = None,
+          documentInfo = None,
+          documentId = None,
+          metadata = None)
+    }
+  }
+}
