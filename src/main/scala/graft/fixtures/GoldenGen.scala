@@ -125,7 +125,6 @@ object GoldenGen {
         "0 -14 Td (second) Tj " +
         "T* [(ker) -120 (ned)] TJ " +
         "(quoted) ' " +
-        "2 3 (dquoted) \" " +
         "1 0 0 1 50 700 Tm (sameTm) Tj " +
         "1 0 0 1 50 600 Tm (movedTm) Tj " +
         "<48656C6C6F> Tj " +

@@ -175,6 +175,7 @@ object Boilerplate {
           } else {
             if (!closing && SkipContentTags.contains(name) && !selfClosed) skipTag = name
             else if (name == "a") {
+              endWord() // a word ends at the anchor boundary so it counts as linked
               if (closing) anchorDepth = math.max(0, anchorDepth - 1) else if (!selfClosed) anchorDepth += 1
             } else if (name == "br") {
               pendingSpace = true
@@ -195,7 +196,7 @@ object Boilerplate {
             i = tagEnd
           }
         }
-      } else if (c == '&') {
+      } else if (c == '&' && skipTag == null) {
         val (decoded, next) = entity(html, i)
         appendChar(decoded, i)
         i = next

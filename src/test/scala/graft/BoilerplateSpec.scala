@@ -1,0 +1,69 @@
+package graft
+
+import graft.fixtures.GoldenGen
+import graft.html.Boilerplate
+import org.scalatest.funsuite.AnyFunSuite
+
+class BoilerplateSpec extends AnyFunSuite {
+
+  test("strips nav/aside/footer and keeps main paragraphs + heading") {
+    val (html, expectedBlocks) = GoldenGen.syntheticHtml(seed = 42, paragraphs = 4)
+    val r = Boilerplate.extract(html)
+    assert(r.text == expectedBlocks.mkString("\n"))
+    assert(r.title == expectedBlocks.head)
+    assert(r.contentBlocks == expectedBlocks.length)
+    assert(!r.text.contains("home"))
+    assert(!r.text.contains("copyright"))
+  }
+
+  test("deterministic per seed") {
+    val a = Boilerplate.extract(GoldenGen.syntheticHtml(7, 3)._1)
+    val b = Boilerplate.extract(GoldenGen.syntheticHtml(7, 3)._1)
+    assert(a == b)
+  }
+
+  test("script/style/comment content never leaks") {
+    val html =
+      """<html><head><title>t</title><style>p { color: red }</style></head>
+        |<body><p>real content words that are long enough to be kept by the classifier rules okay
+        |real content words that are long enough to be kept by the classifier rules okay</p>
+        |<script>var hidden = "SECRET1";</script>
+        |<!-- SECRET2 --><p>tail paragraph with several more words to satisfy the word count threshold
+        |here too making it long enough</p></body></html>""".stripMargin
+    val r = Boilerplate.extract(html)
+    assert(!r.text.contains("SECRET1"))
+    assert(!r.text.contains("SECRET2"))
+    assert(!r.text.contains("color"))
+    assert(r.text.contains("real content words"))
+    assert(r.text.contains("tail paragraph"))
+  }
+
+  test("link-dense blocks are boilerplate") {
+    val html =
+      """<body><div><a href="/1">one</a> <a href="/2">two</a> <a href="/3">three</a></div>
+        |<p>this paragraph has plenty of plain words and must be retained because its link
+        |density is zero and it is long enough for the number of words rules even after a
+        |fully linked predecessor which raises the required word count threshold to forty
+        |words per the published decision stump so here are some more filler words</p></body>""".stripMargin
+    val r = Boilerplate.extract(html)
+    assert(!r.text.contains("one"))
+    assert(r.text.contains("plenty of plain words"))
+  }
+
+  test("entities decode and offsets point into the source") {
+    val html = "<body><p>A &amp; B &lt;tag&gt; &#65; &#x42; rest of a sentence with enough words " +
+      "to pass the classifier threshold for sure honestly truly</p></body>"
+    val r = Boilerplate.extract(html)
+    assert(r.text.startsWith("A & B <tag> A B rest"))
+    assert(r.spans.nonEmpty)
+    val span = r.spans.head
+    assert(html.charAt(span.srcOffset) == 'A')
+  }
+
+  test("empty and pathological inputs do not throw") {
+    assert(Boilerplate.extract("").text == "")
+    assert(Boilerplate.extract("<<<>>>").text.nonEmpty || true)
+    assert(Boilerplate.extract("<p").text == "")
+    assert(Boilerplate.extract("plain text with no tags at all but quite a few words so it counts as content for the rules").text.nonEmpty)
+  }
+}

@@ -1,0 +1,135 @@
+package graft
+
+import graft.fixtures.GoldenGen
+import graft.pdf.{PdfExtract, WorkBuffers}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end extraction goldens over the deterministic fixture corpus
+  * (FIXTURES.md F2/F3). Expected texts are derived from the reference's
+  * assembly rules (SURVEY.md §2.2) with "\n" newlines and the default "|"
+  * content delimiter. */
+class PdfExtractSpec extends AnyFunSuite {
+
+  private def readResource(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream("/" + name)
+    require(in != null, s"missing resource $name")
+    try in.readAllBytes()
+    finally in.close()
+  }
+
+  test("minimal hello pdf extracts Td newline + Tj + delimiter") {
+    val r = PdfExtract.extract(GoldenGen.helloPdf())
+    assert(r.pages == 1)
+    assert(r.text == "\nHello World|")
+    // no font resources on the page → the reference logs the missing font
+    assert(r.error.exists(_.contains("Could not find font 'F1'.")))
+    assert(r.spans.nonEmpty && r.spans.head.kind == "content")
+  }
+
+  test("multiline pdf: Td/TD/T*/Tm newline rules, TJ kerning, quote op, hex, escapes") {
+    val r = PdfExtract.extract(GoldenGen.multilinePdf())
+    assert(r.text == "first|\nsecond|\nkerned|quoted|sameTm|\nmovedTm|Hello|octAal (esc) line\\|")
+  }
+
+  test("double-quote operator aborts the content like the reference") {
+    // the reference's '"' handler dies reading the post-skip whitespace
+    // (Tokeniser.cs:1937-1990 + 2360-2461); text up to that op is kept
+    val b = new GoldenGen.PdfBuilder()
+    val content = b.addStream("",
+      "BT (before) Tj 2 3 (dq) \" (after) Tj ET".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val pagesId = b.nextObjectNumber + 1
+    val pageId = b.addObject(s"<</Type/Page /Parent $pagesId 0 R/Contents $content 0 R>>")
+    b.addObject(s"<</Type/Pages /Kids[$pageId 0 R] /Count 1>>")
+    val catalog = b.addObject(s"<</Type/Catalog /Pages $pagesId 0 R>>")
+    val r = PdfExtract.extract(b.finish(s"/Root $catalog 0 R"))
+    assert(r.text == "before|")
+    assert(r.decodeFailures == 1)
+  }
+
+  test("fonts: Differences overlay + ToUnicode bfchar/bfrange + ligature packing") {
+    val r = PdfExtract.extract(GoldenGen.fontsPdf())
+    // base Standard; Differences: 'D'→B, 'd'→X; ToUnicode: 'A'→B, 'f'→ﬀ, 'a'..'c'→x..z
+    assert(r.text == "Bxﬀy" + "CBX" + "|")
+    assert(r.error.isEmpty, r.error.getOrElse(""))
+  }
+
+  test("MacRoman vs WinAnsi high-byte decoding") {
+    // byte 0xD5 is ’ (U+2019) in MacRoman, Õ (U+00D5) in WinAnsi
+    val shown = "AÕB" // raw bytes A, 0xD5, B
+    val mac = PdfExtract.extract(GoldenGen.encodedFontPdf("MacRomanEncoding", shown))
+    val win = PdfExtract.extract(GoldenGen.encodedFontPdf("WinAnsiEncoding", shown))
+    assert(mac.text == "A’B|")
+    assert(win.text == "AÕB|")
+  }
+
+  test("xref stream + compressed object stream (type-2 entries)") {
+    val r = PdfExtract.extract(GoldenGen.xrefStreamPdf(predictor = false))
+    assert(r.text == "xref stream works|", r.error.orNull)
+    assert(r.pages == 1)
+  }
+
+  test("xref stream with PNG-Up predictor") {
+    val r = PdfExtract.extract(GoldenGen.xrefStreamPdf(predictor = true))
+    assert(r.text == "xref stream works|", r.error.orNull)
+  }
+
+  test("malformed tolerances: junk before header, CR-only EOL, wrong /Length, trailing NULs") {
+    val r = PdfExtract.extract(GoldenGen.malformedPdf())
+    assert(r.text == "tolerant parse|", r.error.orNull)
+    // the wrong /Length is recorded as a stream-length problem, not a failure
+    assert(r.error.exists(_.contains("does not point to endstream")))
+  }
+
+  test("RC4-encrypted pdf decrypts with empty user password") {
+    val r = PdfExtract.extract(GoldenGen.encryptedPdf("secret text"))
+    assert(r.text == "secret text|", r.error.orNull)
+  }
+
+  test("reference fixture: H3 Simple Text String Example.pdf") {
+    val r = PdfExtract.extract(readResource("h3-sample.pdf"))
+    assert(r.pages == 1)
+    assert(r.text == "\n Hello World |")
+    assert(r.pdfVersion.contains("1.4"))
+  }
+
+  test("reference fixture: file-sample_150kB.pdf (real-world FlateDecode)") {
+    val r = PdfExtract.extract(readResource("file-sample-150kB.pdf"))
+    assert(r.pages > 0)
+    assert(r.text.nonEmpty)
+    assert(r.text.contains("Lorem ipsum")) // the visible body text
+  }
+
+  test("buffer reuse across documents leaves no state behind") {
+    val buffers = new WorkBuffers()
+    val a1 = PdfExtract.extract(GoldenGen.fontsPdf(), buffers = buffers)
+    val b1 = PdfExtract.extract(GoldenGen.multilinePdf(), buffers = buffers)
+    val a2 = PdfExtract.extract(GoldenGen.fontsPdf(), buffers = buffers)
+    val b2 = PdfExtract.extract(GoldenGen.multilinePdf(), buffers = buffers)
+    assert(a1.text == a2.text)
+    assert(b1.text == b2.text)
+  }
+
+  test("non-pdf bytes give an error row, not an exception") {
+    val r = PdfExtract.extract("this is not a pdf at all".getBytes)
+    assert(r.error.isDefined)
+    assert(r.text == "")
+    assert(r.decodeFailures == 1)
+  }
+
+  test("isPdf classifier: prefix, embedded header, html") {
+    assert(PdfExtract.isPdf(GoldenGen.helloPdf()))
+    assert(PdfExtract.isPdf(GoldenGen.malformedPdf())) // header after junk
+    assert(!PdfExtract.isPdf("<html><body>hi</body></html>".getBytes))
+    assert(!PdfExtract.isPdf(Array.emptyByteArray))
+  }
+
+  test("synthetic multi-page pdf is deterministic and page-count exact") {
+    val r1 = PdfExtract.extract(GoldenGen.syntheticPdf(seed = 7, pages = 5))
+    val r2 = PdfExtract.extract(GoldenGen.syntheticPdf(seed = 7, pages = 5))
+    assert(r1.pages == 5)
+    assert(r1.text == r2.text)
+    assert(r1.text.length > 1000)
+    val r3 = PdfExtract.extract(GoldenGen.syntheticPdf(seed = 8, pages = 5))
+    assert(r3.text != r1.text)
+  }
+}
