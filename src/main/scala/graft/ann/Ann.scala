@@ -1,0 +1,95 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`ARRAY<FLOAT>`).
+  *
+  * Two paths, per the scale playbook:
+  *  - [[bruteForceTopK]]: exact cosine top-k — the correctness baseline.
+  *    The query side is broadcast (it is k·queries rows), so the "join" is a
+  *    map-side nested loop over a handful of broadcast vectors: no shuffle
+  *    of the big side at all; cost O(N·Q·d) flops, embarrassingly parallel.
+  *  - [[ivfTopK]]: IVF-style two-level search — a coarse quantizer (centroid
+  *    set) partitions the corpus; queries probe only the `nprobe` nearest
+  *    cells. At 100 TB the cell assignment is the partitioning/bucketing key
+  *    of the stored table, so a query touches nprobe/ncells of the data.
+  *
+  * Cosines are computed in DOUBLE over the float inputs with strict
+  * left-to-right accumulation (`aggregate`/`zip_with` — codegen'd, no UDF),
+  * which both keeps the plan in whole-stage codegen and makes the value
+  * engine-portable (the DuckDB oracle computes the same double sums).
+  */
+object Ann {
+
+  /** Dot product of two ARRAY<FLOAT> columns in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Exact top-k neighbors by cosine for each query vector.
+    * `queries`/`corpus`: (id, embedding). Self-pairs excluded. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val joined = corpus.as("c").join(
+      broadcast(queries.as("q")), col("q.id") =!= col("c.id"))
+      .select(
+        col("q.id").as("query_id"),
+        col("c.id").as("neighbor_id"),
+        cosine(col("q.embedding"), col("c.embedding")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    joined
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Assign every corpus vector to its nearest centroid (argmax cosine,
+    * deterministic tie-break on centroid id). Centroids are broadcast. */
+  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+    val scored = corpus.as("v").join(broadcast(centroids.as("ct")))
+      .select(col("v.id").as("id"), col("v.embedding").as("embedding"),
+        col("ct.id").as("cid"),
+        cosine(col("v.embedding"), col("ct.embedding")).as("cos"))
+    val w = Window.partitionBy("id").orderBy(col("cos").desc, col("cid"))
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+      .select(col("id"), col("embedding"), col("cid"))
+  }
+
+  /** IVF search: probe the `nprobe` nearest cells per query, exact top-k
+    * within the probed cells. Returns (query_id, rank, neighbor_id). */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, centroids: DataFrame,
+      nprobe: Int, k: Int): DataFrame = {
+    val assigned = assign(corpus, centroids)
+    val qProbe = {
+      val scored = queries.as("q").join(broadcast(centroids.as("ct")))
+        .select(col("q.id").as("query_id"), col("q.embedding").as("qemb"),
+          col("ct.id").as("cid"),
+          cosine(col("q.embedding"), col("ct.embedding")).as("cos"))
+      val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("cid"))
+      scored.withColumn("rn", row_number().over(w)).where(col("rn") <= nprobe)
+        .select(col("query_id"), col("qemb"), col("cid"))
+    }
+    val scored = assigned.join(broadcast(qProbe), Seq("cid"))
+      .where(col("query_id") =!= col("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qemb"), col("embedding")).as("cos"))
+    val w = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold, a<b).
+    * Correctness baseline is the broadcast nested loop; at scale the same
+    * predicate runs per-IVF-cell (near-dups share a cell for thresholds
+    * near 1), cutting the candidate space by ncells. */
+  def cosineDupPairs(vectors: DataFrame, threshold: Double): DataFrame =
+    vectors.as("a").join(broadcast(vectors.as("b")), col("a.id") < col("b.id"))
+      .where(cosine(col("a.embedding"), col("b.embedding")) >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+}

@@ -94,7 +94,7 @@ object GoldenGen {
   }
 
   /** Page tree + catalog for already-written content objects. */
-  private def catalogFor(b: PdfBuilder, contentIds: Seq[Int], fontObj: Option[(String, Int)] = None): Int = {
+  def catalogFor(b: PdfBuilder, contentIds: Seq[Int], fontObj: Option[(String, Int)] = None): Int = {
     val pagesId = b.nextObjectNumber + contentIds.length
     val resources = fontObj.map { case (name, id) => s"/Resources<</Font<</$name $id 0 R>>>>" }.getOrElse("")
     val pageIds = contentIds.map { cid =>

@@ -1,0 +1,76 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis functions for training-data pipelines, built from
+  * `org.apache.spark.sql.functions` so every one of them stays inside
+  * whole-stage codegen (no UDFs in the hot path; a 100 TB scan of these is
+  * a single WholeStageCodegen span over the parquet scan).
+  */
+object TextStats {
+
+  /** Whitespace token count (BIGINT to match the DuckDB oracle's len()). */
+  def wsTokens(text: Column): Column =
+    size(split(trim(text), "\\s+")).cast("long")
+
+  /** BPE-ish token count: letter runs, digit runs, single non-space symbols.
+    * The pattern is RE2/Java-regex common ground so the DuckDB oracle
+    * computes the identical value. */
+  val TokenPattern = "[a-z]+|[A-Z]+|[0-9]+|[^a-zA-Z0-9\\s]"
+  def regexTokens(text: Column): Column =
+    size(regexp_extract_all(text, lit(TokenPattern), lit(0))).cast("long")
+
+  /** Quality counters as exact integers (ratios are downstream divisions —
+    * never emit engine-computed doubles into a hash-compared result). */
+  def nChars(text: Column): Column = length(text).cast("long")
+  def nAlpha(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[a-zA-Z]", ""))).cast("long")
+  def nDigits(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[0-9]", ""))).cast("long")
+  def nPunct(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "[.,;:!?'\"()]", ""))).cast("long")
+
+  val Stopwords: Seq[String] =
+    Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
+
+  /** Stopword hits over whitespace tokens (array intrinsics, codegen'd). */
+  def nStopwords(text: Column): Column = {
+    val inList = Stopwords.map(s => s"'$s'").mkString(", ")
+    size(filter(split(trim(text), "\\s+"), w => w.isin(Stopwords.map(_.asInstanceOf[Any]): _*)))
+      .cast("long")
+  }
+
+  /** Content-defined fingerprint: md5 of whitespace-normalized lowercase
+    * text — the exact-dedup key. Deterministic and SQL-portable. */
+  def fingerprint(text: Column): Column =
+    md5(lower(regexp_replace(trim(text), "\\s+", " ")).cast("binary"))
+
+  /** Language-ID: stopword-profile scoring (n-gram-free heuristic — counts
+    * hits of each language's top function words, highest count wins,
+    * deterministic tie-break by language code). Standard public technique
+    * (Cavnar-Trenkle-style profile matching simplified to word unigrams). */
+  val LangProfiles: Map[String, Set[String]] = Map(
+    "en" -> Set("the", "and", "of", "to", "a", "in", "is", "it", "that", "for"),
+    "es" -> Set("el", "la", "de", "que", "y", "en", "un", "los", "del", "las"),
+    "de" -> Set("der", "die", "und", "das", "nicht", "von", "ist", "mit", "den", "ein"),
+    "fr" -> Set("le", "la", "les", "et", "des", "un", "une", "du", "que", "est"),
+    "zh" -> Set("的", "了", "是", "我", "不", "在", "有", "人", "这", "他"))
+
+  def langId(text: Column): Column = {
+    // score per language, pick argmax with lexicographic tie-break
+    val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>
+      val hits = size(filter(split(lower(trim(text)), "\\s+"),
+        w => w.isin(words.toSeq.map(_.asInstanceOf[Any]): _*)))
+      struct(hits.as("hits"), lit(lang).as("lang"))
+    }
+    // array_max on STRUCT orders by first field then second; we want max hits
+    // and, on ties, the SMALLEST lang — so compare on (hits, negated lang) is
+    // not expressible; instead reduce with a codegen'd aggregate expression.
+    val arr = array(scored: _*)
+    val best = aggregate(arr,
+      struct(lit(-1L).cast("int").as("hits"), lit("und").as("lang")),
+      (acc, x) => when(x.getField("hits") > acc.getField("hits"), x).otherwise(acc))
+    best.getField("lang")
+  }
+}

@@ -1,0 +1,75 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Media metadata extracted from an opaque binary payload. The decode step
+  * is a clearly-marked deterministic STUB (no image/audio codecs in this
+  * container); everything Spark-side — schema, batched per-partition
+  * processing, column pruning, typed output — is real and is what matters
+  * at 100 TB: the codec is a per-row pure function swapped in behind
+  * [[MediaDecoder.decode]]. */
+final case class MediaMeta(
+    doc_id: Long,
+    media_kind: String, // image | audio | video
+    n_bytes: Long,
+    width: Long, // image/video: pixels; audio: 0
+    height: Long,
+    frames: Long, // video frame-sample count; image: 1; audio: 0
+    sample_rate: Long, // audio only
+    checksum: String)
+
+/** STUB decoder: deterministic pseudo-metadata derived from payload size.
+  * A production deployment replaces this object with real codecs (e.g.
+  * javax.imageio / ffmpeg bindings) — the call shape (batch iterator in,
+  * metadata out, per-partition decoder state) is unchanged. */
+object MediaDecoder {
+  def decode(kind: String, payload: Array[Byte]): (Long, Long, Long, Long) = {
+    val n = payload.length.toLong
+    kind match {
+      case "image" => (64 + n % 512, 64 + (n * 7) % 512, 1L, 0L)
+      case "video" => (64 + n % 512, 64 + (n * 7) % 512, 1 + n % 24, 0L)
+      case _       => (0L, 0L, 0L, 8000 + (n % 5) * 8000) // audio
+    }
+  }
+}
+
+object Multimodal {
+
+  def kindFor(docId: Long): String = (docId % 3) match {
+    case 0 => "image"
+    case 1 => "audio"
+    case _ => "video"
+  }
+
+  /** Batched metadata extraction over (doc_id, payload BINARY) rows. One
+    * decoder per partition (mapPartitions), checksum via codegen'd md5. */
+  def extractMeta(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        // per-partition decoder state would be initialized here (reused
+        // across the batch, like the PDF WorkBuffers)
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, kind, payload) =>
+          val (w, h, f, sr) = MediaDecoder.decode(kind, payload)
+          digest.reset()
+          val sum = digest.digest(payload).map(b => f"${b & 0xff}%02x").mkString
+          MediaMeta(id, kind, payload.length.toLong, w, h, f, sr, sum)
+        }
+      }
+  }
+
+  /** The documents table viewed as a multimodal corpus: text bytes standing
+    * in for the media payload (deterministic fake), kind by doc_id. */
+  def mediaTable(spark: SparkSession, sfDir: String): DataFrame = {
+    import spark.implicits._
+    spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .map { case (id, text) => (id, kindFor(id), text.getBytes(java.nio.charset.StandardCharsets.UTF_8)) }
+      .toDF("doc_id", "kind", "payload")
+  }
+}
