@@ -41,7 +41,7 @@ object Corpus {
     val b = new GoldenGen.PdfBuilder()
     var gi = 0
     val contentIds = chunks.grouped(8).map { pageChunks =>
-      val ops = new StringBuilder("BT /F1 9 Tf ")
+      val ops = new StringBuilder("BT ")
       pageChunks.foreach { c =>
         val e = escapeLiteral(c)
         gi % 3 match {

@@ -1,0 +1,146 @@
+package graft
+
+import graft.dedup.Dedup
+import graft.pipeline.{Checkpoint, Corpus, ExtractPipeline, PageRow}
+import graft.streaming.Events
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end Spark tests of the extraction pipeline and the training-data
+  * operators, on tiny in-memory corpora (the sf tables are exercised by the
+  * driver's Verify gate; these cover edge cases the synthetic tables lack). */
+class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .appName("graft-pipeline-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .master("local[4]")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def roundTrip(texts: Seq[(Long, String)]): Unit = {
+    import spark.implicits._
+    val pages = texts.map { case (id, t) => Corpus.pageRowFor(id, t, "en") }.toDS()
+    val out = ExtractPipeline.run(pages, delimiter = "").collect().map(d => d.url -> d).toMap
+    texts.foreach { case (id, t) =>
+      val d = out(Corpus.UrlPrefix + id)
+      assert(d.error == "", s"doc $id error: ${d.error}")
+      assert(d.text == t, s"doc $id: got ${d.text.take(80)}... want ${t.take(80)}...")
+      assert(d.kind == (if (id % 2 == 0) "pdf" else "html"))
+    }
+  }
+
+  test("pdf+html round-trip: plain, specials, long, short") {
+    val texts = Seq[(Long, String)](
+      0L -> "hello world",
+      1L -> "hello world",
+      2L -> ("the quick brown fox " * 40).trim, // multi-page pdf
+      3L -> ("the quick brown fox " * 40).trim,
+      4L -> "parens (nested (deep)) and backslash \\ and ) stray",
+      5L -> "amp & lt < gt > mixed &amp; entities",
+      6L -> "x", // single char pdf
+      7L -> "y")
+    roundTrip(texts)
+  }
+
+  test("pdf span/page accounting matches the chunking contract") {
+    import spark.implicits._
+    val t = "z" * 1000 // 16 chunks -> 2 pages
+    val pages = Seq(Corpus.pageRowFor(42L, t, "en")).toDS()
+    val d = ExtractPipeline.run(pages, delimiter = "").collect().head
+    assert(d.pages == Corpus.pdfPageCount(t))
+    assert(d.pages == 2)
+    assert(d.spans.length == 2)
+    assert(d.spans.map(s => d.text.substring(s.start, s.end)).mkString == t)
+  }
+
+  test("malformed payload becomes an error row, not an exception") {
+    import spark.implicits._
+    val junk = "%PDF-1.4 this is not really a pdf".getBytes("ISO-8859-1")
+    val pages = Seq(PageRow("u1", new java.sql.Timestamp(0), junk, "", "en")).toDS()
+    val d = ExtractPipeline.run(pages).collect().head
+    assert(d.decode_failures >= 1)
+    assert(d.error.nonEmpty)
+    assert(d.kind == "pdf")
+  }
+
+  test("checkpoint commit + resume skips completed urls") {
+    import spark.implicits._
+    val texts = (0L until 20L).map(i => i -> s"document number $i with some words")
+    val pages = texts.map { case (id, t) => Corpus.pageRowFor(id, t, "en") }.toDS()
+    val outDir = java.nio.file.Files.createTempDirectory("graft_spec_ckpt").toString
+    val first = ExtractPipeline.run(pages.where(element_at(split(col("url"), "/"), -1).cast("long") < 5))
+    Checkpoint.commit(first, outDir)
+    val remaining = Checkpoint.resume(pages, outDir)
+    val ids = remaining.collect().map(_.url.split("/").last.toLong).sorted
+    assert(ids.toSeq == (5L until 20L).toSeq)
+    // committing the rest empties the backlog
+    Checkpoint.commit(ExtractPipeline.run(remaining), outDir)
+    assert(Checkpoint.resume(pages, outDir).count() == 0)
+    val m = Checkpoint.metrics(spark, outDir).collect().head
+    assert(m.getAs[Long]("docs_done") == 20L)
+  }
+
+  private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("doc_id", "text")
+  }
+
+  test("minhash LSH finds planted near-duplicates and nothing else") {
+    val base = (0L until 30L).map(i =>
+      i -> (0 to 30).map(j => s"w${i}q$j").mkString(" "))
+    val nearDups = base.take(5).map { case (id, t) => (id + 1000L) -> (t + " tail") }
+    val docs = docsDf(base ++ nearDups)
+    val pairs = Dedup.minhashDedupPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pairs.toSeq == (0L until 5L).map(i => (i, i + 1000L)))
+    // and the exact inverted-index path agrees
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(exact.toSeq == pairs.toSeq)
+  }
+
+  test("simhash: identical docs collide, distinct docs don't") {
+    val base = (0L until 20L).map(i =>
+      i -> (0 to 40).map(j => s"t${(i * 53 + j * 11) % 89}x$j").mkString(" "))
+    val copies = base.take(3).map { case (id, t) => (id + 500L) -> t }
+    val pairs = Dedup.simhashPairs(
+        Dedup.simhashes(docsDf(base ++ copies), "doc_id", "text"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pairs.toSeq == (0L until 3L).map(i => (i, i + 500L)))
+  }
+
+  test("streaming and batch window aggregation agree") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
+    spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+      .withColumn("ts", col("ts").cast("timestamp"))
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val batch = Events.hourlyByType(spark.read.parquet(s"$dir/in"))
+      .orderBy("window_start", "event_type").collect()
+
+    val streamIn = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in")
+    val q = Events.hourlyByType(streamIn.withWatermark("ts", "2 hours"))
+      .writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName("graft_events_stream")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT * FROM graft_events_stream")
+      .orderBy("window_start", "event_type").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+}
