@@ -26,5 +26,13 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // Fixed-size pre-touched heap + throughput GC: G1's incremental heap
+  // growth/uncommit causes multi-second kernel-side page-fault storms under
+  // 32 allocating threads on this VM (measured: sys% 55-91 during stalls),
+  // which made benchmark timings bimodal. ParallelGC + Xms=Xmx+pretouch
+  // removes the effect entirely.
+  "-XX:+UseParallelGC",
+  "-XX:+AlwaysPreTouch",
+  s"-Xms${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )

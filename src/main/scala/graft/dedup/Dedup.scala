@@ -147,16 +147,20 @@ object Dedup {
     * probability (1-J^r)^b ≈ 5e-8 at J=0.8 with r=4,b=32). */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val cand = minhashCandidates(minhashBands(docs, idCol, textCol, k))
+    val cand = minhashCandidates(minhashBands(docs, idCol, textCol, k)).persist()
     val sh = shingles(docs, idCol, textCol, k).persist()
     val cnt = sh.groupBy("id").agg(count(lit(1)).as("n"))
-    // intersection sizes only for candidate pairs: semi-restrict the
-    // shingle join through the candidate set (candidates are small —
-    // broadcast them both ways).
-    val interAll = sh.as("a").join(sh.as("b"),
+    // Exact verification touches ONLY docs that appear in some candidate
+    // pair: shrink the inverted index to those ids BEFORE the pair
+    // enumeration (at web scale candidates are a vanishing fraction of the
+    // corpus — enumerating all co-occurring pairs first would be quadratic
+    // in bucket size corpus-wide).
+    val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    val shC = sh.join(broadcast(candIds), Seq("id"), "left_semi")
+    val inter = shC.as("a").join(shC.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-    val inter = interAll.join(broadcast(cand), Seq("id_a", "id_b"), "left_semi")
+      .join(broadcast(cand), Seq("id_a", "id_b"), "left_semi")
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
     inter
       .join(cnt.as("ca"), col("id_a") === col("ca.id"))

@@ -17,7 +17,12 @@ import scala.collection.mutable
   */
 final class PdfContent(tk: PdfTokeniser, contentsDict: DictTok, fonts: collection.Map[String, PdfFont]) {
   var pdfFontName: String = null
-  var text: String = null
+  // Text accumulates in a builder (the reference's `Text +=` string concat is
+  // O(n^2); same output, linear cost). `hasText` tracks the reference's
+  // null-vs-empty distinction, observable in the Tm newline rule.
+  private val textSb = new java.lang.StringBuilder
+  private var hasText = false
+  def text: String = if (hasText) textSb.toString else null
   val textFragments: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
   var exception: String = null
   var error: String = contentsDict.streamLengthProblem
@@ -91,7 +96,7 @@ final class PdfContent(tk: PdfTokeniser, contentsDict: DictTok, fonts: collectio
                   }
                   tk.endStreamArgumentReading()
                 case "Td" | "TD" | "T*" =>
-                  text = orEmpty(text) + "\n"
+                  textSb.append('\n'); hasText = true
                 case "Tm" =>
                   tk.startStreamArgumentReading()
                   tk.getStreamInt(); tk.getStreamInt(); tk.getStreamInt(); tk.getStreamInt()
@@ -99,15 +104,15 @@ final class PdfContent(tk: PdfTokeniser, contentsDict: DictTok, fonts: collectio
                   val lineOffset = tk.getStreamNumber()
                   if (lastLineOffset == null || lastLineOffset.compareTo(lineOffset) != 0) {
                     lastLineOffset = lineOffset
-                    if (text != null) text += "\n"
+                    if (hasText) textSb.append('\n')
                   }
                   tk.endStreamArgumentReading()
                 case "ET" =>
-                  textFragments += tk.getStreamTextFragment()
+                  if (tk.captureFragments) textFragments += tk.getStreamTextFragment()
                   insideText = false
                 case _ => // all other operators skipped
               }
-              if (show) text = orEmpty(text) + newText + tk.contentDelimiter
+              if (show) { textSb.append(newText).append(tk.contentDelimiter); hasText = true }
             }
           }
         }

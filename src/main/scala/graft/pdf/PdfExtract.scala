@@ -50,8 +50,9 @@ object PdfExtract {
       bytes: Array[Byte],
       password: String = "",
       contentDelimiter: String = "|",
-      buffers: WorkBuffers = new WorkBuffers()): ExtractResult = {
-    val tk = new PdfTokeniser(bytes, password, contentDelimiter, buffers)
+      buffers: WorkBuffers = new WorkBuffers(),
+      captureFragments: Boolean = true): ExtractResult = {
+    val tk = new PdfTokeniser(bytes, password, contentDelimiter, buffers, captureFragments)
     try {
       tk.verifyFileHeader()
       tk.findPages()

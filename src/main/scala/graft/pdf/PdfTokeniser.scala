@@ -88,7 +88,12 @@ final class PdfTokeniser(
     pdfBytes: Array[Byte],
     val password: String = "",
     val contentDelimiter: String = "|",
-    val buffers: WorkBuffers = new WorkBuffers()) {
+    val buffers: WorkBuffers = new WorkBuffers(),
+    /** When false, BT..ET raw-byte fragments are not materialised — they are
+      * a full char copy of every content stream, which a bulk extraction
+      * pipeline never reads; skipping them roughly halves the allocation
+      * rate of the hot path (output `text` is unaffected). */
+    val captureFragments: Boolean = true) {
 
   private val CR: Byte = '\r'
   private val LF: Byte = '\n'

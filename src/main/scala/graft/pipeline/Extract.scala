@@ -31,7 +31,9 @@ object ExtractPipeline {
     if (payload == null || payload.isEmpty) {
       ExtractedDoc(url, "empty", "", "", Nil, 0, 0, 1, "empty payload", lang, nBytes)
     } else if (PdfExtract.isPdf(payload)) {
-      val r = PdfExtract.extract(payload, contentDelimiter = delimiter, buffers = buffers)
+      // fragments are a debugging surface; the bulk pipeline skips the copy
+      val r = PdfExtract.extract(payload, contentDelimiter = delimiter,
+        buffers = buffers, captureFragments = false)
       ExtractedDoc(url, "pdf", r.text, "",
         r.spans.map(s => SpanRow(s.start, s.end, s.srcOffset, s.kind)),
         r.pages, r.text.length, r.decodeFailures, r.error.getOrElse(""), lang, nBytes)
