@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** spark-submit entry point for the extraction pipeline:
+  *
+  * {{{
+  * spark-submit --class graft.pipeline.Main pdfparserspark.jar \
+  *   <inputTable> <outDir> [--delimiter D] [--partitions N] [--no-resume]
+  * }}}
+  *
+  * Reads the input_hint page table (parquet path or Iceberg-style table
+  * path), skips urls already present in `<outDir>/_manifest` (resume),
+  * salts against document-size skew, extracts, writes the output table and
+  * appends the per-partition checkpoint manifest, then prints a one-line
+  * metrics rollup. Designed so a killed run re-submitted with the same
+  * arguments continues mid-table (north_rule: resumable with per-partition
+  * lineage + metrics).
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val pos = args.filterNot(_.startsWith("--"))
+    require(pos.length >= 2, "usage: Main <inputTable> <outDir> [--delimiter D] [--partitions N] [--no-resume]")
+    val (input, outDir) = (pos(0), pos(1))
+    def opt(name: String): Option[String] =
+      args.sliding(2).collectFirst { case Array(k, v) if k == s"--$name" => v }
+    val delimiter = opt("delimiter").getOrElse("")
+    val resume = !args.contains("--no-resume")
+
+    val spark = SparkSession.builder()
+      .appName("graft-extract")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.parquet.columnarReaderBatchSize", 64)
+      .getOrCreate()
+    val partitions = opt("partitions").map(_.toInt)
+      .getOrElse(spark.sparkContext.defaultParallelism * 2)
+
+    val pages = spark.read.parquet(input)
+      .select("url", "warc_ts", "html", "text", "lang")
+      .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow])
+    val todo = if (resume) Checkpoint.resume(pages, outDir) else pages
+    val extracted = ExtractPipeline
+      .run(ExtractPipeline.salted(todo, partitions), delimiter)
+      .persist()
+
+    extracted.write.mode(SaveMode.Append).parquet(s"$outDir/extracted")
+    Checkpoint.commit(extracted, outDir)
+
+    val m = extracted.agg(
+      count(lit(1)).as("docs"),
+      sum("n_chars").as("chars"),
+      sum("decode_failures").as("decode_failures"),
+      sum(when(col("kind") === "pdf", 1).otherwise(0)).as("pdf_docs"))
+      .collect().head
+    println(s"""{"docs":${m.getLong(0)},"chars":${m.getLong(1)},""" +
+      s""""decode_failures":${m.getLong(2)},"pdf_docs":${m.getLong(3)},"resumed":$resume}""")
+    spark.stop()
+  }
+}
