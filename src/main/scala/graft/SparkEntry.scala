@@ -143,10 +143,23 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
           TextStats.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
-    "text_langid" -> ((s, dir) =>
+    "text_langid" -> ((s, dir) => {
+      graft.functions.GraftFunctions.register(s)
       docs(s, dir).select(col("doc_id"),
-          TextStats.langId(col("text")).as("pred_lang"))
-        .orderBy("doc_id")),
+          TextStats.langId(col("text")).as("pred_lang"),
+          expr("rolling_hash64(text)").as("rhash"))
+        .orderBy("doc_id")
+    }),
+    "sql_pdf_extract" -> ((s, dir) => {
+      // SQL surface: the whole parse stack as a scalar Catalyst expression
+      graft.functions.GraftFunctions.register(s)
+      Corpus.pagesCached(s, dir).createOrReplaceTempView("graft_pages")
+      s.sql(
+        """SELECT CAST(element_at(split(url, '/'), -1) AS BIGINT) AS doc_id,
+          |       pdf_extract(html).kind AS kind,
+          |       pdf_extract(html).text AS text
+          |FROM graft_pages""".stripMargin).orderBy("doc_id")
+    }),
     // ------------------------------------------------------------ multimodal
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.mediaTable(s, dir)).toDF()
@@ -236,6 +249,10 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
          FROM documents ORDER BY doc_id""",
+    "sql_pdf_extract" ->
+      """SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS kind,
+         text FROM documents ORDER BY doc_id""",
     "multimodal_meta" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_kind,

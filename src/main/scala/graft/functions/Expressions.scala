@@ -1,0 +1,127 @@
+package graft.functions
+
+import graft.pdf.WorkBuffers
+import graft.pipeline.ExtractPipeline
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** `pdf_extract(payload BINARY)` →
+  * `STRUCT<kind, text, title, pages INT, n_chars INT, decode_failures INT, error>`
+  *
+  * The SQL-facing surface of the extraction stack (SURVEY.md §2.4): the whole
+  * per-document parse as one scalar expression, so SQL users can
+  * `SELECT pdf_extract(html).text FROM pages`. CodegenFallback by design —
+  * the value of codegen is fusing cheap expressions, not a 100 µs parser;
+  * the expression still composes inside a WholeStageCodegen stage via the
+  * fallback call. Per-thread WorkBuffers mirror the per-partition reuse of
+  * the Dataset path. */
+case class PdfExtractExpr(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = PdfExtractExpr.schema
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == BinaryType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"pdf_extract expects BINARY, got ${child.dataType.catalogString}")
+  override def prettyName: String = "pdf_extract"
+
+  override def nullSafeEval(input: Any): Any = {
+    val d = ExtractPipeline.extractOne(
+      "", input.asInstanceOf[Array[Byte]], "", "", PdfExtractExpr.buffers.get())
+    InternalRow(
+      UTF8String.fromString(d.kind),
+      UTF8String.fromString(d.text),
+      UTF8String.fromString(d.title),
+      d.pages, d.n_chars, d.decode_failures,
+      UTF8String.fromString(d.error))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PdfExtractExpr =
+    copy(child = newChild)
+}
+
+object PdfExtractExpr {
+  val schema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = false),
+    StructField("text", StringType, nullable = false),
+    StructField("title", StringType, nullable = false),
+    StructField("pages", IntegerType, nullable = false),
+    StructField("n_chars", IntegerType, nullable = false),
+    StructField("decode_failures", IntegerType, nullable = false),
+    StructField("error", StringType, nullable = false)))
+  private val buffers: ThreadLocal[WorkBuffers] =
+    ThreadLocal.withInitial(() => new WorkBuffers())
+}
+
+/** `rolling_hash64(text)` → BIGINT: 64-bit Rabin-Karp polynomial fingerprint
+  * over the UTF-8 bytes. A native expression WITH `doGenCode` (not a UDF):
+  * the generated code is a direct static-style call, so the whole projection
+  * stays inside one WholeStageCodegen span with no boxing or row-conversion
+  * at the expression boundary. */
+case class RollingHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"rolling_hash64 expects STRING, got ${child.dataType.catalogString}")
+  override def prettyName: String = "rolling_hash64"
+
+  override def nullSafeEval(input: Any): Any =
+    RollingHash64.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.RollingHash64.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): RollingHash64Expr =
+    copy(child = newChild)
+}
+
+object RollingHash64 {
+  final val Base = 1099511628211L // FNV prime as the polynomial base
+
+  /** Java-static entry (called from generated code). */
+  def hash(s: UTF8String): Long = {
+    val bytes = s.getBytes
+    var h = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) { h = h * Base + (bytes(i) & 0xff); i += 1 }
+    h
+  }
+}
+
+/** Function registration: either through `SparkSessionExtensions` (config
+  * `spark.sql.extensions=graft.functions.GraftExtensions`) or imperatively
+  * on a live session via [[GraftFunctions.register]]. */
+class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Unit) {
+  override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
+    ext.injectFunction(GraftFunctions.pdfExtractDesc)
+    ext.injectFunction(GraftFunctions.rollingHashDesc)
+  }
+}
+
+object GraftFunctions {
+  type FunctionDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
+
+  val pdfExtractDesc: FunctionDescription = (
+    FunctionIdentifier("pdf_extract"),
+    new ExpressionInfo(classOf[PdfExtractExpr].getName, "pdf_extract"),
+    (children: Seq[Expression]) => PdfExtractExpr(children.head))
+
+  val rollingHashDesc: FunctionDescription = (
+    FunctionIdentifier("rolling_hash64"),
+    new ExpressionInfo(classOf[RollingHash64Expr].getName, "rolling_hash64"),
+    (children: Seq[Expression]) => RollingHash64Expr(children.head))
+
+  /** Imperative registration on an existing session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.registerFunction(pdfExtractDesc._1, pdfExtractDesc._2, pdfExtractDesc._3)
+    reg.registerFunction(rollingHashDesc._1, rollingHashDesc._2, rollingHashDesc._3)
+  }
+}

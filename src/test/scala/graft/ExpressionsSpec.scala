@@ -1,0 +1,73 @@
+package graft
+
+import graft.functions.{GraftFunctions, RollingHash64}
+import graft.pipeline.Corpus
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.unsafe.types.UTF8String
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .appName("graft-expr-spec")
+      .master("local[2]")
+      .config("spark.sql.shuffle.partitions", 2)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    GraftFunctions.register(s)
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("pdf_extract SQL expression round-trips pdf and html payloads") {
+    import spark.implicits._
+    val rows = Seq(
+      Corpus.pageRowFor(10L, "sql surface extraction works end to end", "en"),
+      Corpus.pageRowFor(11L, "and the html path too of course", "en"))
+    rows.toDS().createOrReplaceTempView("expr_pages")
+    val out = spark.sql(
+      """SELECT url, pdf_extract(html).kind AS kind, pdf_extract(html).text AS text,
+        |       pdf_extract(html).decode_failures AS failures
+        |FROM expr_pages""".stripMargin)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getString(2), r.getInt(3))).toMap
+    assert(out(Corpus.UrlPrefix + 10) == (("pdf", "sql surface extraction works end to end", 0)))
+    assert(out(Corpus.UrlPrefix + 11) == (("html", "and the html path too of course", 0)))
+  }
+
+  test("pdf_extract rejects non-binary input at analysis time") {
+    val e = intercept[Exception](spark.sql("SELECT pdf_extract('not binary')").collect())
+    assert(e.getMessage.toLowerCase.contains("binary") || e.getMessage.contains("DATATYPE"))
+  }
+
+  test("rolling_hash64 matches the reference implementation and stays in codegen") {
+    // spark.range source so the projection is NOT constant-folded into a
+    // LocalTableScan — the plan must show a codegen'd stage
+    val df = spark.range(3).selectExpr("concat('doc ', id) AS t")
+      .selectExpr("t", "rolling_hash64(t) AS h")
+    val got = df.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    (0 until 3).map(i => s"doc $i").foreach { s =>
+      assert(got(s) == RollingHash64.hash(UTF8String.fromString(s)))
+    }
+    // the projection must be inside a WholeStageCodegen span (native
+    // doGenCode): the '*(n)' prefix marks codegen'd operators
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().trim.startsWith("*(") &&
+      plan.contains("rolling_hash64"), plan)
+  }
+
+  test("GraftExtensions wires both function builders") {
+    // getOrCreate would reuse the suite session and ignore the extensions
+    // config, so apply the injector directly and check the builders.
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.functions.GraftExtensions()(ext)
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    assert(GraftFunctions.pdfExtractDesc._3(Seq(Literal(Array[Byte](1))))
+      .isInstanceOf[graft.functions.PdfExtractExpr])
+    assert(GraftFunctions.rollingHashDesc._3(Seq(Literal("x")))
+      .isInstanceOf[graft.functions.RollingHash64Expr])
+  }
+}
