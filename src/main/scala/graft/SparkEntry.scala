@@ -50,6 +50,15 @@ object SparkEntry {
         .select(docIdFromUrl, col("title"), col("text"))
         .orderBy("doc_id")
     }),
+    "pdf_extract_delim_roundtrip" -> ((s, dir) => {
+      // the reference's DEFAULT ContentDelimiter "|" (PdfParser.cs:83):
+      // every show-op appends decoded+"|", reconstructable in SQL as
+      // 64-char re-chunking of the source text
+      ExtractPipeline.run(Corpus.pagesCached(s, dir), delimiter = "|").toDF()
+        .where(col("kind") === "pdf")
+        .select(docIdFromUrl, col("text"))
+        .orderBy("doc_id")
+    }),
     "extract_pipeline_mixed" -> ((s, dir) => {
       extracted(s, dir)
         .select(docIdFromUrl, col("kind"),
@@ -175,6 +184,9 @@ object SparkEntry {
       "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id",
     "html_extract_roundtrip" ->
       "SELECT doc_id, 'doc ' || doc_id AS title, text FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id",
+    "pdf_extract_delim_roundtrip" ->
+      """SELECT doc_id, regexp_replace(text, '(.{1,64})', '\1|', 'g') AS text
+         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "extract_pipeline_mixed" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS kind,

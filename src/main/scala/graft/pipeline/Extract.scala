@@ -69,5 +69,8 @@ object ExtractPipeline {
     * cluster scale this is the difference between a stage tail of one task
     * chewing a 2 GB row group and an even spread. */
   def salted(pages: Dataset[PageRow], numPartitions: Int): Dataset[PageRow] =
-    pages.repartition(numPartitions, pmod(xxhash64(col("url")), lit(numPartitions)))
+    // repartition on the 64-bit url hash itself: HashPartitioning re-hashes
+    // the expression value, so pre-bucketing it with pmod would funnel the
+    // n salt values through a second hash and collide them
+    pages.repartition(numPartitions, xxhash64(col("url")))
 }

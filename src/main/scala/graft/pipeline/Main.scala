@@ -49,9 +49,9 @@ object Main {
 
     val m = extracted.agg(
       count(lit(1)).as("docs"),
-      sum("n_chars").as("chars"),
-      sum("decode_failures").as("decode_failures"),
-      sum(when(col("kind") === "pdf", 1).otherwise(0)).as("pdf_docs"))
+      coalesce(sum("n_chars"), lit(0L)).as("chars"),
+      coalesce(sum("decode_failures"), lit(0L)).as("decode_failures"),
+      coalesce(sum(when(col("kind") === "pdf", 1L).otherwise(0L)), lit(0L)).as("pdf_docs"))
       .collect().head
     println(s"""{"docs":${m.getLong(0)},"chars":${m.getLong(1)},""" +
       s""""decode_failures":${m.getLong(2)},"pdf_docs":${m.getLong(3)},"resumed":$resume}""")

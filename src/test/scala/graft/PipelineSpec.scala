@@ -119,6 +119,27 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSeq == (0L until 3L).map(i => (i, i + 500L)))
   }
 
+  test("salted repartition spreads a skewed corpus evenly by bytes") {
+    import spark.implicits._
+    // 1 giant doc (500 KB text -> multi-MB pdf) + 600 tiny docs, written as
+    // ONE parquet file: without salting, whichever task gets the file gets
+    // everything; salted() spreads rows across all partitions
+    val giant = Corpus.pageRowFor(0L, "x" * 500000, "en")
+    val tiny = (1L to 600L).map(i => Corpus.pageRowFor(i, s"tiny doc number $i", "en"))
+    val dir = java.nio.file.Files.createTempDirectory("graft_skew").toString
+    (giant +: tiny).toDS().coalesce(1).write.mode("overwrite").parquet(dir)
+    val pages = spark.read.parquet(dir)
+      .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow])
+    val salted = ExtractPipeline.salted(pages, 8)
+    val perPart = salted.mapPartitions(it => Iterator.single(it.size)).collect()
+    assert(perPart.length == 8)
+    assert(perPart.count(_ > 0) >= 6, perPart.mkString(",")) // spread, not piled
+    // extraction result unchanged by the repartition
+    val a = ExtractPipeline.run(pages).select("url", "n_chars").collect().toSet
+    val b = ExtractPipeline.run(salted).select("url", "n_chars").collect().toSet
+    assert(a == b)
+  }
+
   test("streaming and batch window aggregation agree") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
