@@ -233,6 +233,25 @@ object GoldenGen {
     b.currentBytes
   }
 
+  /** Graphics operators around text: inline image (`BI..ID..EI` skipped via
+    * delimiter scan, Tokeniser.cs:2106-2138), clipping rect (`re` + `W n`
+    * captured but unused, Tokeniser.cs:2141-2158), and assorted skipped ops
+    * (q/Q/cm/rg). Extracted text must contain only the shown strings. */
+  def graphicsPdf(): Array[Byte] = {
+    val b = new PdfBuilder()
+    val ops =
+      "q 0.5 0 0 0.5 10 10 cm " +
+        "10 20 300 400 re W n " +
+        "BI /W 4 /H 1 /CS /RGB /BPC 8 ID  ÿ  EI " +
+        "1 0 0 rg " +
+        "BT (before) Tj ET " +
+        "BI /W 2 /H 2 ID ABCD EI " +
+        "BT (after) Tj ET Q"
+    val content = b.addStream("", ops.getBytes(ISO_8859_1))
+    val catalog = catalogFor(b, Seq(content))
+    b.finish(s"/Root $catalog 0 R")
+  }
+
   /** Malformed-but-tolerated file: junk before the header (≤2000 B), CR-only
     * EOL after `stream`, wrong /Length (forces endstream rescan), trailing
     * NULs after %%EOF

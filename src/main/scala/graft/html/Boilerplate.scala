@@ -161,7 +161,18 @@ object Boilerplate {
           val nameStart = j
           while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
           val name = html.substring(nameStart, j).toLowerCase
-          val end = html.indexOf('>', j)
+          // quote-aware tag end: '>' inside a quoted attribute value
+          // (href="a>b") must not terminate the tag
+          var end = -1
+          var k = j
+          var quote: Char = 0
+          while (end < 0 && k < n) {
+            val ck = html.charAt(k)
+            if (quote != 0) { if (ck == quote) quote = 0 }
+            else if (ck == '"' || ck == '\'') quote = ck
+            else if (ck == '>') end = k
+            k += 1
+          }
           val tagEnd = if (end < 0) n else end + 1
           val selfClosed = end > 0 && html.charAt(end - 1) == '/'
 
@@ -197,8 +208,9 @@ object Boilerplate {
           }
         }
       } else if (c == '&' && skipTag == null) {
-        val (decoded, next) = entity(html, i)
+        val (decoded, extra, next) = entity(html, i)
         appendChar(decoded, i)
+        if (extra != 0) appendChar(extra, i) // low surrogate of an astral codepoint
         i = next
       } else {
         if (skipTag == null) appendChar(c, i)
@@ -209,10 +221,12 @@ object Boilerplate {
     blocks.toSeq
   }
 
-  /** Minimal entity decoder: named basics + numeric (decimal/hex). */
-  private def entity(html: String, i: Int): (Char, Int) = {
+  /** Minimal entity decoder: named basics + numeric (decimal/hex, incl.
+    * astral codepoints as surrogate pairs). Returns (char, extraChar-or-0,
+    * nextIndex). */
+  private def entity(html: String, i: Int): (Char, Char, Int) = {
     val semi = html.indexOf(';', i + 1)
-    if (semi < 0 || semi - i > 10) return ('&', i + 1)
+    if (semi < 0 || semi - i > 10) return ('&', 0, i + 1)
     val body = html.substring(i + 1, semi)
     val decoded: Char = body match {
       case "amp"  => '&'
@@ -222,14 +236,19 @@ object Boilerplate {
       case "apos" => '\''
       case "nbsp" => ' '
       case _ =>
-        if (body.startsWith("#x") || body.startsWith("#X")) {
-          try Integer.parseInt(body.substring(2), 16).toChar
-          catch { case _: Exception => return ('&', i + 1) }
-        } else if (body.startsWith("#")) {
-          try Integer.parseInt(body.substring(1)).toChar
-          catch { case _: Exception => return ('&', i + 1) }
-        } else return ('&', i + 1)
+        val cp =
+          try {
+            if (body.startsWith("#x") || body.startsWith("#X")) Integer.parseInt(body.substring(2), 16)
+            else if (body.startsWith("#")) Integer.parseInt(body.substring(1))
+            else return ('&', 0, i + 1)
+          } catch { case _: Exception => return ('&', 0, i + 1) }
+        if (cp < 0 || cp > 0x10ffff) return ('&', 0, i + 1)
+        if (cp > 0xffff) {
+          val pair = Character.toChars(cp)
+          return (pair(0), pair(1), semi + 1)
+        }
+        cp.toChar
     }
-    (decoded, semi + 1)
+    (decoded, 0, semi + 1)
   }
 }

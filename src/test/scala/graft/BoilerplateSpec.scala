@@ -60,6 +60,21 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(html.charAt(span.srcOffset) == 'A')
   }
 
+  test("quoted '>' inside attributes does not truncate the tag") {
+    val html = """<body><p title="a>b" data-x='c>d'>the paragraph body with enough plain words """ +
+      """to satisfy the numwords classifier threshold for content blocks easily</p></body>"""
+    val r = Boilerplate.extract(html)
+    assert(r.text.startsWith("the paragraph body"))
+    assert(!r.text.contains("b\" data"))
+  }
+
+  test("astral-plane numeric entities decode as surrogate pairs") {
+    val html = "<body><p>emoji &#128512; here plus plenty of additional plain filler words " +
+      "to pass the word count threshold of the classifier rules</p></body>"
+    val r = Boilerplate.extract(html)
+    assert(r.text.contains("emoji 😀 here"))
+  }
+
   test("empty and pathological inputs do not throw") {
     assert(Boilerplate.extract("").text == "")
     assert(Boilerplate.extract("<<<>>>").text.nonEmpty || true)

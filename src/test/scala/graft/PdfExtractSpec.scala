@@ -85,6 +85,12 @@ class PdfExtractSpec extends AnyFunSuite {
     assert(r.text == "secret text|", r.error.orNull)
   }
 
+  test("graphics ops: inline images skipped, clip rects parsed, text intact") {
+    val r = PdfExtract.extract(GoldenGen.graphicsPdf())
+    assert(r.error.isEmpty, r.error)
+    assert(r.text == "before|after|")
+  }
+
   test("reference fixture: H3 Simple Text String Example.pdf") {
     val r = PdfExtract.extract(readResource("h3-sample.pdf"))
     assert(r.pages == 1)
