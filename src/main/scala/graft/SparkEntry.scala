@@ -109,6 +109,10 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashDedupPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.8)
         .orderBy("id_a", "id_b")),
+    "dedup_clusters" -> ((s, dir) =>
+      Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.8))
+        .orderBy("doc_id")),
     "dedup_simhash" -> ((s, dir) => {
       val d = docs(s, dir).select("doc_id", "text")
       val corpus = d.unionAll(
@@ -148,6 +152,11 @@ object SparkEntry {
           TextStats.nAlpha(col("text")).as("n_alpha"),
           TextStats.nStopwords(col("text")).as("n_stop"))
         .orderBy("doc_id")),
+    "text_quality_filter" -> ((s, dir) =>
+      docs(s, dir)
+        .where(TextStats.qualityKeep(col("text"), wordMin = 15))
+        .select(col("doc_id"), TextStats.wsTokens(col("text")).as("n_words"))
+        .orderBy("doc_id")),
     "text_fingerprint" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
           TextStats.fingerprint(col("text")).as("fp"))
@@ -176,7 +185,10 @@ object SparkEntry {
     // --------------------------------------------------------------- events
     "events_hourly" -> ((s, dir) =>
       Events.hourlyByType(s.read.parquet(s"$dir/events.parquet"))
-        .orderBy("window_start", "event_type"))
+        .orderBy("window_start", "event_type")),
+    "events_sessions" -> ((s, dir) =>
+      Events.userSessions(s.read.parquet(s"$dir/events.parquet"))
+        .orderBy("user_id", "session_start"))
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -212,6 +224,22 @@ object SparkEntry {
          FROM corpus GROUP BY 1 ORDER BY fp""",
     "dedup_ngram_jaccard" -> exactJaccardSql,
     "dedup_minhash_lsh" -> exactJaccardSql,
+    "dedup_clusters" ->
+      """WITH RECURSIVE docs AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+                FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+                      FROM docs WHERE len(ws) >= 3)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM inter
+                   JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+                   WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8),
+         edges AS (SELECT id_a AS u, id_b AS v FROM pairs UNION ALL SELECT id_b, id_a FROM pairs),
+         reach AS (SELECT u, v FROM edges
+                   UNION SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u)
+         SELECT u AS doc_id, least(u, min(v)) AS cluster_rep
+         FROM reach GROUP BY u ORDER BY doc_id""",
     "dedup_embedding_cosine" ->
       "SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a",
     "ann_topk_bruteforce" ->
@@ -261,6 +289,20 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
          FROM documents ORDER BY doc_id""",
+    "text_quality_filter" ->
+      """SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words FROM documents
+         WHERE len(string_split(trim(text), ' ')) BETWEEN 15 AND 100000
+           AND (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) >= 3 * len(string_split(trim(text), ' '))
+           AND (length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g'))) <= 12 * len(string_split(trim(text), ' '))
+           AND len(list_filter(string_split(trim(text), ' '),
+                 w -> w IN ('the','a','an','of','and','to','in','is','it','that'))) >= 1
+         ORDER BY doc_id""",
+    "events_sessions" ->
+      """WITH o AS (SELECT user_id, ts, lag(ts) OVER (PARTITION BY user_id ORDER BY ts) AS pts FROM events),
+         b AS (SELECT user_id, ts, CASE WHEN pts IS NULL OR ts - pts >= INTERVAL 5 MINUTE THEN 1 ELSE 0 END AS brk FROM o),
+         s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM b)
+         SELECT user_id, min(ts) AS session_start, count(*) AS n_events
+         FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "sql_pdf_extract" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS kind,

@@ -169,6 +169,42 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  // -------------------------------------------- connected components (CC)
+
+  /** Near-duplicate CLUSTERS from a pair list: connected components via
+    * iterative min-label propagation (the standard Spark-scale CC shape —
+    * each round is one shuffle join; rounds = graph diameter, which for
+    * near-dup graphs is tiny). Returns (doc_id, cluster_rep = min id of the
+    * component), one row per doc that appears in some pair. Keeping
+    * `cluster_rep` and dropping the rest is the dedup policy. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
+      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+      .persist()
+    var labels = edges.select(col("u").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .persist()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 50) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "nlabel"), Seq("v"))
+        .groupBy(col("u").as("id"))
+        .agg(min(col("nlabel")).as("minNeighbor"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"))
+        .persist()
+      changed = next.as("n").join(labels.as("o"), Seq("id"))
+        .where(col("n.label") =!= col("o.label")).count()
+      labels.unpersist()
+      labels = next
+      rounds += 1
+    }
+    edges.unpersist()
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word 4-shingles (Charikar 2002 / Manku et al. 2007):

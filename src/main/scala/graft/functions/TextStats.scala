@@ -57,6 +57,18 @@ object TextStats {
     "fr" -> Set("le", "la", "les", "et", "des", "un", "une", "du", "que", "est"),
     "zh" -> Set("的", "了", "是", "我", "不", "在", "有", "人", "这", "他"))
 
+  /** Gopher/C4-style quality filter as a single boolean Column, built from
+    * integer comparisons only (no float thresholds → exactly mirrorable in
+    * any SQL engine): word count in [wordMin,wordMax], mean word length in
+    * [3,12] (as 3·w ≤ alpha ≤ 12·w), and at least one stopword hit. */
+  def qualityKeep(text: Column, wordMin: Int = 15, wordMax: Int = 100000): Column = {
+    val w = wsTokens(text)
+    val alpha = nAlpha(text)
+    w.geq(wordMin) && w.leq(wordMax) &&
+      alpha.geq(w * 3) && alpha.leq(w * 12) &&
+      nStopwords(text).geq(1)
+  }
+
   def langId(text: Column): Column = {
     // score per language, pick argmax with lexicographic tie-break
     val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>

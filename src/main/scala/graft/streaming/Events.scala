@@ -12,6 +12,16 @@ import org.apache.spark.sql.functions._
   * order-insensitive — never hash-compare a float sum. */
 object Events {
 
+  /** Gap-based sessionization: `session_window` (5-minute inactivity gap)
+    * per user — the streaming-native operator; in batch mode it is the
+    * gaps-and-islands computation. */
+  def userSessions(events: DataFrame, gap: String = "5 minutes"): DataFrame =
+    events
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+
   def hourlyByType(events: DataFrame): DataFrame =
     events
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))

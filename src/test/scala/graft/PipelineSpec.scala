@@ -140,6 +140,34 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(a == b)
   }
 
+  test("streaming extraction (readStream -> mapPartitions -> sink) matches batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream_pages").toString
+    val texts = (0L until 30L).map(i => i -> s"streaming corpus document $i with words")
+    texts.map { case (id, t) => Corpus.pageRowFor(id, t, "en") }.toDS()
+      .write.mode("overwrite").parquet(s"$dir/in")
+    val batch = ExtractPipeline.run(
+        spark.read.parquet(s"$dir/in").as[PageRow](org.apache.spark.sql.Encoders.product[PageRow]))
+      .select("url", "kind", "text").orderBy("url").collect()
+
+    val streamIn = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in").schema)
+      .parquet(s"$dir/in")
+      .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow])
+    val q = ExtractPipeline.runStreaming(streamIn)
+      .writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName("graft_extract_stream")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT url, kind, text FROM graft_extract_stream")
+      .orderBy("url").collect()
+    assert(streamed.toSeq == batch.toSeq)
+  }
+
   test("streaming and batch window aggregation agree") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
