@@ -36,15 +36,13 @@ object Main {
     val partitions = opt("partitions").map(_.toInt)
       .getOrElse(spark.sparkContext.defaultParallelism * 2)
 
-    val pages = spark.read.parquet(input)
-      .select("url", "warc_ts", "html", "text", "lang")
-      .as[PageRow](org.apache.spark.sql.Encoders.product[PageRow])
+    val pages = TableIO.readPages(spark, input)
     val todo = if (resume) Checkpoint.resume(pages, outDir) else pages
     val extracted = ExtractPipeline
       .run(ExtractPipeline.salted(todo, partitions), delimiter)
       .persist()
 
-    extracted.write.mode(SaveMode.Append).parquet(s"$outDir/extracted")
+    TableIO.append(extracted.toDF(), s"$outDir/extracted")
     Checkpoint.commit(extracted, outDir)
 
     val m = extracted.agg(
