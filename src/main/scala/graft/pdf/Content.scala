@@ -23,6 +23,12 @@ final class PdfContent(tk: PdfTokeniser, contentsDict: DictTok, fonts: collectio
   private val textSb = new java.lang.StringBuilder
   private var hasText = false
   def text: String = if (hasText) textSb.toString else null
+  /** Reference's `Text != null` check without materialising the String. */
+  def hasAnyText: Boolean = hasText
+  /** Append this content's text into `target` without an intermediate
+    * String copy (bulk-pipeline hot path). */
+  def appendTextTo(target: java.lang.StringBuilder): Int =
+    if (hasText) { target.append(textSb); textSb.length } else 0
   val textFragments: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
   var exception: String = null
   var error: String = contentsDict.streamLengthProblem
@@ -60,29 +66,29 @@ final class PdfContent(tk: PdfTokeniser, contentsDict: DictTok, fonts: collectio
               insideText = false
               endOfStream = true
             } else {
-              var newText: String = null
+              var newText: CharSequence = null
               var show = false
               opCode match {
                 case "'" =>
                   tk.startStreamArgumentReading()
-                  newText = tk.getStreamString(font)
+                  newText = tk.getStreamStringScratch(font)
                   tk.endStreamArgumentReading()
                   show = true
                 case "\"" =>
                   tk.startStreamArgumentReading()
                   tk.skipStreamArgument()
                   tk.skipStreamArgument()
-                  newText = tk.getStreamString(font)
+                  newText = tk.getStreamStringScratch(font)
                   tk.endStreamArgumentReading()
                   show = true
                 case "Tj" =>
                   tk.startStreamArgumentReading()
-                  newText = tk.getStreamString(font)
+                  newText = tk.getStreamStringScratch(font)
                   tk.endStreamArgumentReading()
                   show = true
                 case "TJ" =>
                   tk.startStreamArgumentReading()
-                  newText = tk.getStreamArrayString(font)
+                  newText = tk.getStreamArrayStringScratch(font)
                   tk.endStreamArgumentReading()
                   show = true
                 case "Tf" =>

@@ -57,7 +57,7 @@ object PdfExtract {
       tk.verifyFileHeader()
       tk.findPages()
 
-      val text = new StringBuilder
+      val text = new java.lang.StringBuilder
       val fragments = mutable.ArrayBuffer.empty[String]
       val spans = mutable.ArrayBuffer.empty[TextSpan]
       val errors = new StringBuilder
@@ -73,7 +73,7 @@ object PdfExtract {
         }
         page.contents.foreach { content =>
           val start = text.length
-          if (content.text != null) text.append(content.text)
+          content.appendTextTo(text)
           fragments ++= content.textFragments
           if (text.length > start)
             spans += TextSpan(start, text.length, content.srcOffset, "content")

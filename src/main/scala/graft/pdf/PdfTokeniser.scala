@@ -1282,10 +1282,19 @@ final class PdfTokeniser(
 
   /** Decode one shown string (literal or hex) through the font's 8-bit table
     * (reference: Tokeniser.cs:2360-2472). */
-  def getStreamString(font: PdfFont): String = {
+  def getStreamString(font: PdfFont): String =
+    getStreamStringScratch(font).toString
+
+  /** Allocation-light variant: decodes into the shared scratch builder and
+    * returns it as a CharSequence — valid only until the next tokeniser
+    * call. Appending `scratch` into a target StringBuilder copies chars
+    * without materialising an intermediate String (hot path: one shown
+    * string per show op on 10^12 docs). Decode errors throw BEFORE the
+    * caller appends, preserving the reference's no-partial-text semantics. */
+  def getStreamStringScratch(font: PdfFont): CharSequence = {
     sb.setLength(0)
     readStreamStringInto(font)
-    sb.toString
+    sb
   }
 
   private def appendDecoded(ch0: Char, font: PdfFont): Unit = {
@@ -1369,7 +1378,12 @@ final class PdfTokeniser(
 
   /** `[ (A) -120 (B) ] TJ`: concatenate the strings, discard kerning numbers
     * (reference: Tokeniser.cs:2475-2490). */
-  def getStreamArrayString(font: PdfFont): String = {
+  def getStreamArrayString(font: PdfFont): String =
+    getStreamArrayStringScratch(font).toString
+
+  /** Scratch variant of [[getStreamArrayString]] (same contract as
+    * [[getStreamStringScratch]]). */
+  def getStreamArrayStringScratch(font: PdfFont): CharSequence = {
     sb.setLength(0)
     var b = sByte(streamIdx); streamIdx += 1
     if (b != '[') throw streamException("Read string array in stream, '[' expected.")
@@ -1383,7 +1397,7 @@ final class PdfTokeniser(
       }
       if (b == ']') done = true
     }
-    sb.toString
+    sb
   }
 
   /** Integer reader that STOPS at '.' — the reference's `Tm` matrix quirk
