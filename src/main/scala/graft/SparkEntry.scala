@@ -161,11 +161,30 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
           TextStats.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
-    "text_langid" -> ((s, dir) => {
+    "text_langid" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          TextStats.langId(col("text")).as("pred_lang"))
+        .orderBy("doc_id")),
+    "text_rollinghash" -> ((s, dir) => {
       graft.functions.GraftFunctions.register(s)
       docs(s, dir).select(col("doc_id"),
-          TextStats.langId(col("text")).as("pred_lang"),
           expr("rolling_hash64(text)").as("rhash"))
+        .orderBy("doc_id")
+    }),
+    "pdf_metadata" -> ((s, dir) => {
+      // document-level metadata surface (version sniff, trailer /Info merge,
+      // page-tree count) — S2/S7/S15/S24
+      import s.implicits._
+      Corpus.pagesCached(s, dir)
+        .filter(p => Corpus.isPdfDoc(p.url.substring(Corpus.UrlPrefix.length).toLong))
+        .mapPartitions { it =>
+          val buffers = new graft.pdf.WorkBuffers()
+          it.map { p =>
+            val r = graft.pdf.PdfExtract.extract(p.html, buffers = buffers, captureFragments = false)
+            (p.url.substring(Corpus.UrlPrefix.length).toLong,
+              r.pdfVersion.getOrElse(""), r.documentInfo.getOrElse(""), r.pages.toLong)
+          }
+        }.toDF("doc_id", "pdf_version", "info", "n_pages")
         .orderBy("doc_id")
     }),
     "sql_pdf_extract" -> ((s, dir) => {
@@ -303,6 +322,26 @@ object SparkEntry {
          s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM b)
          SELECT user_id, min(ts) AS session_start, count(*) AS n_events
          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    "text_langid" ->
+      """WITH h AS (SELECT doc_id,
+           len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('der','die','und','das','nicht','von','ist','mit','den','ein'))) AS h_de,
+           len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) AS h_en,
+           len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('el','la','de','que','y','en','un','los','del','las'))) AS h_es,
+           len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('le','la','les','et','des','un','une','du','que','est'))) AS h_fr,
+           len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('的','了','是','我','不','在','有','人','这','他'))) AS h_zh
+           FROM documents)
+         SELECT doc_id, CASE
+           WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+           WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+           WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+           WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+           ELSE 'zh' END AS pred_lang
+         FROM h ORDER BY doc_id""",
+    "pdf_metadata" ->
+      """SELECT doc_id, '1.4' AS pdf_version,
+         'Title: doc-' || length(text) || '; Producer: graft; ' AS info,
+         CAST(((length(text)+63)//64 + 7)//8 AS BIGINT) AS n_pages
+         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "sql_pdf_extract" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS kind,

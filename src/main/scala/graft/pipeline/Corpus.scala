@@ -55,7 +55,10 @@ object Corpus {
       b.addStream("", ops.toString.getBytes(ISO_8859_1), deflate = true)
     }.toSeq
     val catalog = GoldenGen.catalogFor(b, contentIds)
-    b.finish(s"/Root $catalog 0 R")
+    // deterministic /Info so document-metadata extraction (S7/S24) is
+    // oracle-checkable: Title carries the text length
+    val info = b.addObject(s"<</Title (doc-${text.length})/Producer (graft)>>")
+    b.finish(s"/Root $catalog 0 R/Info $info 0 R")
   }
 
   /** Expected PDF page count for `text` under [[pdfFromText]] —
