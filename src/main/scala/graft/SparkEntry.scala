@@ -197,6 +197,28 @@ object SparkEntry {
           |       pdf_extract(html).text AS text
           |FROM graft_pages""".stripMargin).orderBy("doc_id")
     }),
+    "split_assign" -> ((s, dir) =>
+      docs(s, dir).select(col("doc_id"),
+          graft.functions.Sampling.split(col("doc_id")).as("split"))
+        .orderBy("doc_id")),
+    "decontamination" -> ((s, dir) =>
+      Dedup.crossGroupContamination(docs(s, dir), "doc_id", "text", "source")
+        .orderBy("id_a", "id_b")),
+    "vocab_stats" -> ((s, dir) => {
+      // global term frequencies: classic explode -> map-side partial count
+      // -> single shuffle; top-50 with deterministic (count desc, term asc)
+      val words = docs(s, dir)
+        .select(explode(split(trim(col("text")), "\\s+")).as("term"))
+      words.groupBy("term").agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("term"))
+        .limit(50)
+    }),
+    "vocab_size_by_lang" -> ((s, dir) =>
+      docs(s, dir)
+        .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy("lang")
+        .agg(countDistinct(col("term")).as("vocab"))
+        .orderBy("lang")),
     // ------------------------------------------------------------ multimodal
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.mediaTable(s, dir)).toDF()
@@ -346,6 +368,32 @@ object SparkEntry {
       """SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS kind,
          text FROM documents ORDER BY doc_id""",
+    "split_assign" ->
+      """SELECT doc_id, CASE WHEN ((doc_id * 2654435761) % 1000003) % 100 < 80 THEN 'train'
+         WHEN ((doc_id * 2654435761) % 1000003) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+         FROM documents ORDER BY doc_id""",
+    "decontamination" ->
+      """WITH docs2 AS (SELECT doc_id, text, source, string_split(trim(text), ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh
+                FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 2)) AS i
+                      FROM docs2 WHERE len(ws) >= 3)),
+         cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS i
+                   FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+         pairs AS (SELECT id_a, id_b FROM inter
+                   JOIN cnt ca ON ca.doc_id = id_a JOIN cnt cb ON cb.doc_id = id_b
+                   WHERE CAST(i AS DOUBLE) / (ca.n + cb.n - i) >= 0.8)
+         SELECT id_a, id_b, da.source AS group_a, db.source AS group_b
+         FROM pairs JOIN docs2 da ON da.doc_id = id_a JOIN docs2 db ON db.doc_id = id_b
+         WHERE da.source <> db.source ORDER BY id_a, id_b""",
+    "vocab_stats" ->
+      """SELECT term, count(*) AS n FROM (
+           SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents)
+         GROUP BY term ORDER BY n DESC, term LIMIT 50""",
+    "vocab_size_by_lang" ->
+      """SELECT lang, CAST(count(DISTINCT term) AS BIGINT) AS vocab FROM (
+           SELECT lang, unnest(string_split(trim(text), ' ')) AS term FROM documents)
+         GROUP BY lang ORDER BY lang""",
     "multimodal_meta" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_kind,

@@ -169,6 +169,24 @@ object Dedup {
       .select(col("id_a"), col("id_b"))
   }
 
+  // ------------------------------------------------- decontamination
+
+  /** Train/test contamination report: near-duplicate pairs (word-k-gram
+    * Jaccard ≥ threshold) whose documents belong to DIFFERENT groups
+    * (e.g. source, or the train/test split). Same inverted-index machinery
+    * as [[ngramJaccardPairs]] with the group columns joined on. */
+  def crossGroupContamination(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, k: Int = 3, threshold: Double = 0.8): DataFrame = {
+    val pairs = ngramJaccardPairs(docs, idCol, textCol, k, threshold)
+    val groups = docs.select(col(idCol).as("gid"), col(groupCol).as("grp"))
+    pairs
+      .join(groups.as("ga"), col("id_a") === col("ga.gid"))
+      .join(groups.as("gb"), col("id_b") === col("gb.gid"))
+      .where(col("ga.grp") =!= col("gb.grp"))
+      .select(col("id_a"), col("id_b"),
+        col("ga.grp").as("group_a"), col("gb.grp").as("group_b"))
+  }
+
   // -------------------------------------------- connected components (CC)
 
   /** Near-duplicate CLUSTERS from a pair list: connected components via
