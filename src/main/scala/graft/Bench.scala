@@ -164,8 +164,17 @@ object Bench {
           TextStats.langId(col("text")))
         .agg(count(lit(1))).collect()
     }
+    results("dedup_clusters") = time(2)(
+      Dedup.connectedComponents(
+        Dedup.ngramJaccardPairs(docsDf, "doc_id", "text")).count())
+    results("vocab_stats") = time(2)(
+      docsDf.select(explode(split(trim(col("text")), "\\s+")).as("term"))
+        .groupBy("term").agg(count(lit(1))).count())
     results("events_hourly") = time(2)(
       graft.streaming.Events.hourlyByType(
+        spark.read.parquet(s"$sfDir/events.parquet")).count())
+    results("events_sessions") = time(2)(
+      graft.streaming.Events.userSessions(
         spark.read.parquet(s"$sfDir/events.parquet")).count())
 
     val thrHi = nDocs / results("extract_pipeline")

@@ -204,6 +204,18 @@ object SparkEntry {
     "decontamination" -> ((s, dir) =>
       Dedup.crossGroupContamination(docs(s, dir), "doc_id", "text", "source")
         .orderBy("id_a", "id_b")),
+    "stratified_sample" -> ((s, dir) => {
+      // deterministic per-language sample: smallest hash buckets win —
+      // reproducible under re-runs/repartitioning, unlike rand() sampling
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy("lang")
+        .orderBy(graft.functions.Sampling.bucket(col("doc_id")), col("doc_id"))
+      docs(s, dir)
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 10)
+        .select(col("lang"), col("doc_id"))
+        .orderBy("lang", "doc_id")
+    }),
     "vocab_stats" -> ((s, dir) => {
       // global term frequencies: classic explode -> map-side partial count
       // -> single shuffle; top-50 with deterministic (count desc, term asc)
@@ -386,6 +398,12 @@ object SparkEntry {
          SELECT id_a, id_b, da.source AS group_a, db.source AS group_b
          FROM pairs JOIN docs2 da ON da.doc_id = id_a JOIN docs2 db ON db.doc_id = id_b
          WHERE da.source <> db.source ORDER BY id_a, id_b""",
+    "stratified_sample" ->
+      """SELECT lang, doc_id FROM (
+           SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
+             ORDER BY ((doc_id * 2654435761) % 1000003) % 100, doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 10 ORDER BY lang, doc_id""",
     "vocab_stats" ->
       """SELECT term, count(*) AS n FROM (
            SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents)
