@@ -168,6 +168,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(streamed.toSeq == batch.toSeq)
   }
 
+  test("stateful streaming dedup keeps only first-seen fingerprints across batches") {
+    import spark.implicits._
+    import graft.streaming.{FingerprintedDoc, StreamDedup}
+    val dir = java.nio.file.Files.createTempDirectory("graft_sdedup").toString
+    // two files processed as separate micro-batches (maxFilesPerTrigger=1);
+    // the duplicate fp in file 2 must be suppressed by cross-batch state
+    Seq(FingerprintedDoc("fpA", "u1", "alpha"), FingerprintedDoc("fpB", "u2", "beta"))
+      .toDS().coalesce(1).write.parquet(s"$dir/in/f1")
+    Seq(FingerprintedDoc("fpA", "u3", "alpha again"), FingerprintedDoc("fpC", "u4", "gamma"))
+      .toDS().coalesce(1).write.parquet(s"$dir/in/f2")
+    val schema = spark.read.parquet(s"$dir/in/f1").schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$dir/in/*")
+      .as[FingerprintedDoc]
+    val q = StreamDedup.firstSeenOnly(streamIn)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sdedup")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val out = spark.sql("SELECT fp, url FROM graft_sdedup").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.keySet == Set("fpA", "fpB", "fpC"))
+    assert(out("fpB") == "u2" && out("fpC") == "u4")
+    assert(out("fpA") == "u1" || out("fpA") == "u3") // first batch order wins when batched separately
+  }
+
   test("streaming and batch window aggregation agree") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
