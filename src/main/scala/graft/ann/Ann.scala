@@ -84,6 +84,33 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
+  /** Deterministic spherical k-means for the IVF coarse quantizer: seed
+    * centroids are the k corpus vectors with the smallest Knuth-hash bucket
+    * (reproducible, no RNG), then `iters` Lloyd rounds — assign by cosine
+    * (broadcast centroids, narrow map) and recompute centroids as the
+    * element-wise mean (posexplode → one shuffle per round keyed by
+    * (cid, dim): fully parallel, no driver-side math). */
+  def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
+    val seed = corpus
+      .orderBy(pmod(col("id") * graft.functions.Sampling.Knuth, lit(graft.functions.Sampling.Mod)), col("id"))
+      .limit(k)
+      .select(row_number().over(Window.orderBy(col("id"))).cast("long").as("id"),
+        col("embedding"))
+    var centroids = seed
+    for (_ <- 1 to iters) {
+      val assigned = assign(corpus, centroids)
+      centroids = assigned
+        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("cid", "pos")
+        .agg(avg(col("v").cast("double")).as("m"))
+        .groupBy(col("cid").as("id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+        .select(col("id"),
+          transform(col("pairs"), p => p.getField("m").cast("float")).as("embedding"))
+    }
+    centroids
+  }
+
   /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold, a<b).
     * Correctness baseline is the broadcast nested loop; at scale the same
     * predicate runs per-IVF-cell (near-dups share a cell for thresholds

@@ -1,0 +1,64 @@
+package graft
+
+import graft.ann.Ann
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .appName("graft-ann-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .master("local[4]")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private lazy val emb = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding"))
+    .cache()
+
+  test("brute-force top-k: self excluded, ranks contiguous, symmetric sanity") {
+    val topk = Ann.bruteForceTopK(emb, emb.where(col("id") < 5), k = 3).collect()
+    assert(topk.length == 15)
+    val byQuery = topk.groupBy(_.getLong(0))
+    byQuery.values.foreach { rows =>
+      assert(rows.map(_.getLong(1)).sorted.toSeq == Seq(1L, 2L, 3L))
+      rows.foreach(r => assert(r.getLong(2) != r.getLong(0))) // no self
+    }
+  }
+
+  test("kmeans IVF: deterministic centroids, high recall vs brute force") {
+    val centroids = Ann.kmeansCentroids(emb, k = 8, iters = 3).cache()
+    assert(centroids.count() == 8)
+    // deterministic across invocations
+    val again = Ann.kmeansCentroids(emb, k = 8, iters = 3)
+    val a = centroids.orderBy("id").collect().map(_.getSeq[Float](1).toVector).toVector
+    val b = again.orderBy("id").collect().map(_.getSeq[Float](1).toVector).toVector
+    assert(a.zip(b).forall { case (x, y) => x.zip(y).forall(p => math.abs(p._1 - p._2) < 1e-4) })
+
+    val queries = emb.where(col("id") < 20)
+    val exact = Ann.bruteForceTopK(emb, queries, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivf = Ann.ivfTopK(emb, queries, centroids, nprobe = 4, k = 5).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & ivf).size.toDouble / exact.size
+    assert(recall >= 0.5, s"recall $recall") // 4/8 cells probed on clustered data
+  }
+
+  test("cosineDupPairs finds planted duplicates only") {
+    val withCopies = emb.unionAll(
+      emb.where(col("id") < 5).select((col("id") + 9000L).as("id"), col("embedding")))
+    val pairs = Ann.cosineDupPairs(withCopies, 0.95).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).sorted
+    assert(pairs.toSeq == (0L until 5L).map(i => (i, i + 9000L)))
+  }
+}
