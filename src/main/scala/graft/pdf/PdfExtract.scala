@@ -51,8 +51,9 @@ object PdfExtract {
       password: String = "",
       contentDelimiter: String = "|",
       buffers: WorkBuffers = new WorkBuffers(),
-      captureFragments: Boolean = true): ExtractResult = {
-    val tk = new PdfTokeniser(bytes, password, contentDelimiter, buffers, captureFragments)
+      captureFragments: Boolean = true,
+      extendedFilters: Boolean = false): ExtractResult = {
+    val tk = new PdfTokeniser(bytes, password, contentDelimiter, buffers, captureFragments, extendedFilters)
     try {
       tk.verifyFileHeader()
       tk.findPages()

@@ -93,7 +93,11 @@ final class PdfTokeniser(
       * a full char copy of every content stream, which a bulk extraction
       * pipeline never reads; skipping them roughly halves the allocation
       * rate of the hot path (output `text` is unaffected). */
-    val captureFragments: Boolean = true) {
+    val captureFragments: Boolean = true,
+    /** Opt-in LZW/ASCIIHex/ASCII85 filters (the reference supports only
+      * None/FlateDecode and throws otherwise — kept as the default so
+      * byte-identity vs the reference is preserved unless asked). */
+    val extendedFilters: Boolean = false) {
 
   private val CR: Byte = '\r'
   private val LF: Byte = '\n'
@@ -950,7 +954,7 @@ final class PdfTokeniser(
 
   /** Decrypt (RC4, in place, once) + inflate or alias the raw slice
     * (reference: Tokeniser.cs:1796-1846). */
-  private[pdf] def fillStreamBytes(dict: DictTok, filter: StreamFilter.Value): Unit = {
+  private[pdf] def fillStreamBytes(dict: DictTok, filter: StreamFilter.Value, chainFlate: Boolean = false): Unit = {
     idx = dict.streamStartIndex
     argumentsStartIndex = Int.MinValue
     if (globalEncryptionKey != null && !dict.isDecrypted) {
@@ -964,6 +968,22 @@ final class PdfTokeniser(
         streamBuf = bytes
         streamOff = dict.streamStartIndex
         streamLen = dict.streamLength
+        streamIdx = 0
+      case StreamFilter.Lzw | StreamFilter.AsciiHex | StreamFilter.Ascii85 =>
+        val decoded = filter match {
+          case StreamFilter.Lzw =>
+            ExtraFilters.lzwDecode(bytes, dict.streamStartIndex, dict.streamLength)
+          case StreamFilter.AsciiHex =>
+            ExtraFilters.asciiHexDecode(bytes, dict.streamStartIndex, dict.streamLength)
+          case _ =>
+            ExtraFilters.ascii85Decode(bytes, dict.streamStartIndex, dict.streamLength)
+        }
+        val payload =
+          if (chainFlate) inflateArray(decoded, 0, decoded.length)
+          else decoded
+        streamBuf = payload
+        streamOff = 0
+        streamLen = payload.length
         streamIdx = 0
       case StreamFilter.FlateDecode =>
         // skip the 2-byte zlib header and inflate the raw deflate payload
@@ -989,6 +1009,28 @@ final class PdfTokeniser(
         streamLen = total
         streamIdx = 0
     }
+  }
+
+  /** Inflate a zlib-wrapped array (2-byte header skipped) into a fresh
+    * buffer — the second stage of an [ASCII* , FlateDecode] filter chain. */
+  private def inflateArray(data: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val inflater = buffers.inflater
+    inflater.reset()
+    inflater.setInput(data, off + 2, len - 2)
+    var buf = new Array[Byte](math.max(1024, len * 4))
+    var total = 0
+    var finished = false
+    while (!finished) {
+      val n = inflater.inflate(buf, total, buf.length - total)
+      total += n
+      if (inflater.finished() || inflater.needsDictionary() || (n == 0 && inflater.needsInput())) finished = true
+      else if (total == buf.length) {
+        if (buf.length >= buffers.maxInflateBytes)
+          throw streamException(s"Reading stream, internal $total bytes buffer overflow.")
+        buf = java.util.Arrays.copyOf(buf, math.min(buffers.maxInflateBytes, buf.length * 2))
+      }
+    }
+    java.util.Arrays.copyOf(buf, total)
   }
 
   private[pdf] def decryptString(objectId: ObjectId, encrypted: String): String = {

@@ -177,20 +177,35 @@ final class DictTok(private val tk: PdfTokeniser, val objectId: Option[ObjectId]
     * (reference: Token.cs:627-669). */
   def loadStream(): PdfTokeniser = {
     if (!isStream) throw new IllegalStateException(s"'$render' is not a stream.")
+    // extendedFilters=false replicates the reference exactly (only None /
+    // FlateDecode; anything else throws, surfacing as an error row). The
+    // extended mode adds LZW / ASCIIHex / ASCII85 and the common
+    // [/ASCII{85,Hex}Decode /FlateDecode] two-stage chain.
+    var chainFlate = false
+    def named(f: PdfTok): StreamFilter.Value = f.asInstanceOf[NameTok].value match {
+      case ""            => StreamFilter.None
+      case "FlateDecode" => StreamFilter.FlateDecode
+      case "LZWDecode" if tk.extendedFilters      => StreamFilter.Lzw
+      case "ASCIIHexDecode" if tk.extendedFilters => StreamFilter.AsciiHex
+      case "ASCII85Decode" if tk.extendedFilters  => StreamFilter.Ascii85
+      case other => throw new UnsupportedOperationException(s"Stream filter $other is not (yet) supported.")
+    }
     val filter = entries.get("Filter") match {
       case Some(ft) =>
-        val f = ft match {
-          case a: ArrTok => a(0)
-          case t         => t
-        }
-        f.asInstanceOf[NameTok].value match {
-          case ""            => StreamFilter.None
-          case "FlateDecode" => StreamFilter.FlateDecode
-          case other => throw new UnsupportedOperationException(s"Stream filter $other is not (yet) supported.")
+        ft match {
+          case a: ArrTok =>
+            val first = named(a(0))
+            if (tk.extendedFilters && a.length == 2 &&
+                named(a(1)) == StreamFilter.FlateDecode &&
+                (first == StreamFilter.AsciiHex || first == StreamFilter.Ascii85)) {
+              chainFlate = true
+              first
+            } else first
+          case t => named(t)
         }
       case None => StreamFilter.None
     }
-    tk.fillStreamBytes(this, filter)
+    tk.fillStreamBytes(this, filter, chainFlate)
     getDictionary("DecodeParms").foreach { parms =>
       val columns = parms.getNumber("Columns")
         .getOrElse(throw tk.fileException("Stream DecodeParms are missing Columns parameter."))
@@ -245,7 +260,7 @@ final class RefTok(val objectId: Option[ObjectId]) extends PdfTok {
 }
 
 object StreamFilter extends Enumeration {
-  val None, FlateDecode = Value
+  val None, FlateDecode, Lzw, AsciiHex, Ascii85 = Value
 }
 
 /** Parse error carrying ±100 bytes of file context (reference: PdfParser/PdfException.cs:29-74). */
