@@ -1275,7 +1275,73 @@ final class PdfTokeniser(
         if (i == searchCode.length) found = true
       }
     }
-    new String(streamBuf, streamOff + startOpCode, streamIdx - startOpCode, java.nio.charset.StandardCharsets.ISO_8859_1)
+    internedOpCode(startOpCode, streamIdx - startOpCode)
+  }
+
+  /** Operator-name lookup without a per-op String allocation: the content
+    * interpreter runs this once per operator on every page of 10^12 docs,
+    * and the alphabet of 1-2 byte operators is tiny. Unknown/longer names
+    * fall back to a fresh String. */
+  private def internedOpCode(start: Int, len: Int): String = {
+    if (len == 1) {
+      (sByte(start): @scala.annotation.switch) match {
+        case 'q'  => "q"
+        case 'Q'  => "Q"
+        case 'W'  => "W"
+        case 'n'  => "n"
+        case 'f'  => "f"
+        case 'S'  => "S"
+        case 's'  => "s"
+        case 'B'  => "B"
+        case 'b'  => "b"
+        case 'g'  => "g"
+        case 'G'  => "G"
+        case 'h'  => "h"
+        case 'l'  => "l"
+        case 'm'  => "m"
+        case 'c'  => "c"
+        case 'v'  => "v"
+        case 'y'  => "y"
+        case '\'' => "'"
+        case '"'  => "\""
+        case _ => new String(streamBuf, streamOff + start, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+    } else if (len == 2) {
+      val a = sByte(start); val b = sByte(start + 1)
+      (a: @scala.annotation.switch) match {
+        case 'T' => (b: @scala.annotation.switch) match {
+          case 'j' => "Tj"
+          case 'J' => "TJ"
+          case 'f' => "Tf"
+          case 'd' => "Td"
+          case 'D' => "TD"
+          case '*' => "T*"
+          case 'm' => "Tm"
+          case 'L' => "TL"
+          case 'c' => "Tc"
+          case 'w' => "Tw"
+          case 'z' => "Tz"
+          case 's' => "Ts"
+          case 'r' => "Tr"
+          case _   => new String(streamBuf, streamOff + start, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+        }
+        case 'B' => if (b == 'T') "BT" else if (b == 'I') "BI" else if (b == 'X') "BX"
+          else new String(streamBuf, streamOff + start, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+        case 'E' => if (b == 'T') "ET" else if (b == 'I') "EI" else if (b == 'X') "EX"
+          else new String(streamBuf, streamOff + start, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+        case 'r' => if (b == 'e') "re" else if (b == 'g') "rg" else if (b == 'i') "ri"
+          else new String(streamBuf, streamOff + start, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+        case 'c' => if (b == 'm') "cm" else if (b == 's') "cs"
+          else new String(streamBuf, streamOff + start, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+        case 'g' => if (b == 's') "gs"
+          else new String(streamBuf, streamOff + start, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+        case 'R' => if (b == 'G') "RG"
+          else new String(streamBuf, streamOff + start, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+        case _ => new String(streamBuf, streamOff + start, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+      }
+    } else {
+      new String(streamBuf, streamOff + start, len, java.nio.charset.StandardCharsets.ISO_8859_1)
+    }
   }
 
   private var streamMarkIndex: Int = -1
