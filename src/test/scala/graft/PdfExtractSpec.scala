@@ -98,11 +98,16 @@ class PdfExtractSpec extends AnyFunSuite {
     assert(r.pdfVersion.contains("1.4"))
   }
 
-  test("reference fixture: file-sample_150kB.pdf (real-world FlateDecode)") {
+  test("reference fixture: file-sample_150kB.pdf (real-world FlateDecode, frozen golden)") {
     val r = PdfExtract.extract(readResource("file-sample-150kB.pdf"))
-    assert(r.pages > 0)
-    assert(r.text.nonEmpty)
-    assert(r.text.contains("Lorem ipsum")) // the visible body text
+    assert(r.pages == 4)
+    assert(r.decodeFailures == 0)
+    assert(r.text.length == 6348)
+    assert(r.text.startsWith("\nLorem ipsum |\nLorem ipsum dolor sit amet, consectetur adipiscing |"))
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(r.text.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    // golden captured at round 1 (M2 "captured once and frozen")
+    assert(md5 == "a79c2d2ed3964fb00fd81d706a950d6f")
   }
 
   test("buffer reuse across documents leaves no state behind") {
