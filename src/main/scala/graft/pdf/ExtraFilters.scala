@@ -54,10 +54,14 @@ object ExtraFilters {
             tableSize += 1
           }
           prev = entry
-          // the decoder's table lags the encoder's by one entry (the entry
-          // for the current code is only completed on the NEXT code), so the
-          // width switch fires one entry earlier than the encoder's count
-          if (tableSize + earlyChange + 1 >= (1 << width) && width < 12) width += 1
+          // Standard early-change schedule (ISO 32000-1 §7.4.4 / TIFF 6):
+          // with earlyChange=1 the 9→10 switch happens as soon as table
+          // entry 511 exists (decoder tableSize = 511), NOT 510 — the
+          // decoder's table lags the encoder's by one entry and the
+          // conditions here and in [[lzwEncode]] account for that lag.
+          // Verified against a schedule-derived independent encoder in
+          // ExtraFiltersSpec ("LZW width schedule matches the spec").
+          if (tableSize + earlyChange >= (1 << width) && width < 12) width += 1
         }
       }
     }
@@ -91,7 +95,9 @@ object ExtraFilters {
         emit(codeOf(cur))
         if (nextCode < 4096) {
           dict.put(cand, nextCode); nextCode += 1
-          if (nextCode + 1 >= (1 << width) && width < 12) width += 1
+          // mirror of the decoder's early-change point: the code emitted
+          // after entry (2^w - earlyChange) is added uses w+1 bits
+          if (nextCode - 1 >= (1 << width) - 1 && width < 12) width += 1
         }
         cur = new java.util.ArrayList[java.lang.Byte](); cur.add(b)
       }

@@ -195,12 +195,24 @@ final class DictTok(private val tk: PdfTokeniser, val objectId: Option[ObjectId]
         ft match {
           case a: ArrTok =>
             val first = named(a(0))
-            if (tk.extendedFilters && a.length == 2 &&
-                named(a(1)) == StreamFilter.FlateDecode &&
-                (first == StreamFilter.AsciiHex || first == StreamFilter.Ascii85)) {
+            if (a.length <= 1) first
+            else if (!tk.extendedFilters) {
+              // reference behavior: a /Filter array uses only element 0
+              // (Token.cs:632-636) — kept verbatim in default mode
+              first
+            } else if (a.length == 2 &&
+                (first == StreamFilter.AsciiHex || first == StreamFilter.Ascii85) &&
+                named(a(1)) == StreamFilter.FlateDecode) {
               chainFlate = true
               first
-            } else first
+            } else {
+              // extended mode must NOT silently decode only the first stage
+              // of an unhandled chain (garbage downstream); surface the same
+              // clean error row the default mode gives for exotic filters
+              val names = a.iterator.collect { case n: NameTok => "/" + n.value }.mkString(" ")
+              throw new UnsupportedOperationException(
+                s"Stream filter chain [$names] is not (yet) supported.")
+            }
           case t => named(t)
         }
       case None => StreamFilter.None

@@ -26,6 +26,75 @@ class ExtraFiltersSpec extends AnyFunSuite {
     }
   }
 
+  /** Independent LZW encoder derived directly from the published width
+    * schedule (ISO 32000-1 §7.4.4 / TIFF 6 early change): width is computed
+    * per-emit from the absolute table size (9→10 once entry 511 exists,
+    * →11 at 1023, →12 at 2047), with a (prefixCode, byte) trie instead of
+    * the production encoder's byte-list dictionary. It shares NO width
+    * bookkeeping with ExtraFilters.lzwEncode, so an off-by-one in either
+    * encoder or decoder desyncs this test instead of being masked by
+    * self-consistency. */
+  private def specLzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val earlyChange = 1
+    // width used for the NEXT emitted code, as a pure function of nextCode
+    def width(nextCode: Int): Int = {
+      val n = nextCode + earlyChange
+      if (n > 2048) 12 else if (n > 1024) 11 else if (n > 512) 10 else 9
+    }
+    var acc = 0L; var accBits = 0
+    var nextCode = 258
+    def emit(code: Int): Unit = {
+      val w = width(nextCode)
+      acc = (acc << w) | code; accBits += w
+      while (accBits >= 8) { out.write(((acc >>> (accBits - 8)) & 0xff).toInt); accBits -= 8 }
+    }
+    val trie = new java.util.HashMap[Long, Integer]() // (prefixCode << 8 | byte) -> code
+    emit(256)
+    var prefix = -1
+    var i = 0
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      if (prefix < 0) prefix = b
+      else {
+        val key = (prefix.toLong << 8) | b
+        val hit = trie.get(key)
+        if (hit != null) prefix = hit.intValue()
+        else {
+          emit(prefix)
+          if (nextCode < 4096) { trie.put(key, nextCode); nextCode += 1 }
+          prefix = b
+        }
+      }
+      i += 1
+    }
+    if (prefix >= 0) emit(prefix)
+    emit(257)
+    if (accBits > 0) out.write(((acc << (8 - accBits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  test("LZW width schedule matches the spec (third-party-schedule fixture, 6KB low-redundancy)") {
+    // deterministic low-redundancy bytes: >2000 emitted codes, crossing the
+    // 512, 1024 and 2048 width thresholds and the 4096 table freeze
+    val rnd = new java.util.Random(0xC0FFEE)
+    val data = new Array[Byte](6144)
+    rnd.nextBytes(data)
+    val spec = specLzwEncode(data)
+    val prod = ExtraFilters.lzwEncode(data)
+    // 1. the production encoder follows the exact spec schedule
+    assert(prod.toSeq == spec.toSeq, "encoder width schedule deviates from the spec schedule")
+    // 2. the decoder decodes a spec-schedule stream it did not produce
+    assert(ExtraFilters.lzwDecode(spec, 0, spec.length).toSeq == data.toSeq)
+    // also at a size that stays inside 9-bit codes but crosses emit #253-256
+    // (the historical off-by-one point)
+    val small = new Array[Byte](700)
+    rnd.nextBytes(small)
+    val specSmall = specLzwEncode(small)
+    assert(ExtraFilters.lzwEncode(small).toSeq == specSmall.toSeq)
+    assert(ExtraFilters.lzwDecode(specSmall, 0, specSmall.length).toSeq == small.toSeq)
+  }
+
   test("ASCIIHex round-trips, tolerates whitespace and odd tail") {
     forAll(bytesGen) { data =>
       val enc = ExtraFilters.asciiHexEncode(data)
@@ -68,5 +137,27 @@ class ExtraFiltersSpec extends AnyFunSuite {
       assert(ref.decodeFailures >= 1, dict)
       assert(ref.error.exists(_.contains("not (yet) supported")), s"$dict: ${ref.error}")
     }
+  }
+
+  test("extended mode surfaces unhandled filter chains as error rows, not garbage") {
+    val ops = "BT (chained) Tj ET".getBytes("ISO-8859-1")
+    // chains the extended mode does NOT implement: must error, never decode
+    // only the first stage and feed still-encoded bytes to the interpreter
+    val bad = Seq(
+      "/Filter[/LZWDecode/FlateDecode]" -> GoldenGen.zlib(ExtraFilters.lzwEncode(ops)),
+      "/Filter[/ASCIIHexDecode/LZWDecode]" -> ExtraFilters.asciiHexEncode(ExtraFilters.lzwEncode(ops)),
+      "/Filter[/ASCII85Decode/FlateDecode/FlateDecode]" ->
+        ExtraFilters.ascii85Encode(GoldenGen.zlib(GoldenGen.zlib(ops))))
+    bad.foreach { case (dict, payload) =>
+      val ext = PdfExtract.extract(pdfWithFilter(dict, payload), extendedFilters = true)
+      assert(ext.decodeFailures >= 1, dict)
+      assert(ext.error.exists(_.contains("not (yet) supported")), s"$dict: ${ext.error}")
+      assert(ext.text == "", s"$dict decoded to: ${ext.text}")
+    }
+    // the one supported chain still works
+    val ok = PdfExtract.extract(
+      pdfWithFilter("/Filter[/ASCIIHexDecode/FlateDecode]",
+        ExtraFilters.asciiHexEncode(GoldenGen.zlib(ops))), extendedFilters = true)
+    assert(ok.text == "chained|", ok.error)
   }
 }

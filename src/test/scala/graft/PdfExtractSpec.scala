@@ -130,7 +130,7 @@ class PdfExtractSpec extends AnyFunSuite {
     val pdf = b.finish(s"/Root $catalog 0 R")
     val r = PdfExtract.extract(pdf, buffers = new WorkBuffers(maxInflateBytes = 64 * 1024))
     assert(r.decodeFailures >= 1)
-    assert(r.error.exists(_.contains("PdfStreamException") || true))
+    assert(r.error.exists(_.contains("buffer overflow")), r.error)
     // and with the default cap it parses fine
     val ok = PdfExtract.extract(pdf)
     assert(ok.text == "ok|")
