@@ -48,17 +48,25 @@ object Ann {
       .select(col("query_id"), col("rank"), col("neighbor_id"))
   }
 
-  /** Assign every corpus vector to its nearest centroid (argmax cosine,
-    * deterministic tie-break on centroid id). Centroids are broadcast. */
-  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame = {
+  /** Assign every corpus vector to its `n` nearest centroids (cosine,
+    * deterministic tie-break on centroid id). Centroids are broadcast; the
+    * per-vector top-n is a `row_number` window, which Spark plans with a
+    * partial WindowGroupLimit before the exchange — the shuffle carries at
+    * most n rows per vector per map partition. */
+  def assignTopN(corpus: DataFrame, centroids: DataFrame, n: Int): DataFrame = {
     val scored = corpus.as("v").join(broadcast(centroids.as("ct")))
       .select(col("v.id").as("id"), col("v.embedding").as("embedding"),
         col("ct.id").as("cid"),
         cosine(col("v.embedding"), col("ct.embedding")).as("cos"))
     val w = Window.partitionBy("id").orderBy(col("cos").desc, col("cid"))
-    scored.withColumn("rn", row_number().over(w)).where(col("rn") === 1)
+    scored.withColumn("rn", row_number().over(w)).where(col("rn") <= n)
       .select(col("id"), col("embedding"), col("cid"))
   }
+
+  /** Assign every corpus vector to its nearest centroid (argmax cosine,
+    * deterministic tie-break on centroid id). Centroids are broadcast. */
+  def assign(corpus: DataFrame, centroids: DataFrame): DataFrame =
+    assignTopN(corpus, centroids, 1)
 
   /** IVF search: probe the `nprobe` nearest cells per query, exact top-k
     * within the probed cells. Returns (query_id, rank, neighbor_id). */
@@ -111,12 +119,27 @@ object Ann {
     centroids
   }
 
-  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold, a<b).
-    * Correctness baseline is the broadcast nested loop; at scale the same
-    * predicate runs per-IVF-cell (near-dups share a cell for thresholds
-    * near 1), cutting the candidate space by ncells. */
-  def cosineDupPairs(vectors: DataFrame, threshold: Double): DataFrame =
-    vectors.as("a").join(broadcast(vectors.as("b")), col("a.id") < col("b.id"))
+  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold, a<b),
+    * computed IVF-cell-locally: vectors are assigned to their `nprobe`
+    * nearest cells of a deterministic spherical-k-means quantizer, and the
+    * pair predicate runs as a self-EQUI-join on the cell id. No all-pairs
+    * product, no full-table broadcast: the join shuffles on `cid`, so the
+    * work is Σ_cells |cell|·nprobe choose 2 instead of N², and the memory
+    * profile is one cell per task, not the whole table on the driver.
+    *
+    * Recall: a pair is emitted iff the two vectors share at least one of
+    * their nprobe nearest cells AND their exact cosine clears the
+    * threshold (the predicate is exact — cells only gate candidates).
+    * Exact duplicates always share all cells; near-dups at threshold θ
+    * share a cell with probability → 1 as θ → 1; raise `nprobe` to trade
+    * compute for boundary recall. */
+  def cosineDupPairs(vectors: DataFrame, threshold: Double,
+      numCells: Int = 16, nprobe: Int = 2, iters: Int = 2): DataFrame = {
+    val probed = assignTopN(vectors, kmeansCentroids(vectors, numCells, iters), nprobe)
+    probed.as("a").join(probed.as("b"),
+        col("a.cid") === col("b.cid") && col("a.id") < col("b.id"))
       .where(cosine(col("a.embedding"), col("b.embedding")) >= threshold)
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
 }

@@ -18,12 +18,36 @@ import scala.util.hashing.MurmurHash3
   *  - exact verification runs only on LSH candidates — at web scale that is
   *    the difference between 10^24 and ~10^8 pair evaluations;
   *  - the band-bucket shuffle key space is huge (band × 64-bit hash), so no
-  *    reducer hot-spots; a pathological shingle ("the the the") is bounded by
-  *    `MaxBucket` to cap join fan-out (documented silent-cap: buckets larger
-  *    than this are dropped from candidates, matching standard practice for
-  *    stop-shingles).
+  *    reducer hot-spots; a pathological shingle ("all rights reserved …") is
+  *    bounded by [[MaxBucket]]: shingles/buckets whose document frequency
+  *    exceeds the cap are dropped BEFORE any self-join (stop-shingle cap —
+  *    see [[dropHotKeys]]), so per-key join fan-out is ≤ MaxBucket² instead
+  *    of quadratic in corpus size. Jaccard is then computed over the
+  *    non-stop shingles on both sides of the ratio (numerator AND per-doc
+  *    counts), i.e. stopword-removal semantics. The cap (default 1000) is
+  *    far above any sandbox bucket (max df 25 at sf0.1), so oracle-checked
+  *    results are exact at test scale; at web scale it is the difference
+  *    between a bounded shuffle and a 10^16-row join on "click here".
   */
 object Dedup {
+
+  /** Stop-shingle / hot-bucket document-frequency cap. A shingle appearing in
+    * B docs contributes B² rows to a shingle self-join; at Common-Crawl
+    * scale boilerplate shingles hit B ≈ 10^8. Keys above the cap carry ~zero
+    * Jaccard signal (they are in everything) and are dropped up front. */
+  final val MaxBucket = 1000
+
+  /** Drop rows whose `keyCols` group has more than `maxBucket` rows: one
+    * map-side-combined count per key, then a left-anti join against the
+    * (tiny — only pathological keys survive the filter) hot-key set, which
+    * AQE turns into a broadcast anti-join. */
+  def dropHotKeys(rows: DataFrame, maxBucket: Int, keyCols: String*): DataFrame = {
+    val hot = rows.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("df"))
+      .where(col("df") > maxBucket)
+      .select(keyCols.map(col): _*)
+    rows.join(hot, keyCols, "left_anti")
+  }
 
   // ---------------------------------------------------------------- exact
 
@@ -53,11 +77,12 @@ object Dedup {
 
   /** All pairs with word-k-gram Jaccard ≥ `threshold`, via the inverted
     * shingle index: |A∩B| from a self-equi-join on shingle, |A∪B| from the
-    * per-doc distinct counts. Exact, no candidates missed; the join key is
-    * the shingle so co-occurrence shuffles once. */
+    * per-doc distinct counts. The join key is the shingle so co-occurrence
+    * shuffles once; shingles hotter than `maxBucket` docs are dropped first
+    * ([[dropHotKeys]]) — exact below the cap, stop-shingle semantics above. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val sh = shingles(docs, idCol, textCol, k).persist()
+      k: Int = 3, threshold: Double = 0.8, maxBucket: Int = MaxBucket): DataFrame = {
+    val sh = dropHotKeys(shingles(docs, idCol, textCol, k), maxBucket, "sh").persist()
     val cnt = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -132,13 +157,19 @@ object Dedup {
       .toDF("id", "band", "bucket")
   }
 
-  /** Candidate pairs from LSH buckets (distinct, a<b). */
-  def minhashCandidates(bands: DataFrame): DataFrame =
-    bands.as("a").join(bands.as("b"),
+  /** Candidate pairs from LSH buckets (distinct, a<b). Buckets with more
+    * than `maxBucket` members are dropped first: a degenerate bucket (10^6
+    * exact copies of one boilerplate page) would otherwise enumerate 10^12
+    * pairs — exact-dedup such clusters with [[exactGroups]] BEFORE the
+    * near-dup pass; that is the standard web-pipeline ordering. */
+  def minhashCandidates(bands: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
+    val b = dropHotKeys(bands, maxBucket, "band", "bucket")
+    b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
+  }
 
   /** Full MinHash-LSH near-dup detection with exact-Jaccard verification:
     * candidates from band buckets, then the exact inverted-index Jaccard is
@@ -146,21 +177,26 @@ object Dedup {
     * (equals the exact ngramJaccardPairs result up to the LSH miss
     * probability (1-J^r)^b ≈ 5e-8 at J=0.8 with r=4,b=32). */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.8): DataFrame = {
-    val cand = minhashCandidates(minhashBands(docs, idCol, textCol, k)).persist()
-    val sh = shingles(docs, idCol, textCol, k).persist()
+      k: Int = 3, threshold: Double = 0.8, maxBucket: Int = MaxBucket): DataFrame = {
+    val cand = minhashCandidates(minhashBands(docs, idCol, textCol, k), maxBucket).persist()
+    // verify stage uses the SAME hot-shingle cap as ngramJaccardPairs so the
+    // two paths agree on the (stop-shingle-free) Jaccard value
+    val sh = dropHotKeys(shingles(docs, idCol, textCol, k), maxBucket, "sh").persist()
     val cnt = sh.groupBy("id").agg(count(lit(1)).as("n"))
     // Exact verification touches ONLY docs that appear in some candidate
     // pair: shrink the inverted index to those ids BEFORE the pair
     // enumeration (at web scale candidates are a vanishing fraction of the
     // corpus — enumerating all co-occurring pairs first would be quadratic
     // in bucket size corpus-wide).
+    // no forced broadcast() on the candidate side: usually tiny, but an
+    // adversarial corpus can make it arbitrarily large — AQE picks the
+    // broadcast plan at runtime when the size is actually known
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    val shC = sh.join(broadcast(candIds), Seq("id"), "left_semi")
+    val shC = sh.join(candIds, Seq("id"), "left_semi")
     val inter = shC.as("a").join(shC.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .join(broadcast(cand), Seq("id_a", "id_b"), "left_semi")
+      .join(cand, Seq("id_a", "id_b"), "left_semi")
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("i"))
     inter
       .join(cnt.as("ca"), col("id_a") === col("ca.id"))

@@ -1,0 +1,104 @@
+package graft
+
+import graft.ann.Ann
+import graft.dedup.Dedup
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale-safety tests for the dedup/ANN candidate generation: the hot-key
+  * caps must actually bound join fan-out, and the embedding near-dup path
+  * must be a cell-local equi-join, not an all-pairs broadcast product. */
+class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .appName("graft-dedup-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .master("local[4]")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  private def boilerplate = "all rights reserved to the original publisher"
+
+  /** 1200 docs sharing ONLY a boilerplate phrase (the planted stop-shingle,
+    * df > MaxBucket), plus one genuine near-dup pair (ids 9001/9002) with
+    * rare shingles. */
+  private def plantedCorpus = {
+    import spark.implicits._
+    val hot = (1 to 1200).map { i =>
+      (i.toLong, s"$boilerplate unique${i}a unique${i}b unique${i}c unique${i}d unique${i}e")
+    }
+    // 15 words differing only in the last -> 13 shingles, 12 shared,
+    // J = 12/14 ≈ 0.857 ≥ 0.8
+    val near = Seq(
+      (9001L, "zebra quagga okapi tapir bongo eland kudu nyala oryx addax saiga ibex markhor urial addra"),
+      (9002L, "zebra quagga okapi tapir bongo eland kudu nyala oryx addax saiga ibex markhor urial gerenuk"))
+    (hot ++ near).toDF("doc_id", "text")
+  }
+
+  test("dropHotKeys removes the planted 1000-doc stop-shingle before the self-join") {
+    val sh = Dedup.shingles(plantedCorpus, "doc_id", "text", k = 3)
+    val hotShingle = boilerplate.split(" ").take(3).mkString(" ")
+    assert(sh.where(col("sh") === hotShingle).count() === 1200)
+    val capped = Dedup.dropHotKeys(sh, Dedup.MaxBucket, "sh")
+    assert(capped.where(col("sh") === hotShingle).count() === 0)
+    // every shingle of the boilerplate run is gone; rare shingles survive
+    val survivorMax = capped.groupBy("sh").count().agg(max("count")).head.getLong(0)
+    assert(survivorMax <= Dedup.MaxBucket)
+    assert(capped.where(col("sh") === "zebra quagga okapi").count() === 2)
+  }
+
+  test("ngramJaccardPairs under the cap: bounded candidates, near-dup pair still found") {
+    // with the cap the intersection join sees only rare shingles -> the only
+    // pair clearing the threshold is the planted near-dup (J = 12/14)
+    val pairs = Dedup.ngramJaccardPairs(plantedCorpus, "doc_id", "text",
+      k = 3, threshold = 0.8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((9001L, 9002L)))
+  }
+
+  test("minhashCandidates drops degenerate buckets (exact-copy cluster beyond the cap)") {
+    import spark.implicits._
+    // 50 exact copies: every band bucket has 50 members
+    val copies = (1 to 50).map(i => (i.toLong, "identical text repeated " * 10)).toDF("doc_id", "text")
+    val bands = Dedup.minhashBands(copies, "doc_id", "text", k = 3)
+    assert(Dedup.minhashCandidates(bands, maxBucket = 40).count() === 0)
+    assert(Dedup.minhashCandidates(bands, maxBucket = 100).count() === 50L * 49 / 2)
+  }
+
+  test("minhashDedupPairs respects the cap end-to-end and stays exact below it") {
+    val pairs = Dedup.minhashDedupPairs(plantedCorpus.where(col("doc_id") >= 9000),
+      "doc_id", "text", k = 3, threshold = 0.8).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((9001L, 9002L)))
+  }
+
+  test("cosineDupPairs is a cell-local equi-join: finds planted dups, no BroadcastNestedLoopJoin") {
+    import spark.implicits._
+    val rnd = new java.util.Random(42)
+    val base = (1L to 200L).map { i =>
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat))
+    }
+    val planted = base.filter(_._1 % 10 == 0).map { case (i, v) => (i + 100000L, v) }
+    val vectors = (base ++ planted).toDF("id", "embedding")
+    val dups = Ann.cosineDupPairs(vectors, threshold = 0.95)
+    val plan = dups.queryExecution.executedPlan.toString
+    // the quantizer scoring (vectors × ≤16 broadcast centroids) is a
+    // legitimate small cross join; the regression we guard against is an
+    // all-pairs BNLJ over the corpus, recognizable by its `a.id < b.id`
+    // condition — the pair join must instead be a hash/merge EQUI-join on cid
+    val lines = plan.split("\n")
+    assert(!lines.exists(l => l.contains("BroadcastNestedLoopJoin") && l.contains("<")),
+      "all-pairs product is back")
+    assert(lines.exists(l =>
+      l.matches(".*(SortMergeJoin|ShuffledHashJoin|BroadcastHashJoin).*cid.*")),
+      "cell-local equi-join missing from plan")
+    val got = dups.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = base.map(_._1).filter(_ % 10 == 0).map(i => (i, i + 100000L)).toSet
+    assert(got === want)
+  }
+}
