@@ -114,11 +114,25 @@ object SparkEntry {
           Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.8))
         .orderBy("doc_id")),
     "dedup_simhash" -> ((s, dir) => {
+      // SimHash Hamming-band near-dup pairs, restricted to pairs whose
+      // normalized text is identical (fingerprint equality) so DuckDB can
+      // oracle it exactly: equal normalized text ⇒ identical word sequence
+      // ⇒ identical simhash ⇒ Hamming 0, and the pigeonhole banding is
+      // guaranteed to surface every Hamming≤3 pair — so the restricted
+      // result must equal the set of exact-duplicate pairs. The unrestricted
+      // Hamming-1..3 behavior is covered by DedupSpec's brute-force
+      // comparison (not ANSI-SQL-expressible).
       val d = docs(s, dir).select("doc_id", "text")
       val corpus = d.unionAll(
         d.where(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
+      val fp = corpus.select(col("doc_id"),
+        TextStats.fingerprint(col("text")).as("fp"))
       Dedup.simhashPairs(Dedup.simhashes(corpus, "doc_id", "text"), maxDist = 3)
+        .join(fp.as("fa"), col("id_a") === col("fa.doc_id"))
+        .join(fp.as("fb"), col("id_b") === col("fb.doc_id"))
+        .where(col("fa.fp") === col("fb.fp"))
+        .select(col("id_a"), col("id_b"))
         .orderBy("id_a", "id_b")
     }),
     "dedup_embedding_cosine" -> ((s, dir) => {
@@ -426,10 +440,38 @@ object SparkEntry {
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n_events,
          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
-         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type"""
-    // dedup_simhash, text_langid, ann_ivf-recall: not ANSI-SQL-expressible →
-    // rows-only checks (dedup_simhash pairs include planted exact copies so
-    // the result is non-empty and deterministic).
+         FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
+    // SimHash restricted to normalized-exact-duplicate pairs (see the query
+    // comment): banding surfaces every Hamming≤3 pair, equal normalized text
+    // gives Hamming 0, so the restricted output = equal-fingerprint pairs.
+    "dedup_simhash" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0),
+         fp AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+                FROM corpus)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+         ORDER BY id_a, id_b""",
+    // rolling_hash64 = fold over UTF-8 bytes of h*1099511628211 + byte,
+    // 64-bit wrapping, seeded with the FNV offset basis — replayed in DuckDB
+    // as a HUGEINT list_reduce mod 2^64 over the hex-decoded byte list.
+    "text_rollinghash" ->
+      """SELECT doc_id,
+           CAST(CASE WHEN h >= 9223372036854775808::HUGEINT
+                     THEN h - 18446744073709551616::HUGEINT ELSE h END AS BIGINT) AS rhash
+         FROM (
+           SELECT doc_id,
+             list_reduce(
+               list_prepend(14695981039346656037::HUGEINT,
+                 list_transform(generate_series(1, length(hx) // 2), i ->
+                   CAST((strpos('0123456789ABCDEF', substr(hx, 2*i-1, 1)) - 1) * 16
+                      + strpos('0123456789ABCDEF', substr(hx, 2*i, 1)) - 1 AS HUGEINT))),
+               (a, b) -> (a * 1099511628211::HUGEINT + b) % 18446744073709551616::HUGEINT
+             ) AS h
+           FROM (SELECT doc_id, hex(encode(text)) AS hx FROM documents))
+         ORDER BY doc_id"""
   )
 
   /** Exact word-3-gram Jaccard ≥ 0.8 pairs, computed natively by DuckDB —

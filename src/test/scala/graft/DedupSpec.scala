@@ -77,6 +77,31 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((9001L, 9002L)))
   }
 
+  test("simhashPairs equals brute-force Hamming<=3 (banding neither misses nor invents pairs)") {
+    import spark.implicits._
+    val rnd = new java.util.Random(7)
+    val base = (1 to 60).map(i =>
+      (i.toLong, Seq.fill(40)(s"t${rnd.nextInt(400)}").mkString(" ")))
+    // exact copies (Hamming 0) and one-word perturbations (small Hamming)
+    val copies = base.take(10).map { case (i, t) => (i + 1000L, t) }
+    val pert = base.map { case (i, t) =>
+      val ws = t.split(" "); ws(rnd.nextInt(ws.length)) = "changed"
+      (i + 2000L, ws.mkString(" "))
+    }
+    val all = base ++ copies ++ pert
+    val corpus = all.toDF("doc_id", "text")
+    val sig = all.map { case (i, t) => i -> Dedup.simhash64(t) }.toMap
+    val ids = sig.keys.toSeq.sorted
+    val want = (for {
+      a <- ids; b <- ids if a < b
+      if java.lang.Long.bitCount(sig(a) ^ sig(b)) <= 3
+    } yield (a, b)).toSet
+    val got = Dedup.simhashPairs(Dedup.simhashes(corpus, "doc_id", "text"), maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(want.size >= 10, s"corpus too easy: ${want.size}") // at least the copies
+    assert(got === want)
+  }
+
   test("cosineDupPairs is a cell-local equi-join: finds planted dups, no BroadcastNestedLoopJoin") {
     import spark.implicits._
     val rnd = new java.util.Random(42)
