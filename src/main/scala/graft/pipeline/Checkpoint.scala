@@ -1,56 +1,129 @@
 package graft.pipeline
 
-import org.apache.spark.sql.{DataFrame, Dataset, SaveMode, SparkSession}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
 
-/** Resumable runs: a per-partition done-manifest (url + partition + counts)
-  * written alongside the output; resuming a job is a broadcastable left-anti
-  * join of the input against the manifest, so a re-submitted 10^12-row job
-  * re-reads only undone work. This models Iceberg snapshot/commit semantics
-  * with plain parquet (no Iceberg runtime jar in this sandbox — see
-  * SURVEY.md §7); swapping in a real catalog is a `TableIO` config change.
+/** Resumable runs with ATOMIC commits, modeling Iceberg snapshot semantics
+  * on plain filesystem primitives (no Iceberg runtime jar in this sandbox —
+  * SURVEY.md §7; a real catalog swap is a `TableIO` config change):
+  *
+  *  - each commit is a `batch`: data files under `extracted/<batch>/`,
+  *    manifest rows (url + per-partition lineage + metrics) under
+  *    `_manifest/<batch>/`;
+  *  - both are first written to dot-prefixed staging directories (hidden
+  *    from every Spark/Hadoop reader), then published with two renames,
+  *    DATA FIRST, MANIFEST LAST — the manifest rename is the single atomic
+  *    commit point;
+  *  - readers go through [[readExtracted]], which lists committed manifests
+  *    and reads ONLY the data batches they reference. A crash between the
+  *    two renames leaves an orphan data directory that no reader sees and
+  *    whose urls the next run re-extracts into a fresh batch — exactly-once
+  *    output, not at-least-once;
+  *  - resume is a left-anti join of the input against committed manifest
+  *    urls, so a re-submitted 10^12-row job re-reads only undone work.
   *
   * The north_rule's "checkpoints per-partition with lineage + metrics" maps
-  * to: manifest rows carry (url, spark_partition_id, n_chars,
-  * decode_failures) — enough to resume, attribute output to input splits,
-  * and roll up run metrics without re-reading the output table.
+  * to manifest rows (url, spark_partition_id, n_chars, decode_failures,
+  * batch) — enough to resume, attribute output to input splits, and roll up
+  * run metrics without re-reading the output table.
   */
 object Checkpoint {
 
   def manifestPath(outDir: String): String = s"$outDir/_manifest"
+  def dataPath(outDir: String): String = s"$outDir/extracted"
 
-  /** Append the done-manifest for a completed batch of extracted docs. */
-  def commit(done: Dataset[ExtractedDoc], outDir: String): Unit = {
-    val spark = done.sparkSession
-    import org.apache.spark.sql.functions._
+  private def fsOf(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def newBatchId(): String =
+    "batch_" + java.util.UUID.randomUUID.toString.replace("-", "").take(16)
+
+  private def manifestRows(done: Dataset[ExtractedDoc], batch: String): DataFrame =
     done
       .select(col("url"), col("n_chars"), col("decode_failures"))
       .withColumn("part_id", spark_partition_id())
-      .write.mode(SaveMode.Append).parquet(manifestPath(outDir))
+      .withColumn("batch", lit(batch))
+
+  private def publish(spark: SparkSession, staging: String, target: String): Unit = {
+    val fs = fsOf(spark, target)
+    val dst = new Path(target)
+    fs.mkdirs(dst.getParent)
+    if (!fs.rename(new Path(staging), dst))
+      throw new IllegalStateException(s"commit rename failed: $staging -> $target")
   }
 
-  /** Rows of `pages` not yet present in the manifest. Left-anti on `url`;
-    * the manifest side is small relative to the input and broadcast-eligible
-    * per AQE, so resume adds no full shuffle of the page table. */
+  /** Atomically commit a batch of extracted docs: stage data + manifest,
+    * rename data into place, then rename the manifest — the commit point.
+    * Returns the batch id. */
+  def commitWithData(done: Dataset[ExtractedDoc], outDir: String): String = {
+    val spark = done.sparkSession
+    val batch = newBatchId()
+    val dataStaging = s"${dataPath(outDir)}/.staging_$batch"
+    val manStaging = s"${manifestPath(outDir)}/.staging_$batch"
+    done.toDF().write.parquet(dataStaging)
+    manifestRows(done, batch).write.parquet(manStaging)
+    publish(spark, dataStaging, s"${dataPath(outDir)}/$batch")
+    publish(spark, manStaging, s"${manifestPath(outDir)}/$batch")
+    batch
+  }
+
+  /** Manifest-only commit (marks urls done without writing output data —
+    * e.g. work completed by an earlier system). Same atomic publish. */
+  def commit(done: Dataset[ExtractedDoc], outDir: String): Unit = {
+    val spark = done.sparkSession
+    val batch = newBatchId()
+    val manStaging = s"${manifestPath(outDir)}/.staging_$batch"
+    manifestRows(done, batch = "").write.parquet(manStaging)
+    publish(spark, manStaging, s"${manifestPath(outDir)}/$batch")
+  }
+
+  /** Committed manifest batch directories (staging dirs are dot-prefixed and
+    * never listed). */
+  private def committedManifests(spark: SparkSession, outDir: String): Seq[String] = {
+    val root = new Path(manifestPath(outDir))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+      .map(_.getPath.toString)
+  }
+
+  /** Rows of `pages` not yet present in any committed manifest. Left-anti on
+    * `url`; the manifest side is small relative to the input and
+    * broadcast-eligible per AQE, so resume adds no full shuffle of the page
+    * table. */
   def resume(pages: Dataset[PageRow], outDir: String): Dataset[PageRow] = {
     val spark = pages.sparkSession
-    val done = doneUrls(spark, outDir)
-    done match {
+    doneUrls(spark, outDir) match {
       case Some(d) => pages.join(d, Seq("url"), "left_anti").as[PageRow](pages.encoder)
       case None    => pages
     }
   }
 
   def doneUrls(spark: SparkSession, outDir: String): Option[DataFrame] = {
-    val p = new org.apache.hadoop.fs.Path(manifestPath(outDir))
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (fs.exists(p)) Some(spark.read.parquet(manifestPath(outDir)).select("url").distinct())
-    else None
+    val dirs = committedManifests(spark, outDir)
+    if (dirs.isEmpty) None
+    else Some(spark.read.parquet(dirs: _*).select("url").distinct())
   }
 
-  /** Run-level metrics rollup from the manifest (docs, chars, failures). */
+  /** The committed output table: ONLY data batches referenced by a committed
+    * manifest — an orphan data directory from a crashed run is invisible. */
+  def readExtracted(spark: SparkSession, outDir: String): DataFrame = {
+    val dirs = committedManifests(spark, outDir)
+    val batches =
+      if (dirs.isEmpty) Nil
+      else spark.read.parquet(dirs: _*).select("batch").where(col("batch") =!= "")
+        .distinct().collect().map(_.getString(0)).toSeq
+    if (batches.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(batches.map(b => s"${dataPath(outDir)}/$b"): _*)
+  }
+
+  /** Run-level metrics rollup from the committed manifests. */
   def metrics(spark: SparkSession, outDir: String): DataFrame = {
-    import org.apache.spark.sql.functions._
-    spark.read.parquet(manifestPath(outDir))
+    val dirs = committedManifests(spark, outDir)
+    require(dirs.nonEmpty, s"no committed manifests under ${manifestPath(outDir)}")
+    spark.read.parquet(dirs: _*)
       .agg(
         count(lit(1)).as("docs_done"),
         sum("n_chars").as("total_chars"),

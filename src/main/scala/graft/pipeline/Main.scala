@@ -42,8 +42,13 @@ object Main {
       .run(ExtractPipeline.salted(todo, partitions), delimiter)
       .persist()
 
-    TableIO.append(extracted.toDF(), s"$outDir/extracted")
-    Checkpoint.commit(extracted, outDir)
+    val m0 = extracted.agg(count(lit(1))).collect().head.getLong(0)
+    // single atomic commit: data staged + renamed, then the manifest rename
+    // as the commit point — a crash at any moment leaves either nothing or
+    // an unmanifested (invisible, re-extracted) orphan, never duplicates.
+    // A fully-resumed (empty) run commits nothing, so idle re-submissions
+    // don't accumulate empty batch directories.
+    if (m0 > 0) Checkpoint.commitWithData(extracted, outDir)
 
     val m = extracted.agg(
       count(lit(1)).as("docs"),

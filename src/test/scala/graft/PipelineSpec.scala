@@ -90,6 +90,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(m.getAs[Long]("docs_done") == 20L)
   }
 
+  test("atomic commit: an orphan (unmanifested) data batch is invisible and its urls re-run") {
+    import spark.implicits._
+    val texts = (0L until 10L).map(i => i -> s"document number $i body words here")
+    val pages = texts.map { case (id, t) => Corpus.pageRowFor(id, t, "en") }.toDS()
+    def docId = element_at(split(col("url"), "/"), -1).cast("long")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_spec_atomic").toString
+    Checkpoint.commitWithData(ExtractPipeline.run(pages.where(docId < 4)), outDir)
+    assert(Checkpoint.readExtracted(spark, outDir).count() == 4)
+    // crash window between data rename and manifest rename: data batch
+    // exists on disk but no manifest references it
+    ExtractPipeline.run(pages.where(docId >= 4)).toDF()
+      .write.parquet(Checkpoint.dataPath(outDir) + "/batch_orphan")
+    assert(Checkpoint.readExtracted(spark, outDir).count() == 4, "orphan batch leaked into reads")
+    val remaining = Checkpoint.resume(pages, outDir)
+    assert(remaining.count() == 6, "orphaned urls must be re-extracted")
+    Checkpoint.commitWithData(ExtractPipeline.run(remaining), outDir)
+    val out = Checkpoint.readExtracted(spark, outDir)
+    assert(out.count() == 10)
+    assert(out.select("url").distinct().count() == 10, "duplicate rows after crash-resume")
+    assert(Checkpoint.resume(pages, outDir).count() == 0)
+  }
+
   private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
     import spark.implicits._
     rows.toDF("doc_id", "text")
