@@ -290,6 +290,26 @@ object GoldenGen {
     b.finish(s"/Root $catalog 0 R/Encrypt $encId 0 R/ID[<$docIdHex><$docIdHex>]")
   }
 
+  /** AES-encrypted (V4/R4, /CFM/AESV2) fixture. The reference supports only
+    * the RC4 standard handler — V∈{1,2}, R∈{2,3} — and throws ArgumentException
+    * for anything else (reference: Tokeniser.cs:635-645); our engine
+    * replicates that throw and the pipeline surfaces it as a structured
+    * error row. Setup fails before any stream is touched, but the payload is
+    * AES-CBC-shaped (16-byte IV + one block) for realism. */
+  def encryptedPdfV4(): Array[Byte] = {
+    val docIdHex = "0123456789abcdef0123456789abcdef"
+    val b = new PdfBuilder()
+    val fakeCipher = Array.tabulate[Byte](32)(i => (i * 37 + 11).toByte)
+    val content = b.addStream("", fakeCipher)
+    val catalog = catalogFor(b, Seq(content))
+    val encId = b.addObject(
+      "<</Filter/Standard/V 4/R 4/P -44/Length 128" +
+        "/CF<</StdCF<</CFM/AESV2/AuthEvent/DocOpen/Length 16>>>>" +
+        "/StmF/StdCF/StrF/StdCF" +
+        s"/O <${"ab" * 32}>/U <${"cd" * 32}>>>")
+    b.finish(s"/Root $catalog 0 R/Encrypt $encId 0 R/ID[<$docIdHex><$docIdHex>]")
+  }
+
   private def hexToBytes(s: String): Array[Byte] =
     s.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
   private def bytesToHex(b: Array[Byte]): String =

@@ -136,6 +136,15 @@ class PdfExtractSpec extends AnyFunSuite {
     assert(ok.text == "ok|")
   }
 
+  test("AES (V4/R4) encryption becomes the reference's structured error row, not an exception") {
+    // reference throw site: Tokeniser.cs:635-645 (only Standard RC4 V1-2/R2-3)
+    val r = PdfExtract.extract(GoldenGen.encryptedPdfV4())
+    assert(r.decodeFailures == 1)
+    assert(r.error.exists(_.contains("can only decrypt pdf files using Standard encryption")), r.error)
+    assert(r.text == "")
+    assert(r.pages == 0)
+  }
+
   test("non-pdf bytes give an error row, not an exception") {
     val r = PdfExtract.extract("this is not a pdf at all".getBytes)
     assert(r.error.isDefined)
