@@ -17,18 +17,25 @@ import scala.collection.mutable
   */
 final class PdfContent(tk: PdfTokeniser, contentsDict: DictTok, fonts: collection.Map[String, PdfFont]) {
   var pdfFontName: String = null
-  // Text accumulates in a builder (the reference's `Text +=` string concat is
-  // O(n^2); same output, linear cost). `hasText` tracks the reference's
-  // null-vs-empty distinction, observable in the Tm newline rule.
-  private val textSb = new java.lang.StringBuilder
+  // Show-op text appends straight into the tokeniser's reused document-level
+  // builder (the reference's per-content `Text +=` string concat is O(n^2)
+  // AND copies each content's text again at document assembly; here content
+  // boundaries are just [textStart, textEnd) offsets into the shared buffer).
+  // `hasText` tracks the reference's null-vs-empty distinction, observable
+  // in the Tm newline rule — per content, exactly like the reference.
+  private val textSb = tk.docText
+  /** [start, end) of this content's text in the document builder. */
+  val textStart: Int = textSb.length
+  private var textEndIdx: Int = textStart
   private var hasText = false
-  def text: String = if (hasText) textSb.toString else null
+  def textEnd: Int = textEndIdx
+  /** Per-content text (reference `PdfContent.Text`, null when no show op
+    * ran). Copies a substring — debug/inspection surface; the bulk pipeline
+    * reads the document builder once instead. Valid until the tokeniser's
+    * buffers are reused for the next document. */
+  def text: String = if (hasText) textSb.substring(textStart, textEndIdx) else null
   /** Reference's `Text != null` check without materialising the String. */
   def hasAnyText: Boolean = hasText
-  /** Append this content's text into `target` without an intermediate
-    * String copy (bulk-pipeline hot path). */
-  def appendTextTo(target: java.lang.StringBuilder): Int =
-    if (hasText) { target.append(textSb); textSb.length } else 0
   val textFragments: mutable.ArrayBuffer[String] = mutable.ArrayBuffer.empty
   var exception: String = null
   var error: String = contentsDict.streamLengthProblem
@@ -131,6 +138,7 @@ final class PdfContent(tk: PdfTokeniser, contentsDict: DictTok, fonts: collectio
           case _ => detail + "\n" + tk.showStreamContentAtIndex()
         }
     }
+    textEndIdx = textSb.length
   }
 
   private def orEmpty(s: String): String = if (s == null) "" else s

@@ -58,7 +58,9 @@ object PdfExtract {
       tk.verifyFileHeader()
       tk.findPages()
 
-      val text = new java.lang.StringBuilder
+      // document text already accumulated in the tokeniser's reused builder
+      // during page construction (pages in tree order → contents in array
+      // order); contents carry their [start,end) offsets for the spans
       val fragments = mutable.ArrayBuffer.empty[String]
       val spans = mutable.ArrayBuffer.empty[TextSpan]
       val errors = new StringBuilder
@@ -73,11 +75,9 @@ object PdfExtract {
           if (f.exception != null) decodeFailures += 1
         }
         page.contents.foreach { content =>
-          val start = text.length
-          content.appendTextTo(text)
           fragments ++= content.textFragments
-          if (text.length > start)
-            spans += TextSpan(start, text.length, content.srcOffset, "content")
+          if (content.textEnd > content.textStart)
+            spans += TextSpan(content.textStart, content.textEnd, content.srcOffset, "content")
           if (content.exception != null) {
             decodeFailures += 1
             errors.append(content.exception).append('\n')
@@ -91,7 +91,7 @@ object PdfExtract {
       }
 
       ExtractResult(
-        text = text.toString,
+        text = tk.docText.toString,
         fragments = fragments.toSeq,
         spans = spans.toSeq,
         pages = tk.pageList.size,

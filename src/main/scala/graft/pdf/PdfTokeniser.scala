@@ -15,6 +15,12 @@ import scala.collection.mutable
 final class WorkBuffers(initialInflate: Int = 200_000, val maxInflateBytes: Int = 1 << 26) {
   var inflateBuf: Array[Byte] = new Array[Byte](initialInflate)
   val sb: StringBuilder = new StringBuilder
+  /** Document-level extracted-text accumulator: show-op text appends here
+    * directly (PdfContent records [start,end) offsets instead of building
+    * per-content strings), so one char buffer is reused across every
+    * document of a partition — the only full-text copies left are the final
+    * toString and Spark's UTF8String encode. */
+  val docTextSb: java.lang.StringBuilder = new java.lang.StringBuilder(8192)
   val inflater: java.util.zip.Inflater = new java.util.zip.Inflater(true) // nowrap: we skip the 2-byte zlib header
 }
 
@@ -108,6 +114,13 @@ final class PdfTokeniser(
   private[pdf] var idx: Int = 0
 
   private[pdf] val sb: StringBuilder = buffers.sb
+
+  /** Per-document view of the reused document-text buffer (reset here, once,
+    * when the tokeniser for a new document is constructed). */
+  private[pdf] val docText: java.lang.StringBuilder = {
+    buffers.docTextSb.setLength(0)
+    buffers.docTextSb
+  }
   private[pdf] val xref = new XRefTable(this)
   private val trailerDictionaries = mutable.ArrayBuffer.empty[DictTok]
   val trailerEntries: mutable.LinkedHashMap[String, PdfTok] = mutable.LinkedHashMap.empty

@@ -32,6 +32,7 @@ object Main {
       .appName("graft-extract")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.parquet.columnarReaderBatchSize", 64)
+      .config("spark.sql.columnVector.offheap.enabled", "true")
       .getOrCreate()
     val partitions = opt("partitions").map(_.toInt)
       .getOrElse(spark.sparkContext.defaultParallelism * 2)
