@@ -50,6 +50,19 @@ object SparkEntry {
         .select(docIdFromUrl, col("title"), col("text"))
         .orderBy("doc_id")
     }),
+    "html_layout_roundtrip" -> ((s, dir) => {
+      // layout surface: lists render with "- " markers, table-row cells join
+      // with " | " — the corpus distributes each doc's words over a fixed
+      // p/ul/table structure so the expected text is a word-slicing
+      // expression DuckDB can compute (see Corpus.htmlLayoutFromText)
+      import s.implicits._
+      val pages = docs(s, dir).select("doc_id", "text", "lang")
+        .as[(Long, String, String)]
+        .map { case (id, t, lang) => Corpus.layoutPageRowFor(id, t, lang) }
+      ExtractPipeline.run(pages, delimiter = "").toDF()
+        .select(docIdFromUrl, col("text"))
+        .orderBy("doc_id")
+    }),
     "pdf_extract_delim_roundtrip" -> ((s, dir) => {
       // the reference's DEFAULT ContentDelimiter "|" (PdfParser.cs:83):
       // every show-op appends decoded+"|", reconstructable in SQL as
@@ -266,6 +279,24 @@ object SparkEntry {
     "pdf_extract_delim_roundtrip" ->
       """SELECT doc_id, regexp_replace(text, '(.{1,64})', '\1|', 'g') AS text
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    // mirror of Corpus.htmlLayoutFromText / htmlLayoutExpected: words 1-12
+    // -> <p>, 13-22/23-32 -> "- " list items, 33+ -> "a | b" table rows of
+    // two 10-word cells (list slices are 1-based inclusive in DuckDB)
+    "html_layout_roundtrip" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+         parts AS (SELECT doc_id,
+           array_to_string(ws[1:12], ' ') AS p,
+           CASE WHEN len(ws) > 12 THEN '- ' || array_to_string(ws[13:22], ' ') END AS i1,
+           CASE WHEN len(ws) > 22 THEN '- ' || array_to_string(ws[23:32], ' ') END AS i2,
+           CASE WHEN len(ws) > 32 THEN
+             array_to_string(list_transform(generate_series(1, CAST(ceil((len(ws) - 32) / 20.0) AS BIGINT)), r ->
+               array_to_string(ws[33 + 20*(r-1) : 42 + 20*(r-1)], ' ') ||
+               CASE WHEN len(ws) > 42 + 20*(r-1)
+                    THEN ' | ' || array_to_string(ws[43 + 20*(r-1) : 52 + 20*(r-1)], ' ')
+                    ELSE '' END), chr(10)) END AS tbl
+           FROM d)
+         SELECT doc_id, concat_ws(chr(10), p, i1, i2, tbl) AS text
+         FROM parts ORDER BY doc_id""",
     "extract_pipeline_mixed" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS kind,

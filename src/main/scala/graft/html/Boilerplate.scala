@@ -10,7 +10,8 @@ final case class Block(
     linkedWords: Int,
     headingLevel: Int, // 0 = not a heading
     inChrome: Boolean, // inside nav/aside/footer
-    srcOffset: Int) {  // char offset of the block's first text in the page
+    srcOffset: Int,    // char offset of the block's first text in the page
+    listItem: Boolean = false) { // <li> content: rendered with a "- " marker
   def linkDensity: Double = if (words == 0) 0.0 else linkedWords.toDouble / words
 }
 
@@ -36,9 +37,13 @@ final case class HtmlResult(
   */
 object Boilerplate {
 
+  // NOTE: td/th are deliberately NOT block boundaries — cells of one row
+  // merge into a single row block separated by " | " (layout text), so a
+  // data table's row survives the word-count classifier as a unit instead
+  // of shattering into sub-threshold cell fragments.
   private val BlockTags: Set[String] = Set(
     "p", "div", "h1", "h2", "h3", "h4", "h5", "h6", "li", "ul", "ol", "dl", "dt", "dd",
-    "table", "tr", "td", "th", "thead", "tbody", "article", "section", "main", "header",
+    "table", "tr", "thead", "tbody", "article", "section", "main", "header",
     "footer", "nav", "aside", "blockquote", "pre", "form", "fieldset", "figure",
     "figcaption", "hr", "address", "center", "body", "html", "title", "summary", "details")
 
@@ -94,8 +99,10 @@ object Boilerplate {
       if (content(i)) {
         if (out.nonEmpty) out.append('\n')
         val start = out.length
+        if (bodyBlocks(i).listItem) out.append("- ") // list layout marker
         out.append(bodyBlocks(i).text)
-        spans += TextSpan(start, out.length, bodyBlocks(i).srcOffset, "block")
+        spans += TextSpan(start, out.length, bodyBlocks(i).srcOffset,
+          if (bodyBlocks(i).listItem) "li" else "block")
         kept += 1
       }
     }
@@ -132,6 +139,7 @@ object Boilerplate {
     var skipTag: String = null // inside <script>/<style>/…
     var pendingSpace = false
     var inWord = false
+    var listItem = false
 
     def endWord(): Unit = {
       if (inWord) {
@@ -152,7 +160,8 @@ object Boilerplate {
           linkedWords,
           if (inTitle) -1 else headingLevel,
           chromeDepth > 0,
-          blockStart)
+          blockStart,
+          listItem)
       }
       text.setLength(0)
       words = 0
@@ -223,9 +232,20 @@ object Boilerplate {
             } else if (name == "br") {
               pendingSpace = true
               endWord()
+            } else if (name == "td" || name == "th") {
+              // cell boundary inside a row block: " | " layout separator
+              // (the pipe is punctuation, not a word — appended directly)
+              endWord()
+              if (!closing && text.nonEmpty) {
+                text.append(" |")
+                pendingSpace = true
+              }
             }
             if (BlockTags.contains(name)) {
               flushBlock()
+              // the marker flag belongs to the block being OPENED: any other
+              // block boundary (incl. a missing </li>) clears it
+              listItem = name == "li" && !closing
               if (name == "title") inTitle = !closing
               if (ChromeTags.contains(name)) {
                 if (closing) chromeDepth = math.max(0, chromeDepth - 1)
@@ -253,21 +273,17 @@ object Boilerplate {
     blocks.toSeq
   }
 
-  /** Minimal entity decoder: named basics + numeric (decimal/hex, incl.
-    * astral codepoints as surrogate pairs). Returns (char, extraChar-or-0,
-    * nextIndex). */
+  /** Entity decoder: the full HTML 4.01 named table ([[Entities]], 252
+    * names + apos) plus numeric references (decimal/hex, incl. astral
+    * codepoints as surrogate pairs). Returns (char, extraChar-or-0,
+    * nextIndex); an unrecognized body falls back to a literal '&'. */
   private def entity(html: String, i: Int): (Char, Char, Int) = {
     val semi = html.indexOf(';', i + 1)
     if (semi < 0 || semi - i > 10) return ('&', 0, i + 1)
     val body = html.substring(i + 1, semi)
-    val decoded: Char = body match {
-      case "amp"  => '&'
-      case "lt"   => '<'
-      case "gt"   => '>'
-      case "quot" => '"'
-      case "apos" => '\''
-      case "nbsp" => ' '
-      case _ =>
+    Entities.table.get(body) match {
+      case Some(c) => (c, 0, semi + 1)
+      case None =>
         val cp =
           try {
             if (body.startsWith("#x") || body.startsWith("#X")) Integer.parseInt(body.substring(2), 16)
@@ -277,10 +293,8 @@ object Boilerplate {
         if (cp < 0 || cp > 0x10ffff) return ('&', 0, i + 1)
         if (cp > 0xffff) {
           val pair = Character.toChars(cp)
-          return (pair(0), pair(1), semi + 1)
-        }
-        cp.toChar
+          (pair(0), pair(1), semi + 1)
+        } else (cp.toChar, 0, semi + 1)
     }
-    (decoded, 0, semi + 1)
   }
 }

@@ -109,6 +109,65 @@ object Corpus {
   private def escapeHtml(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
+  /** HTML payload exercising the LAYOUT surface (lists + tables): the text's
+    * words are distributed over a fixed deterministic structure —
+    *   words 1-12   → a <p> paragraph,
+    *   words 13-22  → first <li>, 23-32 → second <li>,
+    *   words 33+    → table rows of two 10-word cells —
+    * and the extractor renders list items with a "- " marker and row cells
+    * joined by " | ", so the expected extraction is a pure word-slicing
+    * expression DuckDB can compute (oracle `html_layout_roundtrip`).
+    * Classification holds because every block's predecessor has > 4 words
+    * (the chrome footer primes the first one — same trick as
+    * [[htmlFromText]]). */
+  def htmlLayoutFromText(text: String, docId: Long): Array[Byte] = {
+    val ws = text.trim.split("\\s+")
+    def slice(from: Int, until: Int): String = // 0-based, clamped
+      ws.slice(from, math.min(until, ws.length)).iterator.map(escapeHtml).mkString(" ")
+    val p = slice(0, 12)
+    val items = Seq(slice(12, 22), slice(22, 32)).filter(_.nonEmpty)
+    val rows = Iterator.from(0)
+      .map(r => (slice(32 + 20 * r, 42 + 20 * r), slice(42 + 20 * r, 52 + 20 * r)))
+      .takeWhile(_._1.nonEmpty)
+      .map { case (a, b) => if (b.isEmpty) s"<tr><td>$a</td></tr>" else s"<tr><td>$a</td><td>$b</td></tr>" }
+      .toSeq
+    val ul = if (items.isEmpty) "" else items.map(i => s"<li>$i</li>").mkString("<ul>", "", "</ul>")
+    val table = if (rows.isEmpty) "" else rows.mkString("<table>", "", "</table>")
+    val html =
+      s"""<!DOCTYPE html>
+         |<html><head><title>doc $docId</title></head><body>
+         |<nav><a href="/">home</a> <a href="/archive">archive</a></nav>
+         |<footer>site chrome words that prime the classifier neighborhood</footer>
+         |<div id="main"><p>$p</p>$ul$table</div>
+         |<footer><p><a href="/about">about</a> | <a href="/tos">terms</a> | copyright</p></footer>
+         |</body></html>""".stripMargin
+    html.getBytes(UTF_8)
+  }
+
+  /** Expected extraction of [[htmlLayoutFromText]] — the Scala twin of the
+    * DuckDB oracle, used by the unit golden test. */
+  def htmlLayoutExpected(text: String): String = {
+    val ws = text.trim.split("\\s+")
+    def slice(from: Int, until: Int): String =
+      ws.slice(from, math.min(until, ws.length)).mkString(" ")
+    val parts = Seq(slice(0, 12)) ++
+      Seq(slice(12, 22), slice(22, 32)).filter(_.nonEmpty).map("- " + _) ++
+      Iterator.from(0)
+        .map(r => (slice(32 + 20 * r, 42 + 20 * r), slice(42 + 20 * r, 52 + 20 * r)))
+        .takeWhile(_._1.nonEmpty)
+        .map { case (a, b) => if (b.isEmpty) a else s"$a | $b" }
+        .toSeq
+    parts.filter(_.nonEmpty).mkString("\n")
+  }
+
+  def layoutPageRowFor(docId: Long, text: String, lang: String): PageRow =
+    PageRow(
+      url = UrlPrefix + docId,
+      warc_ts = Timestamp.from(Instant.parse("2024-01-01T00:00:00Z").plusSeconds(docId * 60)),
+      html = htmlLayoutFromText(text, docId),
+      text = text,
+      lang = lang)
+
   def isPdfDoc(docId: Long): Boolean = docId % 2 == 0
 
   def pageRowFor(docId: Long, text: String, lang: String): PageRow = {

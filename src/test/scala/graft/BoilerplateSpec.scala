@@ -87,9 +87,48 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(Boilerplate.extract(bom).text.startsWith("utf eight bom page"))
   }
 
+  test("layout: list items get '- ' markers, table rows join cells with ' | '") {
+    import graft.pipeline.Corpus
+    val text = (1 to 60).map(i => s"w$i").mkString(" ")
+    val html = new String(Corpus.htmlLayoutFromText(text, 1L), java.nio.charset.StandardCharsets.UTF_8)
+    val r = Boilerplate.extract(html)
+    assert(r.text == Corpus.htmlLayoutExpected(text), r.text)
+    assert(r.text.contains("- w13"))            // first list item marker
+    assert(r.text.contains("w42 | w43"))        // cell separator inside a row
+    assert(r.text.endsWith("w53 w54 w55 w56 w57 w58 w59 w60")) // single-cell last row
+    assert(r.spans.exists(_.kind == "li"))
+    // short doc: no list, no table
+    val short = Boilerplate.extract(new String(Corpus.htmlLayoutFromText("just five words right here", 2L), java.nio.charset.StandardCharsets.UTF_8))
+    assert(short.text == "just five words right here")
+  }
+
+  test("layout: missing </li> still closes the item at the next block tag") {
+    val html = "<body><p>priming paragraph with more than four plain words here</p>" +
+      "<ul><li>first item with plenty of words to keep<li>second item words here kept too</ul>" +
+      "<p>after the list this paragraph has enough plain words to be kept as content</p></body>"
+    val r = Boilerplate.extract(html)
+    assert(r.text.contains("- first item"))
+    assert(r.text.contains("- second item"))
+    assert(!r.text.contains("- after the list"), r.text) // flag cleared at </ul>
+  }
+
+  test("full HTML4 named entity table decodes") {
+    val html = "<body><p>em&mdash;dash &hellip; &copy; &eacute; &alpha; &euro; &rarr; &ldquo;q&rdquo; " +
+      "plus plenty of additional filler words to pass the classifier threshold rules okay</p></body>"
+    val r = Boilerplate.extract(html)
+    assert(r.text.contains("em—dash … © é α € → “q”"), r.text)
+    assert(graft.html.Entities.table.size == 253) // 252 HTML4 + apos
+    assert(graft.html.Entities.table("frac12") == '½')
+    assert(graft.html.Entities.table("Omega") == 'Ω')
+    // unknown names still fall back to a literal ampersand
+    assert(Boilerplate.extract("<body><p>a &notanentity; b plus quite a few additional plain filler words so that " +
+      "this single block clears the seventeen word threshold of the classifier rules</p></body>")
+      .text.contains("a &notanentity; b"))
+  }
+
   test("empty and pathological inputs do not throw") {
     assert(Boilerplate.extract("").text == "")
-    assert(Boilerplate.extract("<<<>>>").text.nonEmpty || true)
+    Boilerplate.extract("<<<>>>") // must not throw
     assert(Boilerplate.extract("<p").text == "")
     assert(Boilerplate.extract("plain text with no tags at all but quite a few words so it counts as content for the rules").text.nonEmpty)
   }
