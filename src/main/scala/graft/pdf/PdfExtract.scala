@@ -5,8 +5,11 @@ import scala.collection.mutable
 /** One extracted character-span: [start,end) in `text`, the byte offset of
   * the producing content stream in the source document, and a kind tag
   * (span bookkeeping modeled on the reference's TextStore line→byte-offset
-  * mapping; reference: TextStoreLib/TextStore.cs:81-144). */
-final case class TextSpan(start: Int, end: Int, srcOffset: Int, kind: String)
+  * mapping; reference: TextStoreLib/TextStore.cs:81-144). `srcLine` is the
+  * 1-based source line of `srcOffset` under the reference's line rules
+  * (CR/LF/CRLF each one terminator — see [[TextStore]]); -1 unless line
+  * capture was requested. */
+final case class TextSpan(start: Int, end: Int, srcOffset: Int, kind: String, srcLine: Int = -1)
 
 /** Document-level extraction result. `text` is the byte-identical surface:
   * pages in tree order → contents in array order → each content's assembled
@@ -52,7 +55,11 @@ object PdfExtract {
       contentDelimiter: String = "|",
       buffers: WorkBuffers = new WorkBuffers(),
       captureFragments: Boolean = true,
-      extendedFilters: Boolean = false): ExtractResult = {
+      extendedFilters: Boolean = false,
+      /** Compute each span's 1-based source line ([[TextStore]] semantics);
+        * costs one extra pass + char buffer over the document bytes, so the
+        * bulk pipeline leaves it off. */
+      captureLines: Boolean = false): ExtractResult = {
     val tk = new PdfTokeniser(bytes, password, contentDelimiter, buffers, captureFragments, extendedFilters)
     try {
       tk.verifyFileHeader()
@@ -65,6 +72,9 @@ object PdfExtract {
       val spans = mutable.ArrayBuffer.empty[TextSpan]
       val errors = new StringBuilder
       var decodeFailures = 0
+      val lineStore: TextStore =
+        if (captureLines) { val ts = new TextStore(bytes.length + 16); ts.append(bytes, 0); ts }
+        else null
 
       tk.pageList.foreach { page =>
         if (page.exception != null) {
@@ -77,7 +87,10 @@ object PdfExtract {
         page.contents.foreach { content =>
           fragments ++= content.textFragments
           if (content.textEnd > content.textStart)
-            spans += TextSpan(content.textStart, content.textEnd, content.srcOffset, "content")
+            spans += TextSpan(content.textStart, content.textEnd, content.srcOffset, "content",
+              if (lineStore != null && content.srcOffset >= 0)
+                lineStore.lineOfByteOffset(content.srcOffset)
+              else -1)
           if (content.exception != null) {
             decodeFailures += 1
             errors.append(content.exception).append('\n')

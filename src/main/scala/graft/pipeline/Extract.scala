@@ -24,18 +24,21 @@ import org.apache.spark.sql.functions._
   */
 object ExtractPipeline {
 
-  /** Pure per-row extraction — also usable outside Spark. */
+  /** Pure per-row extraction — also usable outside Spark. `captureLines`
+    * adds each PDF span's 1-based source line (TextStore semantics) at the
+    * cost of one extra pass over the document bytes; off in the bulk path. */
   def extractOne(url: String, payload: Array[Byte], lang: String,
-      delimiter: String, buffers: WorkBuffers): ExtractedDoc = {
+      delimiter: String, buffers: WorkBuffers,
+      captureLines: Boolean = false): ExtractedDoc = {
     val nBytes = if (payload == null) 0L else payload.length.toLong
     if (payload == null || payload.isEmpty) {
       ExtractedDoc(url, "empty", "", "", Nil, 0, 0, 1, "empty payload", lang, nBytes)
     } else if (PdfExtract.isPdf(payload)) {
       // fragments are a debugging surface; the bulk pipeline skips the copy
       val r = PdfExtract.extract(payload, contentDelimiter = delimiter,
-        buffers = buffers, captureFragments = false)
+        buffers = buffers, captureFragments = false, captureLines = captureLines)
       ExtractedDoc(url, "pdf", r.text, "",
-        r.spans.map(s => SpanRow(s.start, s.end, s.srcOffset, s.kind)),
+        r.spans.map(s => SpanRow(s.start, s.end, s.srcOffset, s.kind, s.srcLine)),
         r.pages, r.text.length, r.decodeFailures, r.error.getOrElse(""), lang, nBytes)
     } else {
       try {
@@ -52,7 +55,8 @@ object ExtractPipeline {
   }
 
   /** Column-pruned, buffer-reusing extraction transform. */
-  def run(pages: Dataset[PageRow], delimiter: String = ""): Dataset[ExtractedDoc] = {
+  def run(pages: Dataset[PageRow], delimiter: String = "",
+      captureLines: Boolean = false): Dataset[ExtractedDoc] = {
     val spark = pages.sparkSession
     import spark.implicits._
     pages
@@ -60,7 +64,7 @@ object ExtractPipeline {
       .as[ExtractInput]
       .mapPartitions { it =>
         val buffers = new WorkBuffers()
-        it.map(r => extractOne(r.url, r.html, r.lang, delimiter, buffers))
+        it.map(r => extractOne(r.url, r.html, r.lang, delimiter, buffers, captureLines))
       }
   }
 

@@ -23,7 +23,11 @@ final case class ExtractInput(url: String, html: Array[Byte], lang: String)
   * source offset of the producing region (content-stream payload offset for
   * PDF, char offset for HTML) — the reference's TextStore line→byte-offset
   * idea (TextStoreLib/TextStore.cs:81-144) as a column. */
-final case class SpanRow(start: Int, end: Int, src_offset: Int, kind: String)
+/** `src_line` is the 1-based line number of `src_offset` in the raw source
+  * document (reference TextStore line semantics — see pdf/TextStore.scala);
+  * -1 when line capture was not requested (it costs one extra pass over the
+  * document bytes). */
+final case class SpanRow(start: Int, end: Int, src_offset: Int, kind: String, src_line: Int = -1)
 
 /** Output row of the extraction pipeline. Errors are captured per row, never
   * thrown — one malformed document must not fail a 10^12-row job

@@ -112,6 +112,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Checkpoint.resume(pages, outDir).count() == 0)
   }
 
+  test("captureLines: pdf span source lines match the reference's CR/LF/CRLF rules") {
+    import spark.implicits._
+    val t = ("alpha beta gamma delta " * 40).trim // multi-page pdf (even id)
+    val pages = Seq(Corpus.pageRowFor(42L, t, "en")).toDS()
+    val d = ExtractPipeline.run(pages, delimiter = "", captureLines = true).collect().head
+    assert(d.spans.nonEmpty)
+    val raw = Corpus.pdfFromText(t) // deterministic: same bytes the corpus built
+    d.spans.foreach { s =>
+      // independent line count over the raw bytes: CR, LF, CRLF = 1 each
+      var line = 1
+      var i = 0
+      while (i < s.src_offset) {
+        (raw(i): @unchecked) match {
+          case 0x0d => line += 1; if (i + 1 < raw.length && raw(i + 1) == 0x0a) i += 1
+          case 0x0a => line += 1
+          case _ =>
+        }
+        i += 1
+      }
+      assert(s.src_line == line, s"span at ${s.src_offset}")
+      assert(s.src_line > 1) // content streams sit well below the header
+    }
+    // bulk path default: lines off, sentinel -1
+    val bulk = ExtractPipeline.run(pages, delimiter = "").collect().head
+    assert(bulk.spans.forall(_.src_line == -1))
+  }
+
   private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
     import spark.implicits._
     rows.toDF("doc_id", "text")
