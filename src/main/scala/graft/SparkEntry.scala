@@ -154,6 +154,27 @@ object SparkEntry {
         e.where(col("id") % 10 === 0).select((col("id") + 100000L).as("id"), col("embedding")))
       Ann.cosineDupPairs(corpus, threshold = 0.95).orderBy("id_a", "id_b")
     }),
+    "dedup_embedding_rplsh" -> ((s, dir) => {
+      // random-hyperplane LSH band candidates + exact cosine verify — the
+      // quantizer-free scale path; same corpus and threshold as the IVF
+      // variant, so the exact-verified output is identical
+      val e = embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
+      val corpus = e.unionAll(
+        e.where(col("id") % 10 === 0).select((col("id") + 100000L).as("id"), col("embedding")))
+      Ann.rplshCosineDupPairs(corpus, threshold = 0.95).orderBy("id_a", "id_b")
+    }),
+    "dedup_chunks" -> ((s, dir) => {
+      // paragraph-style exact chunk dedup (20-word windows) with planted
+      // exact copies so duplicated windows exist deterministically
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionAll(
+        d.where(col("doc_id") % 6 === 0)
+          .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
+      Dedup.duplicateChunks(corpus, "doc_id", "text").orderBy("fp")
+    }),
+    "text_repetition" -> ((s, dir) =>
+      TextStats.repetitionSignals(docs(s, dir), "doc_id", "text")
+        .orderBy("doc_id")),
     // ----------------------------------------------------- similarity search
     "ann_topk_bruteforce" -> ((s, dir) => {
       val e = embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
@@ -340,6 +361,41 @@ object SparkEntry {
          FROM reach GROUP BY u ORDER BY doc_id""",
     "dedup_embedding_cosine" ->
       "SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a",
+    // exact copies share every signature bit (Hamming 0 passes all bands)
+    // and no natural pair reaches cosine 0.95 in this corpus, so the
+    // LSH+exact-verify output equals the planted-copy set
+    "dedup_embedding_rplsh" ->
+      "SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a",
+    "dedup_chunks" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 4000000, text FROM documents WHERE doc_id % 6 = 0),
+         d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM corpus),
+         ch AS (SELECT doc_id, i AS pos, array_to_string(ws[i*20+1 : i*20+20], ' ') AS chunk
+                FROM (SELECT doc_id, ws, unnest(generate_series(0, (len(ws)-1)//20)) AS i FROM d))
+         SELECT md5(chunk) AS fp, count(*) AS n,
+                min(doc_id) AS first_doc, CAST(min(pos) AS BIGINT) AS min_pos
+         FROM ch GROUP BY 1 HAVING count(*) >= 2 ORDER BY fp""",
+    "text_repetition" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+         wc AS (SELECT doc_id, w, count(*) AS c
+                FROM (SELECT doc_id, unnest(ws) AS w FROM d) GROUP BY 1, 2),
+         doc AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_words,
+                        CAST(max(c) AS BIGINT) AS top_cnt,
+                        CAST(sum(c * length(w)) AS BIGINT) AS char_sum
+                 FROM wc GROUP BY 1),
+         bg AS (SELECT doc_id, b, count(*) AS c FROM (
+                  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+                  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                        FROM d WHERE len(ws) >= 2)) GROUP BY 1, 2),
+         bgd AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS total_bg,
+                        CAST(count(*) AS BIGINT) AS distinct_bg FROM bg GROUP BY 1)
+         SELECT doc.doc_id AS doc_id, n_words,
+                (1000 * top_cnt) // n_words AS top_word_permille,
+                CAST(coalesce((1000 * (total_bg - distinct_bg)) // total_bg, 0) AS BIGINT) AS dup_bigram_permille,
+                (100 * char_sum) // n_words AS mean_word_len_centi
+         FROM doc LEFT JOIN bgd ON bgd.doc_id = doc.doc_id ORDER BY doc_id""",
     "ann_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10)
          SELECT query_id, rank, neighbor_id FROM (

@@ -119,6 +119,64 @@ object Ann {
     centroids
   }
 
+  // ------------------------------------------- random-hyperplane (cosine) LSH
+
+  private def mix64(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** 64-bit random-hyperplane signature (Charikar 2002 / SimHash for
+    * vectors): bit p = sign of ⟨v, r_p⟩ where r_p is a deterministic
+    * Rademacher (±1) vector derived from a SplitMix64 hash of (p, dim) —
+    * no RNG state, identical on every executor. P[bit differs] = θ/π, so
+    * Hamming distance estimates the angle. */
+  def rpSignature64(v: Array[Float]): Long = {
+    var sig = 0L
+    var p = 0
+    while (p < 64) {
+      var acc = 0.0
+      var d = 0
+      while (d < v.length) {
+        val h = mix64(p.toLong * 0x100000001b3L + d)
+        acc += (if ((h & 1L) == 1L) v(d) else -v(d))
+        d += 1
+      }
+      if (acc > 0) sig |= 1L << p
+      p += 1
+    }
+    sig
+  }
+
+  /** (id, simhash) random-hyperplane signatures of an (id, embedding) table. */
+  def rpSignatures(vectors: DataFrame): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    vectors.select(col("id").cast("long"), col("embedding"))
+      .as[(Long, Array[Float])]
+      .map { case (id, v) => (id, rpSignature64(v)) }
+      .toDF("id", "simhash")
+  }
+
+  /** Embedding near-dup pairs via random-hyperplane LSH: signature banding
+    * (pigeonhole, [[graft.dedup.Dedup.simhashPairs]] — candidates are pairs
+    * within `maxDist` signature bits, guaranteed to include every pair whose
+    * angle keeps Hamming ≤ maxDist), then EXACT cosine verification. The
+    * scale alternative to [[cosineDupPairs]]'s quantizer when no IVF index
+    * exists: one narrow signature pass + banded equi-joins, no k-means.
+    * maxDist = 8 covers cosine ≥ 0.95 in expectation (θ/π·64 ≈ 6.5). */
+  def rplshCosineDupPairs(vectors: DataFrame, threshold: Double,
+      maxDist: Int = 8): DataFrame = {
+    val cand = graft.dedup.Dedup.simhashPairs(rpSignatures(vectors), maxDist)
+    cand
+      .join(vectors.select(col("id").as("id_a"), col("embedding").as("ea")), "id_a")
+      .join(vectors.select(col("id").as("id_b"), col("embedding").as("eb")), "id_b")
+      .where(cosine(col("ea"), col("eb")) >= threshold)
+      .select(col("id_a"), col("id_b"))
+  }
+
   /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold, a<b),
     * computed IVF-cell-locally: vectors are assigned to their `nprobe`
     * nearest cells of a deterministic spherical-k-means quantizer, and the

@@ -259,6 +259,31 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 
+  // ------------------------------------------------- chunk-level exact dedup
+
+  /** Exact duplicated-chunk report (the paragraph-dedup shape used by C4 /
+    * RefinedWeb-style pipelines, adapted to fixed `chunkWords`-word windows
+    * since the corpus has no paragraph marks): split every document into
+    * consecutive non-overlapping word windows, fingerprint each, and report
+    * fingerprints occurring more than once corpus-wide with their count and
+    * smallest doc id and smallest window index. One explode + one map-side-combined groupBy —
+    * the same shuffle shape as [[exactGroups]], linear at 100 TB. */
+  def duplicateChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 20): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    val chunks = transform(
+      // Column `/` is double division; truncate back to the int window count
+      sequence(lit(0), ((size(ws) - 1) / chunkWords).cast("int")),
+      i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords))))
+    docs
+      .select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
+      .groupBy(md5(col("chunk")).as("fp"))
+      .agg(count(lit(1)).as("n"),
+        min(col("doc_id")).as("first_doc"),
+        min(col("pos")).cast("long").as("min_pos"))
+      .where(col("n") >= 2)
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word 4-shingles (Charikar 2002 / Manku et al. 2007):
@@ -303,17 +328,22 @@ object Dedup {
 
   /** Pairs with Hamming distance ≤ maxDist, via the pigeonhole band trick:
     * split 64 bits into (maxDist+1) bands — any pair within maxDist matches
-    * exactly on ≥1 band — join per band, verify Hamming on candidates. */
-  def simhashPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+    * exactly on ≥1 band — join per band, verify Hamming on candidates.
+    * Band buckets hotter than `maxBucket` are dropped first (degenerate
+    * exact-copy clusters belong to [[exactGroups]]; same rationale as
+    * [[minhashCandidates]]). */
+  def simhashPairs(sigs: DataFrame, maxDist: Int = 3,
+      maxBucket: Int = MaxBucket): DataFrame = {
     val bands = maxDist + 1
     val width = 64 / bands
-    val banded = sigs.select(col("id"), col("simhash"),
+    val banded0 = sigs.select(col("id"), col("simhash"),
       explode(array((0 until bands).map { b =>
         struct(lit(b).as("band"),
           shiftrightunsigned(col("simhash"), b * width)
             .bitwiseAND(lit((1L << width) - 1)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+    val banded = dropHotKeys(banded0, maxBucket, "band", "key")
     val popcnt = (x: Column) => bit_count(x)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

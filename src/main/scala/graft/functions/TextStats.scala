@@ -1,5 +1,7 @@
 package graft.functions
 
+import org.apache.spark.sql.DataFrame
+
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
@@ -67,6 +69,36 @@ object TextStats {
     w.geq(wordMin) && w.leq(wordMax) &&
       alpha.geq(w * 3) && alpha.leq(w * 12) &&
       nStopwords(text).geq(1)
+  }
+
+  /** Gopher-style repetition signals (Rae et al. 2021, §A1.1 — public):
+    * per-document top-word fraction and duplicate-bigram fraction, plus
+    * mean word length, all as exact integer permille/centi values (the
+    * hash-compared oracle forbids engine-computed floats). Two explode →
+    * map-side-combined groupBy chains — the canonical linear shape; no
+    * per-doc window, no collect_list (a 10^6-word doc stays a stream of
+    * (doc, term) rows, never one array in one task's memory). */
+  def repetitionSignals(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val ws = split(trim(col(textCol)), "\\s+")
+    val words = docs.select(col(idCol).as("doc_id"), explode(ws).as("w"))
+    val perDoc = words.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("n_words"), max("c").as("top_cnt"),
+        sum(col("c") * length(col("w"))).as("char_sum"))
+    val bigrams = docs
+      .where(size(ws) >= 2) // sequence(0, -1) would count DOWN
+      .select(col(idCol).as("doc_id"),
+        explode(transform(sequence(lit(0), size(ws) - 2),
+          i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)))).as("bg"))
+    val bgDoc = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id")
+      .agg(sum("c").as("total_bg"), count(lit(1)).as("distinct_bg"))
+    perDoc.join(bgDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_words"),
+        expr("(1000 * top_cnt) div n_words").as("top_word_permille"),
+        coalesce(expr("(1000 * (total_bg - distinct_bg)) div total_bg"), lit(0L))
+          .as("dup_bigram_permille"),
+        expr("(100 * char_sum) div n_words").as("mean_word_len_centi"))
   }
 
   def langId(text: Column): Column = {
