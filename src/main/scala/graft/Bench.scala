@@ -175,6 +175,12 @@ object Bench {
     results("vocab_stats") = time(2)(
       docsDf.select(explode(split(trim(col("text")), "\\s+")).as("term"))
         .groupBy("term").agg(count(lit(1))).count())
+    results("dedup_chunks") = time(2)(
+      Dedup.duplicateChunks(docsDf, "doc_id", "text").count())
+    results("text_repetition") = time(2)(
+      TextStats.repetitionSignals(docsDf, "doc_id", "text").count())
+    results("decontamination_13gram") = time(2)(
+      Dedup.ngramOverlapContamination(docsDf, "doc_id", "text", "source").count())
     results("events_hourly") = time(2)(
       graft.streaming.Events.hourlyByType(
         spark.read.parquet(s"$sfDir/events.parquet")).count())

@@ -252,6 +252,11 @@ object SparkEntry {
     "decontamination" -> ((s, dir) =>
       Dedup.crossGroupContamination(docs(s, dir), "doc_id", "text", "source")
         .orderBy("id_a", "id_b")),
+    "decontamination_13gram" -> ((s, dir) =>
+      // GPT-3-style: docs sharing any 13-gram across sources, with the
+      // count of distinct leaking 13-grams
+      Dedup.ngramOverlapContamination(docs(s, dir), "doc_id", "text", "source")
+        .orderBy("doc_id")),
     "stratified_sample" -> ((s, dir) => {
       // deterministic per-language sample: smallest hash buckets win —
       // reproducible under re-runs/repartitioning, unlike rand() sampling
@@ -499,6 +504,15 @@ object SparkEntry {
          SELECT id_a, id_b, da.source AS group_a, db.source AS group_b
          FROM pairs JOIN docs2 da ON da.doc_id = id_a JOIN docs2 db ON db.doc_id = id_b
          WHERE da.source <> db.source ORDER BY id_a, id_b""",
+    "decontamination_13gram" ->
+      """WITH d AS (SELECT doc_id, source, string_split(trim(text), ' ') AS ws FROM documents),
+         sh AS (SELECT DISTINCT doc_id, source, array_to_string(ws[i : i+12], ' ') AS sh
+                FROM (SELECT doc_id, source, ws, unnest(generate_series(1, len(ws) - 12)) AS i
+                      FROM d WHERE len(ws) >= 13))
+         SELECT a.doc_id AS doc_id, a.source AS grp,
+                CAST(count(DISTINCT a.sh) AS BIGINT) AS shared_ngrams
+         FROM sh a JOIN sh b ON a.sh = b.sh AND a.source <> b.source
+         GROUP BY 1, 2 ORDER BY doc_id""",
     "stratified_sample" ->
       """SELECT lang, doc_id FROM (
            SELECT lang, doc_id, row_number() OVER (PARTITION BY lang

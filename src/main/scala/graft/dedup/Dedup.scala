@@ -223,6 +223,26 @@ object Dedup {
         col("ga.grp").as("group_a"), col("gb.grp").as("group_b"))
   }
 
+  /** GPT-3-style n-gram-overlap decontamination (Brown et al. 2020,
+    * appendix C — public): flag every document sharing at least one
+    * `n`-gram (default 13, the published choice) with ANY document of a
+    * DIFFERENT group, reporting how many distinct n-grams leak. Inverted
+    * n-gram index + one cross-group equi-join on the n-gram — no pair
+    * enumeration, one shuffle keyed by the n-gram; hot n-grams capped like
+    * every other candidate join here. */
+  def ngramOverlapContamination(docs: DataFrame, idCol: String, textCol: String,
+      groupCol: String, n: Int = 13, maxBucket: Int = MaxBucket): DataFrame = {
+    val sh = dropHotKeys(
+      docs.where(size(split(trim(col(textCol)), "\\s+")) >= n)
+        .select(col(idCol).as("id"), col(groupCol).as("grp"),
+          explode(shingleCol(col(textCol), n)).as("sh")),
+      maxBucket, "sh")
+    sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.grp") =!= col("b.grp"))
+      .groupBy(col("a.id").as("doc_id"), col("a.grp").as("grp"))
+      .agg(countDistinct(col("a.sh")).as("shared_ngrams"))
+  }
+
   // -------------------------------------------- connected components (CC)
 
   /** Near-duplicate CLUSTERS from a pair list: connected components via

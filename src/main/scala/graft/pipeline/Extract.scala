@@ -86,4 +86,18 @@ object ExtractPipeline {
     // the expression value, so pre-bucketing it with pmod would funnel the
     // n salt values through a second hash and collide them
     pages.repartition(numPartitions, xxhash64(col("url")))
+
+  /** Two-lane size routing (SURVEY §4 tactic c): payloads ≥ `bigBytes` get
+    * their own repartition so a handful of 50 MB PDFs never pin partitions
+    * full of 1 KB pages — the big lane's partition count is sized to its
+    * (rare) row count, approaching one oversized doc per task, while the
+    * small lane keeps full parallelism. Both lanes run the same narrow
+    * transform; the union stages them independently. */
+  def sizeRouted(pages: Dataset[PageRow], numPartitions: Int,
+      bigBytes: Int = 4 << 20): Dataset[PageRow] = {
+    val isBig = length(col("html")) >= bigBytes
+    val small = pages.where(!isBig).repartition(numPartitions, xxhash64(col("url")))
+    val big = pages.where(isBig).repartition(numPartitions, xxhash64(col("url")))
+    small.unionAll(big)
+  }
 }

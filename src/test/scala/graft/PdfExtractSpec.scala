@@ -145,6 +145,35 @@ class PdfExtractSpec extends AnyFunSuite {
     assert(r.pages == 0)
   }
 
+  test("fuzz: random byte corruption never throws (executor safety at web scale)") {
+    // one bad document must never kill a 10^12-row job: every mutation of a
+    // valid PDF must come back as a (possibly partial) result or error row
+    val rnd = new java.util.Random(20260817L)
+    val bases = Seq(GoldenGen.helloPdf(), GoldenGen.fontsPdf(), GoldenGen.multilinePdf(),
+      GoldenGen.xrefStreamPdf(predictor = true), GoldenGen.encryptedPdf())
+    val buffers = new WorkBuffers()
+    var errorRows = 0
+    (1 to 400).foreach { i =>
+      val base = bases(i % bases.length)
+      val mutated = base.clone()
+      val nMut = 1 + rnd.nextInt(8)
+      (1 to nMut).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      val r = PdfExtract.extract(mutated, buffers = buffers) // must not throw
+      if (r.error.isDefined) errorRows += 1
+    }
+    // truncations and pure garbage too
+    (1 to 50).foreach { i =>
+      val base = bases(i % bases.length)
+      val cut = java.util.Arrays.copyOf(base, 1 + rnd.nextInt(base.length))
+      PdfExtract.extract(cut, buffers = buffers)
+      val junk = new Array[Byte](256); rnd.nextBytes(junk)
+      PdfExtract.extract(junk, buffers = buffers)
+    }
+    assert(errorRows > 0, "mutations never produced an error row — fuzz too weak")
+  }
+
   test("non-pdf bytes give an error row, not an exception") {
     val r = PdfExtract.extract("this is not a pdf at all".getBytes)
     assert(r.error.isDefined)
