@@ -258,6 +258,36 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out("fpA") == "u1" || out("fpA") == "u3") // first batch order wins when batched separately
   }
 
+  test("streaming minhash-LSH emits the batch candidate set across micro-batches") {
+    import spark.implicits._
+    import graft.streaming.StreamMinhash
+    // base docs in batch 1, near-dup copies in batch 2: every pair must be
+    // flagged when the SECOND member arrives, via cross-batch bucket state
+    val base = (0L until 20L).map(i => i -> (0 to 30).map(j => s"w${i}q$j").mkString(" "))
+    val dups = base.take(6).map { case (id, t) => (id + 1000L) -> (t + " tail") }
+    val dir = java.nio.file.Files.createTempDirectory("graft_sminhash").toString
+    base.toDF("id", "text").coalesce(1).write.parquet(s"$dir/in/f1")
+    dups.toDF("id", "text").coalesce(1).write.parquet(s"$dir/in/f2")
+    val schema = spark.read.parquet(s"$dir/in/f1").schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*").as[(Long, String)]
+    val q = StreamMinhash.candidatePairs(StreamMinhash.bandedStream(streamIn))
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sminhash")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT DISTINCT id_a, id_b FROM graft_sminhash")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = Dedup.minhashCandidates(
+        Dedup.minhashBands((base ++ dups).toDF("id", "text"), "id", "text", k = 3))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed == batch, s"streamed=$streamed batch=$batch")
+    assert(streamed.nonEmpty)
+    assert((0L until 6L).map(i => (i, i + 1000L)).toSet.subsetOf(streamed))
+  }
+
   test("streaming and batch window aggregation agree") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_events").toString
