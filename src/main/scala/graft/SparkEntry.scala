@@ -128,19 +128,23 @@ object SparkEntry {
         .orderBy("doc_id")),
     "dedup_simhash" -> ((s, dir) => {
       // SimHash Hamming-band near-dup pairs, restricted to pairs whose
-      // normalized text is identical (fingerprint equality) so DuckDB can
-      // oracle it exactly: equal normalized text ⇒ identical word sequence
-      // ⇒ identical simhash ⇒ Hamming 0, and the pigeonhole banding is
-      // guaranteed to surface every Hamming≤3 pair — so the restricted
-      // result must equal the set of exact-duplicate pairs. The unrestricted
-      // Hamming-1..3 behavior is covered by DedupSpec's brute-force
-      // comparison (not ANSI-SQL-expressible).
+      // CASE-SENSITIVE whitespace-normalized text is identical so DuckDB
+      // can oracle it exactly: equal normalized text ⇒ identical word
+      // sequence (simhash64 is case-sensitive, so the fingerprint must be
+      // too — a lowercased fp would admit case-variant pairs with nonzero
+      // Hamming) ⇒ identical simhash ⇒ Hamming 0, and the pigeonhole
+      // banding surfaces every Hamming≤3 pair. Docs under 4 words are
+      // excluded on both sides (their simhash degenerates to 0, making all
+      // of them mutually Hamming-0 — a degenerate bucket the cap may drop).
+      // The unrestricted Hamming-1..3 behavior is covered by DedupSpec's
+      // brute-force comparison (not ANSI-SQL-expressible).
       val d = docs(s, dir).select("doc_id", "text")
+        .where(TextStats.wsTokens(col("text")) >= 4)
       val corpus = d.unionAll(
         d.where(col("doc_id") % 5 === 0)
           .select((col("doc_id") + 2000000L).as("doc_id"), col("text")))
       val fp = corpus.select(col("doc_id"),
-        TextStats.fingerprint(col("text")).as("fp"))
+        md5(regexp_replace(trim(col("text")), "\\s+", " ").cast("binary")).as("fp"))
       Dedup.simhashPairs(Dedup.simhashes(corpus, "doc_id", "text"), maxDist = 3)
         .join(fp.as("fa"), col("id_a") === col("fa.doc_id"))
         .join(fp.as("fb"), col("id_b") === col("fb.doc_id"))
@@ -543,14 +547,18 @@ object SparkEntry {
          CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS value_cents
          FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""",
     // SimHash restricted to normalized-exact-duplicate pairs (see the query
-    // comment): banding surfaces every Hamming≤3 pair, equal normalized text
-    // gives Hamming 0, so the restricted output = equal-fingerprint pairs.
+    // comment): banding surfaces every Hamming≤3 pair, equal CASE-SENSITIVE
+    // normalized text gives Hamming 0, so the restricted output =
+    // equal-fingerprint pairs (docs ≥ 4 words on both sides).
     "dedup_simhash" ->
-      """WITH corpus AS (
+      """WITH base AS (
            SELECT doc_id, text FROM documents
+           WHERE len(string_split(trim(text), ' ')) >= 4),
+         corpus AS (
+           SELECT doc_id, text FROM base
            UNION ALL
-           SELECT doc_id + 2000000, text FROM documents WHERE doc_id % 5 = 0),
-         fp AS (SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
+           SELECT doc_id + 2000000, text FROM base WHERE doc_id % 5 = 0),
+         fp AS (SELECT doc_id, md5(regexp_replace(trim(text), '\s+', ' ', 'g')) AS fp
                 FROM corpus)
          SELECT a.doc_id AS id_a, b.doc_id AS id_b
          FROM fp a JOIN fp b ON a.fp = b.fp AND a.doc_id < b.doc_id

@@ -128,15 +128,15 @@ object Ann {
     z ^ (z >>> 31)
   }
 
-  /** 64-bit random-hyperplane signature (Charikar 2002 / SimHash for
-    * vectors): bit p = sign of ⟨v, r_p⟩ where r_p is a deterministic
+  /** `nBits`-bit random-hyperplane signature (Charikar 2002) as nBits/64
+    * longs: bit p = sign of ⟨v, r_p⟩ where r_p is a deterministic
     * Rademacher (±1) vector derived from a SplitMix64 hash of (p, dim) —
-    * no RNG state, identical on every executor. P[bit differs] = θ/π, so
-    * Hamming distance estimates the angle. */
-  def rpSignature64(v: Array[Float]): Long = {
-    var sig = 0L
+    * no RNG state, identical on every executor. P[bit differs] = θ/π. */
+  def rpSignature(v: Array[Float], nBits: Int): Array[Long] = {
+    require(nBits % 64 == 0, s"nBits $nBits must be a multiple of 64")
+    val sig = new Array[Long](nBits / 64)
     var p = 0
-    while (p < 64) {
+    while (p < nBits) {
       var acc = 0.0
       var d = 0
       while (d < v.length) {
@@ -144,32 +144,60 @@ object Ann {
         acc += (if ((h & 1L) == 1L) v(d) else -v(d))
         d += 1
       }
-      if (acc > 0) sig |= 1L << p
+      if (acc > 0) sig(p >> 6) |= 1L << (p & 63)
       p += 1
     }
     sig
   }
 
-  /** (id, simhash) random-hyperplane signatures of an (id, embedding) table. */
-  def rpSignatures(vectors: DataFrame): DataFrame = {
+  /** (id, sig ARRAY<BIGINT>) random-hyperplane signatures. */
+  def rpSignatures(vectors: DataFrame, nBits: Int = 256): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
     vectors.select(col("id").cast("long"), col("embedding"))
       .as[(Long, Array[Float])]
-      .map { case (id, v) => (id, rpSignature64(v)) }
-      .toDF("id", "simhash")
+      .map { case (id, v) => (id, rpSignature(v, nBits)) }
+      .toDF("id", "sig")
   }
 
-  /** Embedding near-dup pairs via random-hyperplane LSH: signature banding
-    * (pigeonhole, [[graft.dedup.Dedup.simhashPairs]] — candidates are pairs
-    * within `maxDist` signature bits, guaranteed to include every pair whose
-    * angle keeps Hamming ≤ maxDist), then EXACT cosine verification. The
-    * scale alternative to [[cosineDupPairs]]'s quantizer when no IVF index
-    * exists: one narrow signature pass + banded equi-joins, no k-means.
-    * maxDist = 8 covers cosine ≥ 0.95 in expectation (θ/π·64 ≈ 6.5). */
+  /** Embedding near-dup pairs via WIDE-BAND random-hyperplane LSH + exact
+    * cosine verification — the quantizer-free scale path when no IVF index
+    * exists. The signature is sliced into `bands` bands of nBits/bands bits;
+    * a pair is a candidate iff some band matches exactly (banded equi-join,
+    * hot buckets capped).
+    *
+    * Design point (vs the pigeonhole Hamming trick, which is WRONG here at
+    * scale: 64/(maxDist+1)-bit keys give a few hundred buckets, so every
+    * bucket blows the hot cap on a large corpus): band keys must carry
+    * enough bits that E[bucket] = N/2^bandBits stays under `maxBucket` —
+    * with the 16-bit default that holds to N ≈ 65M vectors; use
+    * nBits=512/bands=16 (32-bit keys) beyond. Recall is
+    * 1-(1-(1-θ/π)^bandBits)^bands: ≈ 0.96 at cosine 0.95 with 16×16, and
+    * exact copies match every band regardless. The verification predicate
+    * is exact, so precision is exact. */
   def rplshCosineDupPairs(vectors: DataFrame, threshold: Double,
-      maxDist: Int = 8): DataFrame = {
-    val cand = graft.dedup.Dedup.simhashPairs(rpSignatures(vectors), maxDist)
+      nBits: Int = 256, bands: Int = 16,
+      maxBucket: Int = graft.dedup.Dedup.MaxBucket): DataFrame = {
+    val bandBits = nBits / bands
+    require(bandBits <= 64 && 64 % bandBits == 0,
+      s"band width $bandBits must divide 64")
+    val sigs = rpSignatures(vectors, nBits)
+    val banded0 = sigs.select(col("id"),
+      explode(array((0 until bands).map { b =>
+        val word = (b * bandBits) / 64
+        val off = (b * bandBits) % 64
+        struct(lit(b).as("band"),
+          shiftrightunsigned(element_at(col("sig"), word + 1), off)
+            .bitwiseAND(lit(if (bandBits == 64) -1L else (1L << bandBits) - 1)).as("key"))
+      }: _*)).as("bk"))
+      .select(col("id"), col("bk.band"), col("bk.key"))
+      .persist() // feeds the hot-key count AND both self-join sides
+    val banded = graft.dedup.Dedup.dropHotKeys(banded0, maxBucket, "band", "key")
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
     cand
       .join(vectors.select(col("id").as("id_a"), col("embedding").as("ea")), "id_a")
       .join(vectors.select(col("id").as("id_b"), col("embedding").as("eb")), "id_b")

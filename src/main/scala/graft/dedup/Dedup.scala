@@ -93,7 +93,9 @@ object Dedup {
     * ([[dropHotKeys]]) — exact below the cap, stop-shingle semantics above. */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8, maxBucket: Int = MaxBucket): DataFrame = {
-    val sh = dropHotKeys(shingles(docs, idCol, textCol, k), maxBucket, "sh").persist()
+    // the raw shingle explode is the expensive subtree and dropHotKeys reads
+    // it twice (hot-key count + anti-join side) — pin it before filtering
+    val sh = dropHotKeys(shingles(docs, idCol, textCol, k).persist(), maxBucket, "sh").persist()
     val cnt = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -174,7 +176,9 @@ object Dedup {
     * pairs — exact-dedup such clusters with [[exactGroups]] BEFORE the
     * near-dup pass; that is the standard web-pipeline ordering. */
   def minhashCandidates(bands: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
-    val b = dropHotKeys(bands, maxBucket, "band", "bucket")
+    // bands come from a per-row signature computation — pin before the
+    // hot-count + anti-join + two self-join sides re-read it
+    val b = dropHotKeys(bands.persist(), maxBucket, "band", "bucket")
     b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -192,7 +196,7 @@ object Dedup {
     val cand = minhashCandidates(minhashBands(docs, idCol, textCol, k), maxBucket).persist()
     // verify stage uses the SAME hot-shingle cap as ngramJaccardPairs so the
     // two paths agree on the (stop-shingle-free) Jaccard value
-    val sh = dropHotKeys(shingles(docs, idCol, textCol, k), maxBucket, "sh").persist()
+    val sh = dropHotKeys(shingles(docs, idCol, textCol, k).persist(), maxBucket, "sh").persist()
     val cnt = sh.groupBy("id").agg(count(lit(1)).as("n"))
     // Exact verification touches ONLY docs that appear in some candidate
     // pair: shrink the inverted index to those ids BEFORE the pair
@@ -253,7 +257,8 @@ object Dedup {
           split(trim(col(textCol)), "\\s+").as("ws"))
         .where(size(col("ws")) >= n)
         .select(col("id"), col("grp"),
-          explode(shinglesFromWords(col("ws"), n)).as("sh")),
+          explode(shinglesFromWords(col("ws"), n)).as("sh"))
+        .persist(), // raw index read by the hot count AND the anti-join
       maxBucket, "sh").persist()
     sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.grp") =!= col("b.grp"))
@@ -382,6 +387,7 @@ object Dedup {
             .bitwiseAND(lit((1L << width) - 1)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
+      .persist() // hot-count + both self-join sides re-read the banding
     val banded = dropHotKeys(banded0, maxBucket, "band", "key")
     val popcnt = (x: Column) => bit_count(x)
     banded.as("a").join(banded.as("b"),

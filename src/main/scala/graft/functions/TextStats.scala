@@ -85,11 +85,16 @@ object TextStats {
       .groupBy("doc_id")
       .agg(sum("c").as("n_words"), max("c").as("top_cnt"),
         sum(col("c") * length(col("w"))).as("char_sum"))
+    // materialize the words array before the lambda references it: element_at
+    // on an inline split() re-runs the regex per reference (see
+    // Dedup.shinglesFromWords)
+    val wsCol = col("ws")
     val bigrams = docs
-      .where(size(ws) >= 2) // sequence(0, -1) would count DOWN
-      .select(col(idCol).as("doc_id"),
-        explode(transform(sequence(lit(0), size(ws) - 2),
-          i => concat_ws(" ", element_at(ws, i + 1), element_at(ws, i + 2)))).as("bg"))
+      .select(col(idCol).as("doc_id"), ws.as("ws"))
+      .where(size(wsCol) >= 2) // sequence(0, -1) would count DOWN
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), size(wsCol) - 2),
+          i => concat_ws(" ", element_at(wsCol, i + 1), element_at(wsCol, i + 2)))).as("bg"))
     val bgDoc = bigrams.groupBy("doc_id", "bg").agg(count(lit(1)).as("c"))
       .groupBy("doc_id")
       .agg(sum("c").as("total_bg"), count(lit(1)).as("distinct_bg"))

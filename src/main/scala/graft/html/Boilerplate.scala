@@ -140,6 +140,7 @@ object Boilerplate {
     var pendingSpace = false
     var inWord = false
     var listItem = false
+    var pendingCellSep = false // " | " owed before the NEXT cell's first char
 
     def endWord(): Unit = {
       if (inWord) {
@@ -168,6 +169,7 @@ object Boilerplate {
       linkedWords = 0
       blockStart = -1
       pendingSpace = false
+      pendingCellSep = false
     }
 
     def appendChar(c: Char, at: Int): Unit = {
@@ -175,6 +177,9 @@ object Boilerplate {
         if (text.nonEmpty) pendingSpace = true
         endWord()
       } else {
+        // the separator is owed only once the next cell actually contributes
+        // text \u2014 an empty trailing <td></td> must not leave a dangling " |"
+        if (pendingCellSep) { text.append(" |"); pendingCellSep = false; pendingSpace = true }
         if (pendingSpace) { text.append(' '); pendingSpace = false }
         if (blockStart < 0) blockStart = at
         text.append(c)
@@ -233,13 +238,11 @@ object Boilerplate {
               pendingSpace = true
               endWord()
             } else if (name == "td" || name == "th") {
-              // cell boundary inside a row block: " | " layout separator
-              // (the pipe is punctuation, not a word — appended directly)
+              // cell boundary inside a row block: " | " layout separator,
+              // deferred until the new cell produces text (the pipe is
+              // punctuation, not a word — appended outside word counting)
               endWord()
-              if (!closing && text.nonEmpty) {
-                text.append(" |")
-                pendingSpace = true
-              }
+              if (!closing && text.nonEmpty) pendingCellSep = true
             }
             if (BlockTags.contains(name)) {
               flushBlock()

@@ -61,8 +61,18 @@ object Checkpoint {
     val batch = newBatchId()
     val dataStaging = s"${dataPath(outDir)}/.staging_$batch"
     val manStaging = s"${manifestPath(outDir)}/.staging_$batch"
-    done.toDF().write.parquet(dataStaging)
-    manifestRows(done, batch).write.parquet(manStaging)
+    // the data write and the manifest write are two jobs over `done`; pin it
+    // so (a) the (possibly expensive) upstream runs once and (b) a
+    // nondeterministic upstream cannot produce a manifest whose url set
+    // differs from the data actually written. Respect a caller's own cache.
+    val wasCached = done.storageLevel != org.apache.spark.storage.StorageLevel.NONE
+    if (!wasCached) done.persist()
+    try {
+      done.toDF().write.parquet(dataStaging)
+      manifestRows(done, batch).write.parquet(manStaging)
+    } finally {
+      if (!wasCached) done.unpersist()
+    }
     publish(spark, dataStaging, s"${dataPath(outDir)}/$batch")
     publish(spark, manStaging, s"${manifestPath(outDir)}/$batch")
     batch
@@ -115,7 +125,10 @@ object Checkpoint {
       if (dirs.isEmpty) Nil
       else spark.read.parquet(dirs: _*).select("batch").where(col("batch") =!= "")
         .distinct().collect().map(_.getString(0)).toSeq
-    if (batches.isEmpty) spark.emptyDataFrame
+    if (batches.isEmpty)
+      // schema-carrying empty table, so .select("url")/.as[ExtractedDoc]
+      // work on a fresh or manifest-only outDir
+      spark.emptyDataset(org.apache.spark.sql.Encoders.product[ExtractedDoc]).toDF()
     else spark.read.parquet(batches.map(b => s"${dataPath(outDir)}/$b"): _*)
   }
 

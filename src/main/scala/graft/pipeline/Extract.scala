@@ -97,7 +97,10 @@ object ExtractPipeline {
       bigBytes: Int = 4 << 20): Dataset[PageRow] = {
     val isBig = length(col("html")) >= bigBytes
     val small = pages.where(!isBig).repartition(numPartitions, xxhash64(col("url")))
-    val big = pages.where(isBig).repartition(numPartitions, xxhash64(col("url")))
+    // ROUND-ROBIN for the big lane: hash repartitioning can still land two
+    // oversized docs in one task on a key collision; round-robin guarantees
+    // an even spread, approaching one oversized doc per task
+    val big = pages.where(isBig).repartition(numPartitions)
     small.unionAll(big)
   }
 }

@@ -43,20 +43,19 @@ object Main {
       .run(ExtractPipeline.salted(todo, partitions), delimiter)
       .persist()
 
-    val m0 = extracted.agg(count(lit(1))).collect().head.getLong(0)
-    // single atomic commit: data staged + renamed, then the manifest rename
-    // as the commit point — a crash at any moment leaves either nothing or
-    // an unmanifested (invisible, re-extracted) orphan, never duplicates.
-    // A fully-resumed (empty) run commits nothing, so idle re-submissions
-    // don't accumulate empty batch directories.
-    if (m0 > 0) Checkpoint.commitWithData(extracted, outDir)
-
+    // one metrics job over the persisted batch; its docs count also gates
+    // the commit so a fully-resumed (empty) run commits nothing and idle
+    // re-submissions don't accumulate empty batch directories
     val m = extracted.agg(
       count(lit(1)).as("docs"),
       coalesce(sum("n_chars"), lit(0L)).as("chars"),
       coalesce(sum("decode_failures"), lit(0L)).as("decode_failures"),
       coalesce(sum(when(col("kind") === "pdf", 1L).otherwise(0L)), lit(0L)).as("pdf_docs"))
       .collect().head
+    // single atomic commit: data staged + renamed, then the manifest rename
+    // as the commit point — a crash at any moment leaves either nothing or
+    // an unmanifested (invisible, re-extracted) orphan, never duplicates
+    if (m.getLong(0) > 0) Checkpoint.commitWithData(extracted, outDir)
     println(s"""{"docs":${m.getLong(0)},"chars":${m.getLong(1)},""" +
       s""""decode_failures":${m.getLong(2)},"pdf_docs":${m.getLong(3)},"resumed":$resume}""")
     spark.stop()
