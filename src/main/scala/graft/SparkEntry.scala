@@ -273,6 +273,14 @@ object SparkEntry {
         .select(col("lang"), col("doc_id"))
         .orderBy("lang", "doc_id")
     }),
+    "tokens_histogram" -> ((s, dir) =>
+      // document-length distribution in 50-token buckets — the training-mix
+      // length profile; one map-side-combined groupBy
+      docs(s, dir)
+        .select(TextStats.wsTokens(col("text")).as("n"))
+        .select(expr("n div 50").as("bucket_50"))
+        .groupBy("bucket_50").agg(count(lit(1)).as("n_docs"))
+        .orderBy("bucket_50")),
     "vocab_stats" -> ((s, dir) => {
       // global term frequencies: classic explode -> map-side partial count
       // -> single shuffle; top-50 with deterministic (count desc, term asc)
@@ -523,6 +531,10 @@ object SparkEntry {
              ORDER BY ((doc_id * 2654435761) % 1000003) % 100, doc_id) AS rn
            FROM documents)
          WHERE rn <= 10 ORDER BY lang, doc_id""",
+    "tokens_histogram" ->
+      """SELECT len(string_split(trim(text), ' ')) // 50 AS bucket_50,
+                count(*) AS n_docs
+         FROM documents GROUP BY 1 ORDER BY bucket_50""",
     "vocab_stats" ->
       """SELECT term, count(*) AS n FROM (
            SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents)

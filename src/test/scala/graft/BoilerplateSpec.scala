@@ -126,6 +126,21 @@ class BoilerplateSpec extends AnyFunSuite {
       .text.contains("a &notanentity; b"))
   }
 
+  test("fuzz: mutated and truncated HTML never throws") {
+    import graft.pipeline.Corpus
+    val rnd = new java.util.Random(0x48544d4cL) // "HTML"
+    val base = Corpus.htmlFromText("some ordinary body text with enough words to matter here", 3L)
+    val layout = Corpus.htmlLayoutFromText((1 to 60).map(i => s"w$i").mkString(" "), 5L)
+    Seq(base, layout).foreach { b =>
+      (1 to 200).foreach { _ =>
+        val m = b.clone()
+        (0 until 1 + rnd.nextInt(6)).foreach(_ => m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
+        Boilerplate.extract(m) // must not throw
+      }
+      (1 to 30).foreach(_ => Boilerplate.extract(java.util.Arrays.copyOf(b, 1 + rnd.nextInt(b.length))))
+    }
+  }
+
   test("empty and pathological inputs do not throw") {
     assert(Boilerplate.extract("").text == "")
     Boilerplate.extract("<<<>>>") // must not throw
