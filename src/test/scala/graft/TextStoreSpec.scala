@@ -46,6 +46,21 @@ class TextStoreSpec extends AnyFunSuite {
     assert(ts.lineOfByteOffset(7) == 3)
   }
 
+  test("all 256 display bytes (upstream TextStoreTest corpus) + the lone-LF discrepancy") {
+    // re-encoding of TextStoreLibTest/TextStoreTest.cs:27-35: bytes 0..255
+    // contain exactly \n (0x0A) and \r (0x0D) as terminators -> 3 lines
+    val ts = new TextStore(10)
+    ts.append(Array.tabulate[Byte](256)(_.toByte), 0)
+    assert(ts.linesCount == 3)
+    // upstream's test then asserts a lone LF append LEAVES LinesCount at 3
+    // (TextStoreTest.cs:34-35) — but TextStore.cs:104-125 unconditionally
+    // starts a new line on LF, making it 4. The test contradicts the code
+    // it tests; we port the CODE (which is what the viewer actually runs)
+    // and document the discrepancy here.
+    ts.append(Array[Byte](0x0a), 0)
+    assert(ts.linesCount == 4)
+  }
+
   test("reset reuses the buffers (viewer lifecycle)") {
     val ts = new TextStore(16)
     ts.append(("x" * 100 + "\n" + "y" * 50).getBytes("ISO-8859-1"), 0)
