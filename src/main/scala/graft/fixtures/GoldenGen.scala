@@ -290,6 +290,39 @@ object GoldenGen {
     b.finish(s"/Root $catalog 0 R/Encrypt $encId 0 R/ID[<$docIdHex><$docIdHex>]")
   }
 
+  /** REAL AES-encrypted (V4/R4, AESV2) fixture: proper Algorithm-3 /O,
+    * Algorithm-5 /U, AES-128-CBC content streams with deterministic IVs.
+    * The reference throws on V4 (replicated in default mode); the engine's
+    * extended mode decrypts it. */
+  def encryptedPdfAes(message: String = "aes secret text"): Array[Byte] = {
+    val userPw = ""
+    val ownerPw = ""
+    val docIdHex = "fedcba9876543210fedcba9876543210"
+    val docId = hexToBytes(docIdHex)
+    val permission = -44
+    val lengthBytes = 16 // /Length 128
+    val o = PdfCrypto.computeOwnerO(ownerPw, userPw, lengthBytes)
+    val key = PdfCrypto.computeEncryptionKey(PdfCrypto.pad(userPw), o, permission, docId, lengthBytes)
+    val u = PdfCrypto.computeEncryptU(PdfCrypto.pad(userPw), docId, key)
+
+    val b = new PdfBuilder()
+    val contentId = b.registerObject()
+    val plain = s"BT ($message) Tj ET".getBytes(ISO_8859_1)
+    val iv = Array.tabulate[Byte](16)(i => (i * 31 + 5).toByte) // deterministic
+    val payload = PdfCrypto.aesEncrypt(
+      PdfCrypto.objectKeyAes(key, graft.pdf.ObjectId(contentId, 0)), iv, plain)
+    b.raw(s"$contentId 0 obj\n<</Length ${payload.length}>>stream\n")
+    b.raw(payload)
+    b.raw("\nendstream\nendobj\n")
+    val catalog = catalogFor(b, Seq(contentId))
+    val encId = b.addObject(
+      s"<</Filter/Standard/V 4/R 4/P $permission/Length 128" +
+        "/CF<</StdCF<</CFM/AESV2/AuthEvent/DocOpen/Length 16>>>>" +
+        "/StmF/StdCF/StrF/StdCF" +
+        s"/O <${bytesToHex(o)}>/U <${bytesToHex(u)}>>>")
+    b.finish(s"/Root $catalog 0 R/Encrypt $encId 0 R/ID[<$docIdHex><$docIdHex>]")
+  }
+
   /** AES-encrypted (V4/R4, /CFM/AESV2) fixture. The reference supports only
     * the RC4 standard handler — V∈{1,2}, R∈{2,3} — and throws ArgumentException
     * for anything else (reference: Tokeniser.cs:635-645); our engine

@@ -148,4 +148,68 @@ object PdfCrypto {
     val hash = md5(data)
     if (off < 16) java.util.Arrays.copyOf(hash, off) else hash
   }
+
+  // ------------------------------------------- AES-V2 (V4/R4) — EXTENSION
+  // Beyond the reference (which throws on V4, Tokeniser.cs:635-645): the
+  // ISO 32000-1 §7.6.2 AESV2 crypt filter, available only in the engine's
+  // opt-in extended mode. Pure JDK javax.crypto — no new dependencies.
+
+  /** The AESV2 per-object-key salt "sAlT" (ISO 32000-1 Algorithm 1 step b). */
+  private val AesSalt = Array[Byte](0x73, 0x41, 0x6c, 0x54)
+
+  /** Per-object AES key = MD5(docKey ∥ objNum₃ ∥ gen₂ ∥ sAlT), truncated to
+    * min(n+5, 16). */
+  def objectKeyAes(globalKey: Array[Byte], objectId: ObjectId): Array[Byte] = {
+    val data = new Array[Byte](globalKey.length + 5 + 4)
+    System.arraycopy(globalKey, 0, data, 0, globalKey.length)
+    var off = globalKey.length
+    val on = objectId.objectNumber
+    data(off) = on.toByte; data(off + 1) = (on >> 8).toByte; data(off + 2) = (on >> 16).toByte
+    off += 3
+    val gen = objectId.generation
+    data(off) = gen.toByte; data(off + 1) = (gen >> 8).toByte
+    off += 2
+    System.arraycopy(AesSalt, 0, data, off, 4)
+    val hash = md5(data)
+    val keep = math.min(globalKey.length + 5, 16)
+    java.util.Arrays.copyOf(hash, keep)
+  }
+
+  /** AES-128-CBC decrypt of a PDF AESV2 payload: first 16 bytes are the IV,
+    * PKCS#5 padding is stripped. Throws on malformed padding (surfaces as an
+    * error row). */
+  def aesDecrypt(key: Array[Byte], data: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    require(len >= 32, s"AESV2 payload too short ($len bytes; IV + one block required)")
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    cipher.init(javax.crypto.Cipher.DECRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(data, off, 16))
+    cipher.doFinal(data, off + 16, len - 16)
+  }
+
+  /** AES-128-CBC encrypt (fixture generation): returns IV ∥ ciphertext. */
+  def aesEncrypt(key: Array[Byte], iv: Array[Byte], plain: Array[Byte]): Array[Byte] = {
+    val cipher = javax.crypto.Cipher.getInstance("AES/CBC/PKCS5Padding")
+    cipher.init(javax.crypto.Cipher.ENCRYPT_MODE,
+      new javax.crypto.spec.SecretKeySpec(key, "AES"),
+      new javax.crypto.spec.IvParameterSpec(iv))
+    iv ++ cipher.doFinal(plain)
+  }
+
+  /** Algorithm 3 (R ≥ 3): the /O entry — RC4 chain over the padded user
+    * password with the 50×MD5 owner key. */
+  def computeOwnerO(ownerPassword: String, userPassword: String, lengthBytes: Int): Array[Byte] = {
+    var h = md5(pad(ownerPassword))
+    var i = 0
+    while (i < 50) { h = md5(h); i += 1 }
+    val rc4Key = java.util.Arrays.copyOf(h, lengthBytes)
+    var o = rc4(rc4Key, pad(userPassword))
+    var it = 1
+    while (it < 20) {
+      val k = rc4Key.map(b => (b ^ it).toByte)
+      o = rc4(k, o)
+      it += 1
+    }
+    o
+  }
 }

@@ -144,6 +144,7 @@ final class PdfTokeniser(
   var isDecryptionError: Boolean = false
   var isStringNeedsDecryption: Boolean = false
   private var globalEncryptionKey: Array[Byte] = null
+  private var encryptionIsAes: Boolean = false
 
   private[pdf] val pages = mutable.ArrayBuffer.empty[PdfPage]
   def pageList: Seq[PdfPage] = pages.toSeq
@@ -487,7 +488,12 @@ final class PdfTokeniser(
 
   /** reference: Tokeniser.cs:627-690 (live branch only — the `isNew` flag is
     * hard-wired true there). Wrong password ends in the reference's
-    * unimplemented owner-password path, i.e. an exception. */
+    * unimplemented owner-password path, i.e. an exception.
+    *
+    * EXTENSION (opt-in `extendedFilters` only; default keeps the reference's
+    * throw): the AESV2 crypt filter — /V 4 /R 4 with /CF/StdCF/CFM/AESV2.
+    * Key derivation is the same Algorithm 2 / user-password Algorithm 5-6
+    * chain; only the per-object key (sAlT suffix) and the cipher differ. */
   private def setupEncryption(enc: DictTok): Option[String] = {
     val filter = enc.getName("Filter")
     val v = enc.getNumber("V").flatMap(_.integer)
@@ -496,9 +502,16 @@ final class PdfTokeniser(
     val o = enc.getHexBytes("O")
     val u = enc.getHexBytes("U")
     val idToken = trailerEntries.get("ID")
-    if (!filter.contains("Standard") || !(v.contains(1) || v.contains(2)) || !(r.contains(2) || r.contains(3)) ||
+    val refSupported = filter.contains("Standard") &&
+      (v.contains(1) || v.contains(2)) && (r.contains(2) || r.contains(3))
+    val aesSupported = extendedFilters && filter.contains("Standard") &&
+      v.contains(4) && r.contains(4) &&
+      enc.getDictionary("CF").flatMap(_.getDictionary("StdCF"))
+        .flatMap(_.getName("CFM")).contains("AESV2")
+    if ((!refSupported && !aesSupported) ||
         p.isEmpty || o.isEmpty || u.isEmpty || idToken.isEmpty)
       throw new IllegalArgumentException("PdfParser can only decrypt pdf files using Standard encryption.\n" + enc.render)
+    encryptionIsAes = aesSupported && !refSupported
 
     val lengthBits = enc.getNumber("Length").flatMap(_.integer).getOrElse(40)
     val lengthBytes = lengthBits / 8
@@ -969,31 +982,46 @@ final class PdfTokeniser(
 
   private[pdf] var argumentsStartIndex: Int = Int.MinValue
 
-  /** Decrypt (RC4, in place, once) + inflate or alias the raw slice
-    * (reference: Tokeniser.cs:1796-1846). */
+  /** Decrypt (RC4 in place once, or AESV2 into a per-dict memo — AES output
+    * is shorter than the stored bytes) + inflate or alias the raw slice
+    * (reference: Tokeniser.cs:1796-1846; AES is the extended-mode extension). */
   private[pdf] def fillStreamBytes(dict: DictTok, filter: StreamFilter.Value, chainFlate: Boolean = false): Unit = {
     idx = dict.streamStartIndex
     argumentsStartIndex = Int.MinValue
-    if (globalEncryptionKey != null && !dict.isDecrypted) {
-      dict.isDecrypted = true
-      PdfCrypto.rc4InPlace(
-        PdfCrypto.objectKey(globalEncryptionKey, dict.objectId.get),
-        bytes, dict.streamStartIndex, dict.streamLength)
+    // source triple: the (possibly decrypted) stored payload
+    var srcBuf = bytes
+    var srcOff = dict.streamStartIndex
+    var srcLen = dict.streamLength
+    if (globalEncryptionKey != null) {
+      if (encryptionIsAes) {
+        if (dict.decryptedStream == null)
+          dict.decryptedStream = PdfCrypto.aesDecrypt(
+            PdfCrypto.objectKeyAes(globalEncryptionKey, dict.objectId.get),
+            bytes, dict.streamStartIndex, dict.streamLength)
+        srcBuf = dict.decryptedStream
+        srcOff = 0
+        srcLen = dict.decryptedStream.length
+      } else if (!dict.isDecrypted) {
+        dict.isDecrypted = true
+        PdfCrypto.rc4InPlace(
+          PdfCrypto.objectKey(globalEncryptionKey, dict.objectId.get),
+          bytes, dict.streamStartIndex, dict.streamLength)
+      }
     }
     filter match {
       case StreamFilter.None =>
-        streamBuf = bytes
-        streamOff = dict.streamStartIndex
-        streamLen = dict.streamLength
+        streamBuf = srcBuf
+        streamOff = srcOff
+        streamLen = srcLen
         streamIdx = 0
       case StreamFilter.Lzw | StreamFilter.AsciiHex | StreamFilter.Ascii85 =>
         val decoded = filter match {
           case StreamFilter.Lzw =>
-            ExtraFilters.lzwDecode(bytes, dict.streamStartIndex, dict.streamLength)
+            ExtraFilters.lzwDecode(srcBuf, srcOff, srcLen)
           case StreamFilter.AsciiHex =>
-            ExtraFilters.asciiHexDecode(bytes, dict.streamStartIndex, dict.streamLength)
+            ExtraFilters.asciiHexDecode(srcBuf, srcOff, srcLen)
           case _ =>
-            ExtraFilters.ascii85Decode(bytes, dict.streamStartIndex, dict.streamLength)
+            ExtraFilters.ascii85Decode(srcBuf, srcOff, srcLen)
         }
         val payload =
           if (chainFlate) inflateArray(decoded, 0, decoded.length)
@@ -1006,7 +1034,7 @@ final class PdfTokeniser(
         // skip the 2-byte zlib header and inflate the raw deflate payload
         val inflater = buffers.inflater
         inflater.reset()
-        inflater.setInput(bytes, dict.streamStartIndex + 2, dict.streamLength - 2)
+        inflater.setInput(srcBuf, srcOff + 2, srcLen - 2)
         var total = 0
         var finished = false
         while (!finished) {
@@ -1055,10 +1083,16 @@ final class PdfTokeniser(
     val data = new Array[Byte](encrypted.length)
     var i = 0
     while (i < encrypted.length) { data(i) = encrypted.charAt(i).toByte; i += 1 }
-    PdfCrypto.rc4InPlace(PdfCrypto.objectKey(globalEncryptionKey, objectId), data, 0, data.length)
+    val plain =
+      if (encryptionIsAes)
+        PdfCrypto.aesDecrypt(PdfCrypto.objectKeyAes(globalEncryptionKey, objectId), data, 0, data.length)
+      else {
+        PdfCrypto.rc4InPlace(PdfCrypto.objectKey(globalEncryptionKey, objectId), data, 0, data.length)
+        data
+      }
     // ASCII decode: non-ASCII bytes become '?', matching .NET's ASCII
     // decoder used by the reference (Tokeniser.cs:1859)
-    new String(data.map(b => if ((b & 0xff) > 0x7f) '?' else (b & 0xff).toChar))
+    new String(plain.map(b => if ((b & 0xff) > 0x7f) '?' else (b & 0xff).toChar))
   }
 
   /** PNG Up predictor, the only one supported (reference: Tokeniser.cs:2192-2215). */

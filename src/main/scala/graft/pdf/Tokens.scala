@@ -138,6 +138,10 @@ final class DictTok(private val tk: PdfTokeniser, val objectId: Option[ObjectId]
   var streamStartIndex: Int = Int.MinValue
   var streamLength: Int = Int.MinValue
   var isDecrypted: Boolean = false
+  /** AESV2 (extended mode): decrypted payload memo — AES output is shorter
+    * than the stored bytes (IV + padding), so unlike RC4 it cannot be
+    * decrypted in place. */
+  var decryptedStream: Array[Byte] = null
   var streamLengthProblem: String = null
 
   def isStream: Boolean = streamStartIndex >= 0

@@ -174,6 +174,23 @@ class PdfExtractSpec extends AnyFunSuite {
     assert(errorRows > 0, "mutations never produced an error row — fuzz too weak")
   }
 
+  test("AES V4/R4: extended mode decrypts for real; default mode keeps the reference error row") {
+    val pdf = GoldenGen.encryptedPdfAes("quarterly aes report")
+    // default: the reference's exact throw surface (Tokeniser.cs:635-645)
+    val ref = PdfExtract.extract(pdf)
+    assert(ref.error.exists(_.contains("can only decrypt pdf files using Standard encryption")), ref.error)
+    assert(ref.text == "")
+    // extended: real AES-128-CBC decryption (Algorithm 2 key, sAlT object
+    // keys, IV-prefixed PKCS#5 streams)
+    val ext = PdfExtract.extract(pdf, extendedFilters = true)
+    assert(ext.error.isEmpty, ext.error)
+    assert(ext.text == "quarterly aes report|", ext.text)
+    // wrong password still authenticates-or-errors, never garbage
+    val wrong = PdfExtract.extract(pdf, password = "nope", extendedFilters = true)
+    assert(wrong.text != "quarterly aes report|")
+    assert(wrong.error.isDefined)
+  }
+
   test("non-pdf bytes give an error row, not an exception") {
     val r = PdfExtract.extract("this is not a pdf at all".getBytes)
     assert(r.error.isDefined)
