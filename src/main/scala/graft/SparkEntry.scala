@@ -179,6 +179,9 @@ object SparkEntry {
     "text_repetition" -> ((s, dir) =>
       TextStats.repetitionSignals(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
+    "embedding_quantize" -> ((s, dir) =>
+      Ann.quantizeInt8(embeddings(s, dir).select(col("vec_id").as("id"), col("embedding")))
+        .orderBy("id", "pos")),
     // ----------------------------------------------------- similarity search
     "ann_topk_bruteforce" -> ((s, dir) => {
       val e = embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
@@ -413,6 +416,18 @@ object SparkEntry {
                 CAST(coalesce((1000 * (total_bg - distinct_bg)) // total_bg, 0) AS BIGINT) AS dup_bigram_permille,
                 (100 * char_sum) // n_words AS mean_word_len_centi
          FROM doc LEFT JOIN bgd ON bgd.doc_id = doc.doc_id ORDER BY doc_id""",
+    // arithmetic mirrored operation-for-operation in IEEE double:
+    // (x*127.0)/maxabs + 0.5, floor, with maxabs an exact max of |x|
+    "embedding_quantize" ->
+      """WITH e AS (SELECT vec_id, embedding,
+             list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS maxabs
+           FROM embeddings)
+         SELECT vec_id AS id, CAST(i - 1 AS BIGINT) AS pos,
+           CAST(CASE WHEN maxabs = 0 THEN 0
+                ELSE floor((CAST(embedding[i] AS DOUBLE) * 127.0) / maxabs + 0.5) END AS BIGINT) AS qval
+         FROM (SELECT vec_id, embedding, maxabs,
+                 unnest(generate_series(1, len(embedding))) AS i FROM e)
+         ORDER BY id, pos""",
     "ann_topk_bruteforce" ->
       """WITH q AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id < 10)
          SELECT query_id, rank, neighbor_id FROM (

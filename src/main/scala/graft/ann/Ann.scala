@@ -119,6 +119,25 @@ object Ann {
     centroids
   }
 
+  /** Symmetric per-vector int8 scalar quantization — the 4× storage
+    * compression step for a 100 TB embedding table (store (id, scale,
+    * int8[]); dequantize as q·maxabs/127 at search time). Output is the
+    * exploded (id, pos, qval) form in BIGINT so any engine reproduces it
+    * bit-exactly: all arithmetic is IEEE double with a fixed operation
+    * order, round-half-up via floor(v + 0.5). Codegen'd higher-order
+    * functions, no UDF. */
+  def quantizeInt8(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("id"), col("embedding"),
+        aggregate(col("embedding"), lit(0.0),
+          (acc, x) => greatest(acc, abs(x.cast("double")))).as("maxabs"))
+      .select(col("id"), col("maxabs"),
+        posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("id"), col("pos").cast("long").as("pos"),
+        when(col("maxabs") === 0.0, lit(0L))
+          .otherwise(floor(col("x").cast("double") * 127.0 / col("maxabs") + 0.5).cast("long"))
+          .as("qval"))
+
   // ------------------------------------------- random-hyperplane (cosine) LSH
 
   private def mix64(z0: Long): Long = {

@@ -54,6 +54,27 @@ object Boilerplate {
   def extract(htmlBytes: Array[Byte]): HtmlResult =
     extract(decode(htmlBytes))
 
+  /** 1-based line number of char offset `off` in `html` (LF-counted —
+    * HTML sources are overwhelmingly LF; CRLF's LF lands on the same line
+    * boundary). Binary search over the newline positions from
+    * [[newlinePositions]]. */
+  def lineOf(nlPositions: Array[Int], off: Int): Int = {
+    var lo = 0
+    var hi = nlPositions.length
+    while (lo < hi) {
+      val mid = (lo + hi) >>> 1
+      if (nlPositions(mid) < off) lo = mid + 1 else hi = mid
+    }
+    lo + 1
+  }
+
+  def newlinePositions(html: String): Array[Int] = {
+    val b = Array.newBuilder[Int]
+    var i = 0
+    while (i < html.length) { if (html.charAt(i) == '\n') b += i; i += 1 }
+    b.result()
+  }
+
   /** Charset sniff for web payloads: BOM, then a `charset=` declaration in
     * the first 1024 bytes (ASCII-compatible prefix scan), else UTF-8 with
     * replacement — the Common-Crawl-practical subset (UTF-8 dominates;

@@ -42,9 +42,12 @@ object ExtractPipeline {
         r.pages, r.text.length, r.decodeFailures, r.error.getOrElse(""), lang, nBytes)
     } else {
       try {
-        val r = Boilerplate.extract(payload)
+        val html = Boilerplate.decode(payload)
+        val r = Boilerplate.extract(html)
+        val nls = if (captureLines) Boilerplate.newlinePositions(html) else null
         ExtractedDoc(url, "html", r.text, r.title,
-          r.spans.map(s => SpanRow(s.start, s.end, s.srcOffset, s.kind)),
+          r.spans.map(s => SpanRow(s.start, s.end, s.srcOffset, s.kind,
+            if (nls != null) Boilerplate.lineOf(nls, s.srcOffset) else -1)),
           1, r.text.length, 0, "", lang, nBytes)
       } catch {
         case e: Exception =>

@@ -151,6 +151,20 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(bulk.spans.forall(_.src_line == -1))
   }
 
+  test("captureLines: html span source lines match an independent newline count") {
+    import spark.implicits._
+    val t = ("alpha beta gamma delta " * 20).trim
+    val pages = Seq(Corpus.pageRowFor(43L, t, "en")).toDS() // odd id -> html
+    val d = ExtractPipeline.run(pages, delimiter = "", captureLines = true).collect().head
+    assert(d.kind == "html" && d.spans.nonEmpty)
+    val html = new String(Corpus.htmlFromText(t, 43L), java.nio.charset.StandardCharsets.UTF_8)
+    d.spans.foreach { s =>
+      val want = 1 + html.substring(0, s.src_offset).count(_ == '\n')
+      assert(s.src_line == want, s"span at ${s.src_offset}")
+      assert(s.src_line > 1)
+    }
+  }
+
   private def docsDf(rows: Seq[(Long, String)]): DataFrame = {
     import spark.implicits._
     rows.toDF("doc_id", "text")
