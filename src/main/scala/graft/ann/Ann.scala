@@ -197,9 +197,11 @@ object Ann {
   def rplshCosineDupPairs(vectors: DataFrame, threshold: Double,
       nBits: Int = 256, bands: Int = 16,
       maxBucket: Int = graft.dedup.Dedup.MaxBucket): DataFrame = {
+    require(bands > 0 && nBits % bands == 0,
+      s"bands $bands must divide nBits $nBits")
     val bandBits = nBits / bands
-    require(bandBits <= 64 && 64 % bandBits == 0,
-      s"band width $bandBits must divide 64")
+    require(bandBits > 0 && bandBits <= 64 && 64 % bandBits == 0,
+      s"band width $bandBits must be in 1..64 and divide 64")
     val sigs = rpSignatures(vectors, nBits)
     val banded0 = sigs.select(col("id"),
       explode(array((0 until bands).map { b =>
@@ -210,8 +212,7 @@ object Ann {
             .bitwiseAND(lit(if (bandBits == 64) -1L else (1L << bandBits) - 1)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-      .persist() // feeds the hot-key count AND both self-join sides
-    val banded = graft.dedup.Dedup.dropHotKeys(banded0, maxBucket, "band", "key")
+    val banded = graft.dedup.Dedup.dropHotKeysCached(banded0, maxBucket, "band", "key")
     val cand = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
           col("a.id") < col("b.id"))

@@ -49,6 +49,18 @@ object Dedup {
     rows.join(hot, keyCols, "left_anti")
   }
 
+  /** [[dropHotKeys]] over an EXPENSIVE input subtree: pins the raw input,
+    * eagerly materializes the filtered result (one count job), then drops
+    * the raw cache — so the expensive explode runs once, only the useful
+    * filtered copy stays cached, and nothing accumulates across calls. */
+  private[graft] def dropHotKeysCached(raw: DataFrame, maxBucket: Int, keyCols: String*): DataFrame = {
+    raw.persist()
+    val filtered = dropHotKeys(raw, maxBucket, keyCols: _*).persist()
+    filtered.count() // materialize while the raw cache is alive
+    raw.unpersist()
+    filtered
+  }
+
   // ---------------------------------------------------------------- exact
 
   /** Exact dedup groups: fingerprint → group size + representative (min id).
@@ -94,8 +106,8 @@ object Dedup {
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 3, threshold: Double = 0.8, maxBucket: Int = MaxBucket): DataFrame = {
     // the raw shingle explode is the expensive subtree and dropHotKeys reads
-    // it twice (hot-key count + anti-join side) — pin it before filtering
-    val sh = dropHotKeys(shingles(docs, idCol, textCol, k).persist(), maxBucket, "sh").persist()
+    // it twice (hot-key count + anti-join side) — see dropHotKeysCached
+    val sh = dropHotKeysCached(shingles(docs, idCol, textCol, k), maxBucket, "sh")
     val cnt = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
@@ -178,7 +190,7 @@ object Dedup {
   def minhashCandidates(bands: DataFrame, maxBucket: Int = MaxBucket): DataFrame = {
     // bands come from a per-row signature computation — pin before the
     // hot-count + anti-join + two self-join sides re-read it
-    val b = dropHotKeys(bands.persist(), maxBucket, "band", "bucket")
+    val b = dropHotKeysCached(bands, maxBucket, "band", "bucket")
     b.as("a").join(b.as("b"),
         col("a.band") === col("b.band") && col("a.bucket") === col("b.bucket") &&
           col("a.id") < col("b.id"))
@@ -196,7 +208,7 @@ object Dedup {
     val cand = minhashCandidates(minhashBands(docs, idCol, textCol, k), maxBucket).persist()
     // verify stage uses the SAME hot-shingle cap as ngramJaccardPairs so the
     // two paths agree on the (stop-shingle-free) Jaccard value
-    val sh = dropHotKeys(shingles(docs, idCol, textCol, k).persist(), maxBucket, "sh").persist()
+    val sh = dropHotKeysCached(shingles(docs, idCol, textCol, k), maxBucket, "sh")
     val cnt = sh.groupBy("id").agg(count(lit(1)).as("n"))
     // Exact verification touches ONLY docs that appear in some candidate
     // pair: shrink the inverted index to those ids BEFORE the pair
@@ -251,15 +263,14 @@ object Dedup {
     // subtree feeds BOTH sides of the self-join plus the hot-key count;
     // without it Spark recomputes it three times (measured 61 s -> ~3 s
     // on the sf0.1 bench corpus)
-    val sh = dropHotKeys(
+    val sh = dropHotKeysCached(
       docs
         .select(col(idCol).as("id"), col(groupCol).as("grp"),
           split(trim(col(textCol)), "\\s+").as("ws"))
         .where(size(col("ws")) >= n)
         .select(col("id"), col("grp"),
-          explode(shinglesFromWords(col("ws"), n)).as("sh"))
-        .persist(), // raw index read by the hot count AND the anti-join
-      maxBucket, "sh").persist()
+          explode(shinglesFromWords(col("ws"), n)).as("sh")),
+      maxBucket, "sh")
     sh.as("a").join(sh.as("b"),
         col("a.sh") === col("b.sh") && col("a.grp") =!= col("b.grp"))
       .groupBy(col("a.id").as("doc_id"), col("a.grp").as("grp"))
@@ -298,7 +309,7 @@ object Dedup {
         .select(col("id"),
           least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"))
         .persist()
-      val s = next.agg(sum(col("label"))).head.getLong(0)
+      val s = next.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
       changed = s != prevSum
       prevSum = s
       labels.unpersist()
@@ -394,8 +405,7 @@ object Dedup {
             .bitwiseAND(lit((1L << width) - 1)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("simhash"), col("bk.band"), col("bk.key"))
-      .persist() // hot-count + both self-join sides re-read the banding
-    val banded = dropHotKeys(banded0, maxBucket, "band", "key")
+    val banded = dropHotKeysCached(banded0, maxBucket, "band", "key")
     val popcnt = (x: Column) => bit_count(x)
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") && col("a.key") === col("b.key") &&

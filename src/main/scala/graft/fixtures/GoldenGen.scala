@@ -294,15 +294,17 @@ object GoldenGen {
     * Algorithm-5 /U, AES-128-CBC content streams with deterministic IVs.
     * The reference throws on V4 (replicated in default mode); the engine's
     * extended mode decrypts it. */
-  def encryptedPdfAes(message: String = "aes secret text"): Array[Byte] = {
+  def encryptedPdfAes(message: String = "aes secret text",
+      topLevelLength: Boolean = true, encryptMetadata: Boolean = true): Array[Byte] = {
     val userPw = ""
     val ownerPw = ""
     val docIdHex = "fedcba9876543210fedcba9876543210"
     val docId = hexToBytes(docIdHex)
     val permission = -44
-    val lengthBytes = 16 // /Length 128
+    val lengthBytes = 16 // 128-bit key
     val o = PdfCrypto.computeOwnerO(ownerPw, userPw, lengthBytes)
-    val key = PdfCrypto.computeEncryptionKey(PdfCrypto.pad(userPw), o, permission, docId, lengthBytes)
+    val key = PdfCrypto.computeEncryptionKey(PdfCrypto.pad(userPw), o, permission, docId,
+      lengthBytes, encryptMetadata)
     val u = PdfCrypto.computeEncryptU(PdfCrypto.pad(userPw), docId, key)
 
     val b = new PdfBuilder()
@@ -316,9 +318,11 @@ object GoldenGen {
     b.raw("\nendstream\nendobj\n")
     val catalog = catalogFor(b, Seq(contentId))
     val encId = b.addObject(
-      s"<</Filter/Standard/V 4/R 4/P $permission/Length 128" +
+      s"<</Filter/Standard/V 4/R 4/P $permission" +
+        (if (topLevelLength) "/Length 128" else "") + // spec: V4 length lives in /CF/StdCF
         "/CF<</StdCF<</CFM/AESV2/AuthEvent/DocOpen/Length 16>>>>" +
         "/StmF/StdCF/StrF/StdCF" +
+        (if (encryptMetadata) "" else "/EncryptMetadata false") +
         s"/O <${bytesToHex(o)}>/U <${bytesToHex(u)}>>>")
     b.finish(s"/Root $catalog 0 R/Encrypt $encId 0 R/ID[<$docIdHex><$docIdHex>]")
   }

@@ -68,14 +68,18 @@ object PdfCrypto {
   }
 
   /** Algorithm 2: document encryption key from the padded user password
-    * (reference: Tokeniser.cs:696-743). */
+    * (reference: Tokeniser.cs:696-743). `encryptMetadata = false` appends
+    * 0xFFFFFFFF to the hash input (ISO 32000-1 Algorithm 2 step f, R ≥ 4 —
+    * extended-mode AESV2 only; the reference's R2-3 handler never sees it). */
   def computeEncryptionKey(
       paddedUserPassword: Array[Byte],
       encryptO: Array[Byte],
       permission: Int,
       trailerId: Array[Byte],
-      lengthBytes: Int): Array[Byte] = {
-    val input = new Array[Byte](paddedUserPassword.length + encryptO.length + 4 + trailerId.length)
+      lengthBytes: Int,
+      encryptMetadata: Boolean = true): Array[Byte] = {
+    val extra = if (encryptMetadata) 0 else 4
+    val input = new Array[Byte](paddedUserPassword.length + encryptO.length + 4 + trailerId.length + extra)
     var off = 0
     System.arraycopy(paddedUserPassword, 0, input, off, paddedUserPassword.length); off += paddedUserPassword.length
     System.arraycopy(encryptO, 0, input, off, encryptO.length); off += encryptO.length
@@ -83,6 +87,10 @@ object PdfCrypto {
     var i = 0
     while (i < 4) { input(off) = p.toByte; p >>= 8; off += 1; i += 1 }
     System.arraycopy(trailerId, 0, input, off, trailerId.length)
+    if (!encryptMetadata) {
+      off += trailerId.length
+      java.util.Arrays.fill(input, off, off + 4, 0xff.toByte)
+    }
 
     val key = new Array[Byte](lengthBytes)
     System.arraycopy(md5(input), 0, key, 0, lengthBytes)

@@ -196,11 +196,17 @@ object PdfToTextStore {
                   }
                   bytesIndex -= Endstream.length + 1
                   b = bytes(bytesIndex)
+                  // DEVIATION (documented): the reference decrements once
+                  // more here (PdfToTextStore.cs:267-274), which for LF-only
+                  // and CR-only files leaves the LAST PAYLOAD BYTE in the
+                  // viewer output (its CRLF case lands correctly only
+                  // because the follow-up check reads the wrong position).
+                  // We stay ON the EOL and step back once more only for a
+                  // real CRLF, so exactly the payload is elided.
                   if (b == '\n') {
-                    bytesIndex -= 1 // skip backwards over line feed
                     if (bytes(bytesIndex - 1) == '\r') bytesIndex -= 1
                   } else if (b == '\r') {
-                    bytesIndex -= 1
+                    // stay on the CR
                   } else throw new Exception(
                     s"Stream with ObjectId $idString is missing in xref table. " +
                       "'endstream' is not preceedet carriage return or line feed.")

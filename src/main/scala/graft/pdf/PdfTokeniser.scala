@@ -513,13 +513,28 @@ final class PdfTokeniser(
       throw new IllegalArgumentException("PdfParser can only decrypt pdf files using Standard encryption.\n" + enc.render)
     encryptionIsAes = aesSupported && !refSupported
 
-    val lengthBits = enc.getNumber("Length").flatMap(_.integer).getOrElse(40)
+    // V4: the key length belongs to the crypt filter (/CF/StdCF/Length, in
+    // BYTES); a top-level /Length (bits) is V2/V3 territory but accepted as
+    // a fallback; AESV2 defaults to 128-bit
+    val lengthBits = enc.getNumber("Length").flatMap(_.integer).getOrElse(
+      if (encryptionIsAes)
+        enc.getDictionary("CF").flatMap(_.getDictionary("StdCF"))
+          .flatMap(_.getNumber("Length")).flatMap(_.integer).map(_ * 8)
+          .getOrElse(128)
+      else 40)
     val lengthBytes = lengthBits / 8
     val trailerId = idToken.get.asInstanceOf[ArrTok](0).asInstanceOf[StrTok].hexBytes.get
     val padded = PdfCrypto.pad(password)
     val permission = p.get.dec.longValue.toInt
+    // ISO 32000-1 Algorithm 2 step f (R >= 4): /EncryptMetadata false adds
+    // 0xFFFFFFFF to the key hash input
+    val encryptMetadata =
+      if (encryptionIsAes)
+        enc.get("EncryptMetadata").collect { case bt: BoolTok => bt.value }.getOrElse(true)
+      else true
 
-    val key = PdfCrypto.computeEncryptionKey(padded, o.get, permission, trailerId, lengthBytes)
+    val key = PdfCrypto.computeEncryptionKey(padded, o.get, permission, trailerId, lengthBytes,
+      encryptMetadata)
     if (PdfCrypto.authenticateUserPassword(padded, trailerId, key, u.get)) {
       globalEncryptionKey = key
       None

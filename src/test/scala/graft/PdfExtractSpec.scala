@@ -189,6 +189,14 @@ class PdfExtractSpec extends AnyFunSuite {
     val wrong = PdfExtract.extract(pdf, password = "nope", extendedFilters = true)
     assert(wrong.text != "quarterly aes report|")
     assert(wrong.error.isDefined)
+    // spec-valid variants: key length only in /CF/StdCF (no top-level
+    // /Length), and /EncryptMetadata false (Algorithm 2 step f key suffix)
+    val noLen = PdfExtract.extract(
+      GoldenGen.encryptedPdfAes("stdcf length", topLevelLength = false), extendedFilters = true)
+    assert(noLen.text == "stdcf length|", noLen.error)
+    val noMeta = PdfExtract.extract(
+      GoldenGen.encryptedPdfAes("meta off", encryptMetadata = false), extendedFilters = true)
+    assert(noMeta.text == "meta off|", noMeta.error)
   }
 
   test("non-pdf bytes give an error row, not an exception") {
