@@ -252,6 +252,18 @@ object SparkEntry {
           |       pdf_extract(html).text AS text
           |FROM graft_pages""".stripMargin).orderBy("doc_id")
     }),
+    "url_canonical" -> ((s, dir) =>
+      // URL-level dedup key: canonicalize deterministically-synthesized
+      // messy urls (mixed case, default port, tracking params, fragment) —
+      // both engines build the identical input from doc_id
+      docs(s, dir).select(col("doc_id"),
+          graft.functions.Urls.canonicalUrl(concat(
+            lit("HTTPS://Example"), col("doc_id") % 7,
+            lit(".COM:443/p"), col("doc_id") % 5,
+            lit("?utm_source=a&id="), col("doc_id"),
+            lit("&gclid=z&q="), col("doc_id") % 3,
+            lit("#frag"))).as("canon_url"))
+        .orderBy("doc_id")),
     "split_assign" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
           graft.functions.Sampling.split(col("doc_id")).as("split"))
@@ -513,6 +525,29 @@ object SparkEntry {
       """SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS kind,
          text FROM documents ORDER BY doc_id""",
+    // mirrors Urls.canonicalUrl step by step (all regexes RE2-safe)
+    "url_canonical" ->
+      """WITH u AS (SELECT doc_id,
+             'HTTPS://Example' || (doc_id % 7) || '.COM:443/p' || (doc_id % 5)
+               || '?utm_source=a&id=' || doc_id || '&gclid=z&q=' || (doc_id % 3)
+               || '#frag' AS url
+           FROM documents),
+         c AS (SELECT doc_id,
+             lower(regexp_extract(regexp_replace(url, '#.*', ''), '^([^:/?#]+://[^/?#]*)', 1)) AS sh,
+             regexp_extract(regexp_replace(url, '#.*', ''), '^[^:/?#]+://[^/?#]*(.*)', 1) AS rest
+           FROM u),
+         d AS (SELECT doc_id,
+             CASE WHEN sh LIKE 'https://%' THEN regexp_replace(sh, ':443$', '')
+                  WHEN sh LIKE 'http://%' THEN regexp_replace(sh, ':80$', '')
+                  ELSE sh END AS host,
+             regexp_extract(rest, '^([^?]*)', 1) AS path0,
+             array_to_string(list_filter(string_split(regexp_extract(rest, '\?(.*)', 1), '&'),
+               p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')), '&') AS q
+           FROM c)
+         SELECT doc_id,
+           host || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+                || (CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END) AS canon_url
+         FROM d ORDER BY doc_id""",
     "split_assign" ->
       """SELECT doc_id, CASE WHEN ((doc_id * 2654435761) % 1000003) % 100 < 80 THEN 'train'
          WHEN ((doc_id * 2654435761) % 1000003) % 100 < 90 THEN 'val' ELSE 'test' END AS split
