@@ -315,6 +315,11 @@ object SparkEntry {
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.mediaTable(s, dir)).toDF()
         .orderBy("doc_id")),
+    "multimodal_frames" -> ((s, dir) =>
+      // frame-sample + resize plumbing: video rows fan out to every-4th
+      // frame with a deterministic frame fingerprint and 224-target resize
+      Multimodal.sampleFrames(Multimodal.mediaTable(s, dir)).toDF()
+        .orderBy("doc_id", "frame_idx")),
     // --------------------------------------------------------------- events
     "events_hourly" -> ((s, dir) =>
       Events.hourlyByType(s.read.parquet(s"$dir/events.parquet"))
@@ -603,6 +608,24 @@ object SparkEntry {
          CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (length(text) % 5) * 8000 ELSE 0 END AS BIGINT) AS sample_rate,
          md5(text) AS checksum
          FROM documents ORDER BY doc_id""",
+    // stub decoder arithmetic mirrored exactly: payload = UTF-8 of text,
+    // video kind = doc_id%3==2, frames = 1 + n%24, w/h from n, resize to
+    // min(w,224) with integer floor division; frame fp = md5 of
+    // payload ++ ':' ++ idx (same bytes both engines)
+    "multimodal_frames" ->
+      """WITH v AS (SELECT doc_id, text, octet_length(encode(text)) AS n
+           FROM documents WHERE doc_id % 3 = 2),
+         m AS (SELECT doc_id, text,
+             64 + n % 512 AS w, 64 + (n * 7) % 512 AS h, 1 + n % 24 AS frames
+           FROM v),
+         f AS (SELECT doc_id, text, w, h,
+             unnest(generate_series(0, CAST(frames - 1 AS BIGINT), 4)) AS frame_idx
+           FROM m)
+         SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           md5(text || ':' || CAST(frame_idx AS VARCHAR)) AS frame_fp,
+           CAST(least(w, 224) AS BIGINT) AS out_w,
+           CAST((h * least(w, 224)) // w AS BIGINT) AS out_h
+         FROM f ORDER BY doc_id, frame_idx""",
     "events_hourly" ->
       """SELECT date_trunc('hour', ts) AS window_start, event_type,
          count(*) AS n_events,

@@ -34,6 +34,11 @@ object MediaDecoder {
   }
 }
 
+/** One sampled video frame: deterministic fingerprint standing in for the
+  * decoded frame bytes, plus aspect-preserving resize dimensions. */
+final case class FrameRow(doc_id: Long, frame_idx: Long, frame_fp: String,
+    out_w: Long, out_h: Long)
+
 object Multimodal {
 
   def kindFor(docId: Long): String = (docId % 3) match {
@@ -58,6 +63,40 @@ object Multimodal {
           digest.reset()
           val sum = digest.digest(payload).map(b => f"${b & 0xff}%02x").mkString
           MediaMeta(id, kind, payload.length.toLong, w, h, f, sr, sum)
+        }
+      }
+  }
+
+  /** Frame sampling + resize metadata over video payloads: every `everyNth`
+    * frame index from the (stub) decoder, a deterministic frame fingerprint
+    * standing in for decoded frame bytes, and aspect-preserving integer
+    * resize arithmetic toward `targetW`. One flatMap explode — the real
+    * 100 TB shape: a video row fans out to its sampled-frame rows inside
+    * the scan's map (per-partition decoder state), and every downstream op
+    * is a per-frame row, never a driver-side loop. A production deployment
+    * swaps the fingerprint for actual decoded/resized frame bytes behind
+    * the same row shape. */
+  def sampleFrames(media: DataFrame, everyNth: Int = 4, targetW: Long = 224): Dataset[FrameRow] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id").cast("long"), col("kind"), col("payload"))
+      .as[(Long, String, Array[Byte])]
+      .mapPartitions { it =>
+        val digest = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (id, kind, payload) =>
+          if (kind != "video") Iterator.empty
+          else {
+            val (w, h, frames, _) = MediaDecoder.decode(kind, payload)
+            val outW = math.min(w, targetW)
+            val outH = h * outW / w
+            (0L until frames by everyNth).iterator.map { i =>
+              digest.reset()
+              digest.update(payload)
+              digest.update(s":$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+              val fp = digest.digest().map(b => f"${b & 0xff}%02x").mkString
+              FrameRow(id, i, fp, outW, outH)
+            }
+          }
         }
       }
   }
