@@ -549,10 +549,12 @@ object SparkEntry {
              array_to_string(list_filter(string_split(regexp_extract(rest, '\?(.*)', 1), '&'),
                p -> NOT regexp_matches(p, '^(utm_[A-Za-z0-9_]*|fbclid|gclid)=')), '&') AS q
            FROM c)
-         SELECT doc_id,
-           host || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
-                || (CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END) AS canon_url
-         FROM d ORDER BY doc_id""",
+         SELECT d.doc_id AS doc_id,
+           CASE WHEN c.sh = '' THEN u.url  -- scheme-less: passthrough, like the Column fn
+                ELSE host || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
+                     || (CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END) END AS canon_url
+         FROM d JOIN c ON c.doc_id = d.doc_id JOIN u ON u.doc_id = d.doc_id
+         ORDER BY doc_id""",
     "split_assign" ->
       """SELECT doc_id, CASE WHEN ((doc_id * 2654435761) % 1000003) % 100 < 80 THEN 'train'
          WHEN ((doc_id * 2654435761) % 1000003) % 100 < 90 THEN 'val' ELSE 'test' END AS split

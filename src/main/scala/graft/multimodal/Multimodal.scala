@@ -41,6 +41,16 @@ final case class FrameRow(doc_id: Long, frame_idx: Long, frame_fp: String,
 
 object Multimodal {
 
+  /** Shared per-partition fingerprint idiom: one MessageDigest reused across
+    * the batch, hex-encoded — both oracle-checked fingerprints (media
+    * checksum, frame fp) go through this single definition so the encoding
+    * can never drift between them. */
+  private def hexMd5(digest: java.security.MessageDigest, parts: Array[Byte]*): String = {
+    digest.reset()
+    parts.foreach(digest.update)
+    digest.digest().map(b => f"${b & 0xff}%02x").mkString
+  }
+
   def kindFor(docId: Long): String = (docId % 3) match {
     case 0 => "image"
     case 1 => "audio"
@@ -60,9 +70,7 @@ object Multimodal {
         val digest = java.security.MessageDigest.getInstance("MD5")
         it.map { case (id, kind, payload) =>
           val (w, h, f, sr) = MediaDecoder.decode(kind, payload)
-          digest.reset()
-          val sum = digest.digest(payload).map(b => f"${b & 0xff}%02x").mkString
-          MediaMeta(id, kind, payload.length.toLong, w, h, f, sr, sum)
+          MediaMeta(id, kind, payload.length.toLong, w, h, f, sr, hexMd5(digest, payload))
         }
       }
   }
@@ -90,10 +98,8 @@ object Multimodal {
             val outW = math.min(w, targetW)
             val outH = h * outW / w
             (0L until frames by everyNth).iterator.map { i =>
-              digest.reset()
-              digest.update(payload)
-              digest.update(s":$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
-              val fp = digest.digest().map(b => f"${b & 0xff}%02x").mkString
+              val fp = hexMd5(digest, payload,
+                s":$i".getBytes(java.nio.charset.StandardCharsets.UTF_8))
               FrameRow(id, i, fp, outW, outH)
             }
           }
