@@ -305,6 +305,11 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "nlabel"), Seq("v"))
         .groupBy(col("u").as("id"))
         .agg(min(col("nlabel")).as("minNeighbor"))
+      // NOTE: pointer jumping (label ← label(label)) was tried and MEASURED
+      // SLOWER here (9.0 s vs 4.1-5.4 s on the sf0.1 bench): near-dup
+      // graphs are cliquey with diameter 2-3, so the extra equi-join per
+      // round costs more than the O(log d) round saving. It only pays on
+      // long-chain graphs; min-label propagation is the right default.
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"))
