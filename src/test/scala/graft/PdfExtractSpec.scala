@@ -145,6 +145,28 @@ class PdfExtractSpec extends AnyFunSuite {
     assert(r.pages == 0)
   }
 
+  test("pathological nesting and op-loops become error rows, not dead executors") {
+    // 200k-deep nested array operand: recursion must either be handled or
+    // surface as a caught error row (extract catches Throwable, incl.
+    // StackOverflowError) — a crafted document must never kill the executor
+    val depth = 200000
+    val b = new GoldenGen.PdfBuilder()
+    val ops = ("BT " + ("[" * depth) + ("]" * depth) + " (x) Tj ET").getBytes("ISO-8859-1")
+    val content = b.addStream("", ops)
+    val catalog = GoldenGen.catalogFor(b, Seq(content))
+    val r = PdfExtract.extract(b.finish(s"/Root $catalog 0 R")) // must not throw
+    // outcome: a caught StackOverflowError surfaces as a document-level
+    // error row (pages=0) — the executor survives, the doc is reported
+    assert(r.pages == 1 || (r.decodeFailures >= 1 && r.error.isDefined), (r.pages, r.error))
+    // the reference's endless-loop guard (Tokeniser.cs:2224-2225) is live:
+    // an operand-only stream (no operator ever found) terminates cleanly
+    val b2 = new GoldenGen.PdfBuilder()
+    val content2 = b2.addStream("", "BT (only an operand)".getBytes("ISO-8859-1"))
+    val catalog2 = GoldenGen.catalogFor(b2, Seq(content2))
+    val r2 = PdfExtract.extract(b2.finish(s"/Root $catalog2 0 R"))
+    assert(r2.pages == 1) // error captured per-content, not thrown
+  }
+
   test("fuzz: random byte corruption never throws (executor safety at web scale)") {
     // one bad document must never kill a 10^12-row job: every mutation of a
     // valid PDF must come back as a (possibly partial) result or error row
