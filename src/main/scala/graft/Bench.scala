@@ -153,8 +153,10 @@ object Bench {
     }
 
     val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
-    results("dedup_minhash_lsh") = time(2)(
-      Dedup.minhashDedupPairs(docsDf, "doc_id", "text").count())
+    results("dedup_minhash_lsh") = time(2) {
+      Dedup.clearCaches() // each rep builds fresh index caches; no pile-up
+      Dedup.minhashDedupPairs(docsDf, "doc_id", "text").count()
+    }
     results("dedup_exact") = time(2)(
       Dedup.exactGroups(docsDf, "doc_id", "text").count())
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
@@ -169,9 +171,11 @@ object Bench {
           TextStats.langId(col("text")))
         .agg(count(lit(1))).collect()
     }
-    results("dedup_clusters") = time(2)(
+    results("dedup_clusters") = time(2) {
+      Dedup.clearCaches()
       Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(docsDf, "doc_id", "text")).count())
+        Dedup.ngramJaccardPairs(docsDf, "doc_id", "text")).count()
+    }
     results("vocab_stats") = time(2)(
       docsDf.select(explode(split(trim(col("text")), "\\s+")).as("term"))
         .groupBy("term").agg(count(lit(1))).count())
@@ -179,8 +183,11 @@ object Bench {
       Dedup.duplicateChunks(docsDf, "doc_id", "text").count())
     results("text_repetition") = time(2)(
       TextStats.repetitionSignals(docsDf, "doc_id", "text").count())
-    results("decontamination_13gram") = time(2)(
-      Dedup.ngramOverlapContamination(docsDf, "doc_id", "text", "source").count())
+    results("decontamination_13gram") = time(2) {
+      Dedup.clearCaches()
+      Dedup.ngramOverlapContamination(docsDf, "doc_id", "text", "source").count()
+    }
+    Dedup.clearCaches()
     results("events_hourly") = time(2)(
       graft.streaming.Events.hourlyByType(
         spark.read.parquet(s"$sfDir/events.parquet")).count())
@@ -201,7 +208,10 @@ object Bench {
     // see BASELINE.md) is measured the same way.
     // mean of 3 back-to-back runs per session: single ~1 s windows (esp. the
     // lo tier) swing ±25% with VM jitter; a 3-run window averages it, and
-    // the min across alternating rounds removes slow-phase outliers.
+    // the min across THREE alternating lo/hi rounds removes slow-phase
+    // outliers. The scan floor uses the SAME mean-of-3 estimator — mixing a
+    // min-of-singles floor with a mean-of-3 wall time would bias the
+    // subtracted compute term differently per tier.
     def meanOf3(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; f; f
       (System.nanoTime() - t0) / 3e9
@@ -213,14 +223,14 @@ object Bench {
       runExtract(pLo) // per-session codegen warm-up (JIT is already hot)
       tLoBest = math.min(tLoBest, meanOf3(runExtract(pLo)))
       tScanLoBest = math.min(tScanLoBest,
-        time(2)(sLo.read.parquet(dir).agg(sum(length(col("html")))).collect()))
+        meanOf3(sLo.read.parquet(dir).agg(sum(length(col("html")))).collect()))
       sLo.stop()
       val sHi = session(cpus)
       val pHi = pagesOf(sHi, dir)
       runExtract(pHi)
       tHiBest = math.min(tHiBest, meanOf3(runExtract(pHi)))
       tScanHiBest = math.min(tScanHiBest,
-        time(2)(sHi.read.parquet(dir).agg(sum(length(col("html")))).collect()))
+        meanOf3(sHi.read.parquet(dir).agg(sum(length(col("html")))).collect()))
       sHi.stop()
     }
     val thrHi = nDocs / tHiBest

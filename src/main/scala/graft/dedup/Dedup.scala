@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import scala.collection.mutable
 import scala.util.hashing.MurmurHash3
 
 /** Deduplication operators for training-data pipelines: exact (hash groupBy),
@@ -51,14 +52,27 @@ object Dedup {
 
   /** [[dropHotKeys]] over an EXPENSIVE input subtree: pins the raw input,
     * eagerly materializes the filtered result (one count job), then drops
-    * the raw cache — so the expensive explode runs once, only the useful
-    * filtered copy stays cached, and nothing accumulates across calls. */
+    * the raw cache — the expensive explode runs once and only the useful
+    * filtered copy stays cached. Filtered caches are tracked; a long-lived
+    * session (or benchmark loop) calls [[clearCaches]] between batches to
+    * release them — they are MEMORY_AND_DISK and evictable meanwhile. */
   private[graft] def dropHotKeysCached(raw: DataFrame, maxBucket: Int, keyCols: String*): DataFrame = {
     raw.persist()
     val filtered = dropHotKeys(raw, maxBucket, keyCols: _*).persist()
     filtered.count() // materialize while the raw cache is alive
     raw.unpersist()
+    liveCaches.synchronized { liveCaches += filtered }
     filtered
+  }
+
+  private val liveCaches = mutable.ArrayBuffer.empty[DataFrame]
+
+  /** Unpersist every index cache produced by the dedup/LSH operators since
+    * the last clear (safe to call between batches; results already computed
+    * are unaffected, lazily re-derived ones recompute). */
+  def clearCaches(): Unit = liveCaches.synchronized {
+    liveCaches.foreach(_.unpersist())
+    liveCaches.clear()
   }
 
   // ---------------------------------------------------------------- exact
@@ -160,6 +174,17 @@ object Dedup {
       .toSet.iterator
   }
 
+  /** Band key of signature rows [b*RowsPerBand, (b+1)*RowsPerBand): the ONE
+    * definition of the banding fold — the batch path and the streaming path
+    * ([[graft.streaming.StreamMinhash]]) must bucket identically or the
+    * streamed candidate set silently desyncs from the batch one. */
+  def bandKey(sig: Array[Long], b: Int): Long = {
+    var h = 1125899906842597L
+    var j = b * RowsPerBand
+    while (j < (b + 1) * RowsPerBand) { h = h * 31 + sig(j); j += 1 }
+    h
+  }
+
   /** (id, band, bucket) rows: LSH band keys of the MinHash signature. */
   def minhashBands(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
     val spark = docs.sparkSession
@@ -171,12 +196,7 @@ object Dedup {
         if (!hs.hasNext) Iterator.empty
         else {
           val sig = minhashSignature(hs)
-          (0 until Bands).iterator.map { b =>
-            var h = 1125899906842597L
-            var j = b * RowsPerBand
-            while (j < (b + 1) * RowsPerBand) { h = h * 31 + sig(j); j += 1 }
-            (id, b, h)
-          }
+          (0 until Bands).iterator.map(b => (id, b, bandKey(sig, b)))
         }
       }
       .toDF("id", "band", "bucket")

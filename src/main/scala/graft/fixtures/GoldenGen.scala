@@ -295,7 +295,8 @@ object GoldenGen {
     * The reference throws on V4 (replicated in default mode); the engine's
     * extended mode decrypts it. */
   def encryptedPdfAes(message: String = "aes secret text",
-      topLevelLength: Boolean = true, encryptMetadata: Boolean = true): Array[Byte] = {
+      topLevelLength: Boolean = true, encryptMetadata: Boolean = true,
+      cfLengthInBits: Boolean = false): Array[Byte] = {
     val userPw = ""
     val ownerPw = ""
     val docIdHex = "fedcba9876543210fedcba9876543210"
@@ -320,7 +321,8 @@ object GoldenGen {
     val encId = b.addObject(
       s"<</Filter/Standard/V 4/R 4/P $permission" +
         (if (topLevelLength) "/Length 128" else "") + // spec: V4 length lives in /CF/StdCF
-        "/CF<</StdCF<</CFM/AESV2/AuthEvent/DocOpen/Length 16>>>>" +
+        // both CF-Length conventions exist in the wild: bytes (spec) and bits
+        s"/CF<</StdCF<</CFM/AESV2/AuthEvent/DocOpen/Length ${if (cfLengthInBits) 128 else 16}>>>>" +
         "/StmF/StdCF/StrF/StdCF" +
         (if (encryptMetadata) "" else "/EncryptMetadata false") +
         s"/O <${bytesToHex(o)}>/U <${bytesToHex(u)}>>>")

@@ -301,9 +301,14 @@ object Boilerplate {
     * names + apos) plus numeric references (decimal/hex, incl. astral
     * codepoints as surrogate pairs). Returns (char, extraChar-or-0,
     * nextIndex); an unrecognized body falls back to a literal '&'. */
+  // longest body we ever accept: the longest named entity or a numeric
+  // reference like #x10ffff (8 chars) — derived from the table, not a magic
+  // number, so a longer entity added there is automatically scanned
+  private val MaxEntityBody = math.max(Entities.maxNameLength, 8)
+
   private def entity(html: String, i: Int): (Char, Char, Int) = {
     val semi = html.indexOf(';', i + 1)
-    if (semi < 0 || semi - i > 10) return ('&', 0, i + 1)
+    if (semi < 0 || semi - i - 1 > MaxEntityBody) return ('&', 0, i + 1)
     val body = html.substring(i + 1, semi)
     Entities.table.get(body) match {
       case Some(c) => (c, 0, semi + 1)

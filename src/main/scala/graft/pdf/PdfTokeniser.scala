@@ -513,13 +513,16 @@ final class PdfTokeniser(
       throw new IllegalArgumentException("PdfParser can only decrypt pdf files using Standard encryption.\n" + enc.render)
     encryptionIsAes = aesSupported && !refSupported
 
-    // V4: the key length belongs to the crypt filter (/CF/StdCF/Length, in
-    // BYTES); a top-level /Length (bits) is V2/V3 territory but accepted as
-    // a fallback; AESV2 defaults to 128-bit
+    // V4: the key length belongs to the crypt filter (/CF/StdCF/Length); the
+    // spec says BYTES there but real writers use both conventions, so treat
+    // values ≤ 40 as bytes and larger ones as bits (the pdfbox heuristic).
+    // A top-level /Length (bits) is V2/V3 territory but accepted as a
+    // fallback; AESV2 defaults to 128-bit.
     val lengthBits = enc.getNumber("Length").flatMap(_.integer).getOrElse(
       if (encryptionIsAes)
         enc.getDictionary("CF").flatMap(_.getDictionary("StdCF"))
-          .flatMap(_.getNumber("Length")).flatMap(_.integer).map(_ * 8)
+          .flatMap(_.getNumber("Length")).flatMap(_.integer)
+          .map(l => if (l <= 40) l * 8 else l)
           .getOrElse(128)
       else 40)
     val lengthBytes = lengthBits / 8

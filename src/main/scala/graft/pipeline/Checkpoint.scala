@@ -68,7 +68,9 @@ object Checkpoint {
     val wasCached = done.storageLevel != org.apache.spark.storage.StorageLevel.NONE
     if (!wasCached) done.persist()
     try {
-      done.toDF().write.parquet(dataStaging)
+      // data goes through the TableIO format seam (spark.graft.table.format);
+      // the manifest is engine bookkeeping and stays parquet
+      done.toDF().write.format(tableFormat(spark)).save(dataStaging)
       manifestRows(done, batch).write.parquet(manStaging)
     } finally {
       if (!wasCached) done.unpersist()
@@ -88,16 +90,33 @@ object Checkpoint {
     publish(spark, manStaging, s"${manifestPath(outDir)}/$batch")
   }
 
-  /** Committed manifest batch directories (staging dirs are dot-prefixed and
-    * never listed). */
+  /** Committed manifest sources: batch directories (staging dirs are
+    * dot-prefixed and never listed), plus any flat part-files directly under
+    * `_manifest/` — the pre-atomic-commit layout, still honored so an outDir
+    * written by an older run keeps its resume/metrics validity (its rows
+    * read with a null `batch`, i.e. manifest-only semantics). */
   private def committedManifests(spark: SparkSession, outDir: String): Seq[String] = {
     val root = new Path(manifestPath(outDir))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Nil
-    else fs.listStatus(root).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
-      .map(_.getPath.toString)
+    else {
+      val entries = fs.listStatus(root).toSeq
+      val batchDirs = entries
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
+        .map(_.getPath.toString)
+      val legacyFiles = entries
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString)
+      batchDirs ++ legacyFiles
+    }
   }
+
+  private def readManifests(spark: SparkSession, dirs: Seq[String]): DataFrame =
+    // mergeSchema: legacy manifests lack the `batch` column
+    spark.read.option("mergeSchema", "true").parquet(dirs: _*)
+
+  private def tableFormat(spark: SparkSession): String =
+    spark.conf.get("spark.graft.table.format", "parquet")
 
   /** Rows of `pages` not yet present in any committed manifest. Left-anti on
     * `url`; the manifest side is small relative to the input and
@@ -114,7 +133,7 @@ object Checkpoint {
   def doneUrls(spark: SparkSession, outDir: String): Option[DataFrame] = {
     val dirs = committedManifests(spark, outDir)
     if (dirs.isEmpty) None
-    else Some(spark.read.parquet(dirs: _*).select("url").distinct())
+    else Some(readManifests(spark, dirs).select("url").distinct())
   }
 
   /** The committed output table: ONLY data batches referenced by a committed
@@ -123,20 +142,22 @@ object Checkpoint {
     val dirs = committedManifests(spark, outDir)
     val batches =
       if (dirs.isEmpty) Nil
-      else spark.read.parquet(dirs: _*).select("batch").where(col("batch") =!= "")
+      else readManifests(spark, dirs)
+        .select("batch").where(col("batch").isNotNull && col("batch") =!= "")
         .distinct().collect().map(_.getString(0)).toSeq
     if (batches.isEmpty)
       // schema-carrying empty table, so .select("url")/.as[ExtractedDoc]
       // work on a fresh or manifest-only outDir
       spark.emptyDataset(org.apache.spark.sql.Encoders.product[ExtractedDoc]).toDF()
-    else spark.read.parquet(batches.map(b => s"${dataPath(outDir)}/$b"): _*)
+    else spark.read.format(tableFormat(spark))
+      .load(batches.map(b => s"${dataPath(outDir)}/$b"): _*)
   }
 
   /** Run-level metrics rollup from the committed manifests. */
   def metrics(spark: SparkSession, outDir: String): DataFrame = {
     val dirs = committedManifests(spark, outDir)
     require(dirs.nonEmpty, s"no committed manifests under ${manifestPath(outDir)}")
-    spark.read.parquet(dirs: _*)
+    readManifests(spark, dirs)
       .agg(
         count(lit(1)).as("docs_done"),
         sum("n_chars").as("total_chars"),

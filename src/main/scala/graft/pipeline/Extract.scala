@@ -90,20 +90,16 @@ object ExtractPipeline {
     // n salt values through a second hash and collide them
     pages.repartition(numPartitions, xxhash64(col("url")))
 
-  /** Two-lane size routing (SURVEY §4 tactic c): payloads ≥ `bigBytes` get
-    * their own repartition so a handful of 50 MB PDFs never pin partitions
-    * full of 1 KB pages — the big lane's partition count is sized to its
-    * (rare) row count, approaching one oversized doc per task, while the
-    * small lane keeps full parallelism. Both lanes run the same narrow
-    * transform; the union stages them independently. */
+  /** Size-aware routing (SURVEY §4 tactic c) in ONE scan and ONE shuffle:
+    * AQE's REBALANCE partitioning splits output partitions by BYTE SIZE
+    * (spark.sql.adaptive.optimizeSkewsInRebalancePartitions, on by
+    * default), so a handful of 50 MB PDFs get isolated toward one-doc-per-
+    * task while 1 KB pages coalesce to full partitions — without reading
+    * the input twice (the previous two-filtered-lanes design scanned the
+    * table once per lane) and staying deterministic under task retry
+    * (round-robin is not). `numPartitions`/`bigBytes` kept for API
+    * stability; AQE sizes the result itself. */
   def sizeRouted(pages: Dataset[PageRow], numPartitions: Int,
-      bigBytes: Int = 4 << 20): Dataset[PageRow] = {
-    val isBig = length(col("html")) >= bigBytes
-    val small = pages.where(!isBig).repartition(numPartitions, xxhash64(col("url")))
-    // ROUND-ROBIN for the big lane: hash repartitioning can still land two
-    // oversized docs in one task on a key collision; round-robin guarantees
-    // an even spread, approaching one oversized doc per task
-    val big = pages.where(isBig).repartition(numPartitions)
-    small.unionAll(big)
-  }
+      bigBytes: Int = 4 << 20): Dataset[PageRow] =
+    pages.hint("rebalance", col("url")) // attribute, not expression: hint rule requirement
 }

@@ -38,12 +38,7 @@ object StreamMinhash {
       if (!hs.hasNext) Iterator.empty
       else {
         val sig = Dedup.minhashSignature(hs)
-        (0 until Dedup.Bands).iterator.map { b =>
-          var h = 1125899906842597L
-          var j = b * Dedup.RowsPerBand
-          while (j < (b + 1) * Dedup.RowsPerBand) { h = h * 31 + sig(j); j += 1 }
-          BandedDoc(b, h, id)
-        }
+        (0 until Dedup.Bands).iterator.map(b => BandedDoc(b, Dedup.bandKey(sig, b), id))
       }
     }
   }

@@ -219,6 +219,11 @@ class PdfExtractSpec extends AnyFunSuite {
     val noMeta = PdfExtract.extract(
       GoldenGen.encryptedPdfAes("meta off", encryptMetadata = false), extendedFilters = true)
     assert(noMeta.text == "meta off|", noMeta.error)
+    // CF /Length written in BITS (the other real-world convention)
+    val bits = PdfExtract.extract(
+      GoldenGen.encryptedPdfAes("bits form", topLevelLength = false, cfLengthInBits = true),
+      extendedFilters = true)
+    assert(bits.text == "bits form|", bits.error)
   }
 
   test("non-pdf bytes give an error row, not an exception") {
