@@ -329,14 +329,47 @@ object SparkEntry {
         .orderBy("user_id", "session_start"))
   )
 
+  /** DuckDB mirror of [[graft.pipeline.Corpus.pdfExpectedText]]: given list
+    * column `ch` of shown chunks (64-char slices, each already carrying the
+    * content delimiter) and variant column `v` = (doc_id//2)%8, the expected
+    * extraction. Variant 1 (Td/TD/T* before every chunk but the first)
+    * joins all chunks with newline; variant 5 (per-chunk Tm, per-content
+    * newline state) joins within each 8-chunk page only; every other
+    * variant concatenates — they vary the FILE layout (encryption, xref
+    * stream + ObjStm, /Prev chain, malformed tolerances, encoded fonts),
+    * not the operator stream. */
+  private val pdfExpectedSql: String =
+    """CASE
+         WHEN v = 1 THEN array_to_string(ch, chr(10))
+         WHEN v = 5 THEN array_to_string(list_transform(
+             generate_series(1, CAST(ceil(len(ch) / 8.0) AS BIGINT)),
+             p -> array_to_string(ch[(p-1)*8+1 : p*8], chr(10))), '')
+         ELSE array_to_string(ch, '')
+       END"""
+
+  /** Chars ADDED to length(text) by the variant's injected newlines:
+    * variant 1 adds chunks-1, variant 5 adds chunks-pages, PDFs otherwise 0
+    * (and HTML rows 0). */
+  private val pdfExtraCharsSql: String =
+    """CASE WHEN doc_id % 2 = 0 AND (doc_id // 2) % 8 = 1
+             THEN (length(text) + 63) // 64 - 1
+           WHEN doc_id % 2 = 0 AND (doc_id // 2) % 8 = 5
+             THEN (length(text) + 63) // 64 - ((length(text) + 63) // 64 + 7) // 8
+           ELSE 0 END"""
+
   def oracleSql: Map[String, String] = Map(
     "pdf_extract_roundtrip" ->
-      "SELECT doc_id, text FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id",
+      s"""WITH d AS (SELECT doc_id, text, (doc_id // 2) % 8 AS v,
+                            regexp_extract_all(text, '.{1,64}') AS ch
+                     FROM documents WHERE doc_id % 2 = 0)
+          SELECT doc_id, $pdfExpectedSql AS text FROM d ORDER BY doc_id""",
     "html_extract_roundtrip" ->
       "SELECT doc_id, 'doc ' || doc_id AS title, text FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id",
     "pdf_extract_delim_roundtrip" ->
-      """SELECT doc_id, regexp_replace(text, '(.{1,64})', '\1|', 'g') AS text
-         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+      s"""WITH d AS (SELECT doc_id, text, (doc_id // 2) % 8 AS v,
+                            list_transform(regexp_extract_all(text, '.{1,64}'), c -> c || '|') AS ch
+                     FROM documents WHERE doc_id % 2 = 0)
+          SELECT doc_id, $pdfExpectedSql AS text FROM d ORDER BY doc_id""",
     // mirror of Corpus.htmlLayoutFromText / htmlLayoutExpected: words 1-12
     // -> <p>, 13-22/23-32 -> "- " list items, 33+ -> "a | b" table rows of
     // two 10-word cells (list slices are 1-based inclusive in DuckDB)
@@ -356,20 +389,21 @@ object SparkEntry {
          SELECT doc_id, concat_ws(chr(10), p, i1, i2, tbl) AS text
          FROM parts ORDER BY doc_id""",
     "extract_pipeline_mixed" ->
-      """SELECT doc_id,
+      s"""SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS kind,
-         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) + $pdfExtraCharsSql AS BIGINT) AS n_chars,
          CAST(CASE WHEN doc_id % 2 = 0 THEN ((length(text)+63)//64 + 7)//8 ELSE 1 END AS BIGINT) AS pages,
          CAST(CASE WHEN doc_id % 2 = 0 THEN ((length(text)+63)//64 + 7)//8 ELSE 1 END AS BIGINT) AS n_spans,
          CAST(0 AS BIGINT) AS failures
-         FROM documents ORDER BY doc_id""".stripMargin,
+         FROM documents ORDER BY doc_id""",
     "extract_metrics_by_lang" ->
-      """SELECT lang, count(*) AS n_docs,
-         CAST(sum(length(text)) AS BIGINT) AS total_chars,
+      s"""SELECT lang, count(*) AS n_docs,
+         CAST(sum(length(text) + $pdfExtraCharsSql) AS BIGINT) AS total_chars,
          CAST(0 AS BIGINT) AS total_failures
          FROM documents GROUP BY lang ORDER BY lang""",
     "resume_after_checkpoint" ->
-      "SELECT doc_id, CAST(length(text) AS BIGINT) AS n_chars FROM documents WHERE doc_id % 7 <> 0 ORDER BY doc_id",
+      s"""SELECT doc_id, CAST(length(text) + $pdfExtraCharsSql AS BIGINT) AS n_chars
+          FROM documents WHERE doc_id % 7 <> 0 ORDER BY doc_id""",
     "dedup_exact" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents
@@ -522,14 +556,19 @@ object SparkEntry {
            ELSE 'zh' END AS pred_lang
          FROM h ORDER BY doc_id""",
     "pdf_metadata" ->
-      """SELECT doc_id, '1.4' AS pdf_version,
+      """SELECT doc_id,
+         CASE WHEN (doc_id // 2) % 8 = 4 THEN '1.5' ELSE '1.4' END AS pdf_version,
          'Title: doc-' || length(text) || '; Producer: graft; ' AS info,
          CAST(((length(text)+63)//64 + 7)//8 AS BIGINT) AS n_pages
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "sql_pdf_extract" ->
-      """SELECT doc_id,
-         CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS kind,
-         text FROM documents ORDER BY doc_id""",
+      s"""WITH d AS (SELECT doc_id, text, (doc_id // 2) % 8 AS v,
+                            regexp_extract_all(text, '.{1,64}') AS ch
+                     FROM documents)
+          SELECT doc_id,
+          CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS kind,
+          CASE WHEN doc_id % 2 = 0 THEN $pdfExpectedSql ELSE text END AS text
+          FROM d ORDER BY doc_id""",
     // mirrors Urls.canonicalUrl step by step (all regexes RE2-safe)
     "url_canonical" ->
       """WITH u AS (SELECT doc_id,

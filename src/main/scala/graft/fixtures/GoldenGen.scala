@@ -233,6 +233,66 @@ object GoldenGen {
     b.currentBytes
   }
 
+  /** Generalized xref-stream tail for an arbitrary page count (the fixture
+    * [[xrefStreamPdf]] is the 1-page hand-packed original): `contentIds`
+    * must be objects 1..P already written to `b`; the page graph + /Info
+    * goes into one FlateDecode object stream (type-2 entries), and the
+    * cross-reference stream uses W [1 3 2] (2-byte member index — a 500 KB
+    * document has >255 ObjStm members) with the PNG-Up predictor. */
+  def finishXrefStream(b: PdfBuilder, contentIds: Seq[Int], infoContent: String): Array[Byte] = {
+    val p = contentIds.length
+    require(contentIds == (1 to p), s"contents must be objects 1..$p, got $contentIds")
+    val objStmId = p + 1
+    val pagesId = 2 * p + 2
+    val catalogId = 2 * p + 3
+    val infoId = 2 * p + 4
+    val xrefId = 2 * p + 5
+    val members: Seq[(Int, String)] =
+      contentIds.zipWithIndex.map { case (cid, i) =>
+        (p + 2 + i, s"<</Type/Page /Parent $pagesId 0 R/Contents $cid 0 R>>")
+      } ++ Seq(
+        pagesId -> s"<</Type/Pages /Kids[${(0 until p).map(i => s"${p + 2 + i} 0 R").mkString(" ")}] /Count $p>>",
+        catalogId -> s"<</Type/Catalog /Pages $pagesId 0 R>>",
+        infoId -> infoContent)
+    val payloadBody = members.map(_._2).mkString(" ")
+    var off = 0
+    val header = members.map { case (id, src) =>
+      val entry = s"$id $off"
+      off += src.length + 1
+      entry
+    }.mkString(" ") + " "
+    val realObjStm = b.addStream(s"/Type/ObjStm/N ${members.length}/First ${header.length}",
+      (header + payloadBody).getBytes(ISO_8859_1), deflate = true)
+    require(realObjStm == objStmId, s"objstm id mismatch: $realObjStm vs $objStmId")
+
+    val xrefAddress = b.size
+    def offRow(a: Int) = Array[Byte](1,
+      ((a >> 16) & 0xff).toByte, ((a >> 8) & 0xff).toByte, (a & 0xff).toByte, 0, 0)
+    val rows: IndexedSeq[Array[Byte]] =
+      (Array[Byte](0, 0, 0, 0, 0xff.toByte, 0xff.toByte) +:
+        (1 to objStmId).map(id => offRow(b.objectOffset(id)))) ++
+        members.indices.map { i =>
+          Array[Byte](2, ((objStmId >> 16) & 0xff).toByte, ((objStmId >> 8) & 0xff).toByte,
+            (objStmId & 0xff).toByte, ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
+        } :+ offRow(xrefAddress)
+    val enc = new ByteArrayOutputStream()
+    var prev = new Array[Byte](6)
+    rows.foreach { r =>
+      enc.write(2)
+      var j = 0
+      while (j < 6) { enc.write((r(j) - prev(j)) & 0xff); j += 1 }
+      prev = r
+    }
+    val body = zlib(enc.toByteArray)
+    b.raw(s"$xrefId 0 obj\n<</Type/XRef/Size ${rows.length}/W[1 3 2]" +
+      s"/DecodeParms<</Predictor 12/Columns 6>>/Filter/FlateDecode/Length ${body.length}" +
+      s"/Root $catalogId 0 R/Info $infoId 0 R>>stream\n")
+    b.raw(body)
+    b.raw("\nendstream\nendobj\n")
+    b.raw(s"startxref\n$xrefAddress\n%%EOF\n")
+    b.currentBytes
+  }
+
   /** Graphics operators around text: inline image (`BI..ID..EI` skipped via
     * delimiter scan, Tokeniser.cs:2106-2138), clipping rect (`re` + `W n`
     * captured but unused, Tokeniser.cs:2141-2158), and assorted skipped ops

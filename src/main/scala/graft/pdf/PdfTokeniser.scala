@@ -1019,11 +1019,22 @@ final class PdfTokeniser(
         srcBuf = dict.decryptedStream
         srcOff = 0
         srcLen = dict.decryptedStream.length
-      } else if (!dict.isDecrypted) {
-        dict.isDecrypted = true
-        PdfCrypto.rc4InPlace(
-          PdfCrypto.objectKey(globalEncryptionKey, dict.objectId.get),
-          bytes, dict.streamStartIndex, dict.streamLength)
+      } else {
+        // decrypt into a per-dict memo, NOT in place: the caller's payload
+        // array must stay pristine (the reference mutates its own per-load
+        // copy, Tokeniser.cs:1796-1846; our extract() is a pure function —
+        // extracting the same array twice must not double-decrypt)
+        if (dict.decryptedStream == null) {
+          val copy = java.util.Arrays.copyOfRange(
+            bytes, dict.streamStartIndex, dict.streamStartIndex + dict.streamLength)
+          PdfCrypto.rc4InPlace(
+            PdfCrypto.objectKey(globalEncryptionKey, dict.objectId.get),
+            copy, 0, copy.length)
+          dict.decryptedStream = copy
+        }
+        srcBuf = dict.decryptedStream
+        srcOff = 0
+        srcLen = dict.decryptedStream.length
       }
     }
     filter match {

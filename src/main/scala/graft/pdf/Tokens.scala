@@ -137,10 +137,9 @@ final class DictTok(private val tk: PdfTokeniser, val objectId: Option[ObjectId]
   var tpe: Option[String] = None
   var streamStartIndex: Int = Int.MinValue
   var streamLength: Int = Int.MinValue
-  var isDecrypted: Boolean = false
-  /** AESV2 (extended mode): decrypted payload memo — AES output is shorter
-    * than the stored bytes (IV + padding), so unlike RC4 it cannot be
-    * decrypted in place. */
+  /** Decrypted payload memo (RC4 and AESV2): the source document bytes are
+    * never mutated, so extracting the same array twice cannot
+    * double-decrypt. */
   var decryptedStream: Array[Byte] = null
   var streamLengthProblem: String = null
 

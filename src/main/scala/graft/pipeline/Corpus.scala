@@ -1,6 +1,7 @@
 package graft.pipeline
 
 import graft.fixtures.GoldenGen
+import graft.pdf.{ObjectId, PdfCrypto}
 import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 import java.sql.Timestamp
 import java.time.Instant
@@ -37,10 +38,16 @@ object Corpus {
     * engine and therefore unusable in a byte-identity corpus. Content
     * streams are FlateDecode so the round-trip exercises S9. */
   def pdfFromText(text: String): Array[Byte] = {
-    val chunks = text.grouped(64).toIndexedSeq
     val b = new GoldenGen.PdfBuilder()
+    finishClassic(b, rotatingShowContents(b, text), text)
+  }
+
+  /** The variant-0 per-page operator streams (rotating show ops, no line
+    * moves), shared by the encrypted / xref-stream / incremental / malformed
+    * file layouts whose operator surface is identical to variant 0. */
+  private def rotatingOpsPerPage(text: String): Seq[String] = {
     var gi = 0
-    val contentIds = chunks.grouped(8).map { pageChunks =>
+    text.grouped(64).toIndexedSeq.grouped(8).map { pageChunks =>
       val ops = new StringBuilder("BT ")
       pageChunks.foreach { c =>
         val e = escapeLiteral(c)
@@ -52,13 +59,319 @@ object Corpus {
         gi += 1
       }
       ops.append("ET")
+      ops.toString
+    }.toSeq
+  }
+
+  private def rotatingShowContents(b: GoldenGen.PdfBuilder, text: String,
+      encryptKey: Array[Byte] = null, deflate: Boolean = true): Seq[Int] =
+    rotatingOpsPerPage(text).map(ops =>
+      b.addStream("", ops.getBytes(ISO_8859_1), deflate = deflate, encryptKey = encryptKey))
+
+  /** Classic-xref tail shared by most variants: page tree + deterministic
+    * /Info (Title carries the text length so document-metadata extraction —
+    * S7/S24 — is oracle-checkable). */
+  private def finishClassic(b: GoldenGen.PdfBuilder, contentIds: Seq[Int],
+      text: String, fontObj: Option[(String, Int)] = None): Array[Byte] = {
+    val catalog = GoldenGen.catalogFor(b, contentIds, fontObj)
+    val info = b.addObject(infoContent(text))
+    b.finish(s"/Root $catalog 0 R/Info $info 0 R")
+  }
+
+  private def infoContent(text: String): String =
+    s"<</Title (doc-${text.length})/Producer (graft)>>"
+
+  // ------------------------------------------------------------------
+  // PDF file-layout / operator variants. Even doc_ids are PDFs; each PDF
+  // doc is routed by (doc_id/2) % 8 to one of eight deterministic builders
+  // so the driver's DuckDB gate — not just unit fixtures — exercises the
+  // hard fidelity surface: Td/TD/T* and Tm newline semantics
+  // (reference: PdfContent.cs:144-163), /Differences + ToUnicode font
+  // decode (PdfFont.cs:62-99), RC4 string+stream decryption
+  // (Tokeniser.cs:627-690), xref streams + object streams + PNG-Up
+  // predictor (Tokeniser.cs:285-400), incremental-update /Prev chains
+  // (Tokeniser.cs:404-491), and the malformed-file tolerances
+  // (junk prefix / wrong /Length / CR-only EOL / trailing NULs).
+  // Every variant's expected extraction is a pure SQL expression over
+  // `documents.text` — see [[pdfExpectedText]] and the oracle in
+  // SparkEntry.
+  // ------------------------------------------------------------------
+
+  val NumPdfVariants = 8
+
+  def pdfVariant(docId: Long): Int = ((docId / 2) % NumPdfVariants).toInt
+
+  def pdfForDoc(docId: Long, text: String): Array[Byte] = pdfVariant(docId) match {
+    case 0 => pdfFromText(text)
+    case 1 => pdfMovesFromText(text)
+    case 2 => pdfEncodedFontFromText(text)
+    case 3 => pdfEncryptedFromText(text)
+    case 4 => pdfXrefStreamFromText(text)
+    case 5 => pdfTmFromText(text)
+    case 6 => pdfIncrementalFromText(text)
+    case _ => pdfMalformedFromText(text)
+  }
+
+  /** Scala twin of the DuckDB oracle: the reference-semantics extraction of
+    * [[pdfForDoc]]`(docId, text)` under `contentDelimiter = delimiter`.
+    *  - variant 1 (Td/TD/T*): a line move precedes every chunk but the
+    *    global first — including page starts, because Td appends "\n"
+    *    unconditionally (PdfContent.cs:144-146) — so chunks join with "\n";
+    *  - variant 5 (Tm): a ty-changing Tm precedes every chunk, but the Tm
+    *    newline fires only when the content already has text and both
+    *    `lastLineOffset` and `hasText` are per-content state
+    *    (PdfContent.cs:150-163), so chunks join with "\n" within a page and
+    *    pages concatenate bare;
+    *  - all other variants change the FILE layout, not the operator stream:
+    *    concatenation of the shown chunks. */
+  def pdfExpectedText(docId: Long, text: String, delimiter: String = ""): String = {
+    val shown = text.grouped(64).map(_ + delimiter).toIndexedSeq
+    pdfVariant(docId) match {
+      case 1 => shown.mkString("\n")
+      case 5 => shown.grouped(8).map(_.mkString("\n")).mkString
+      case _ => shown.mkString
+    }
+  }
+
+  /** Variant 1: line-move newlines. A rotating `Td`/`TD`/`T*` precedes every
+    * chunk except the global first (page starts included — the reference
+    * appends a newline per line move unconditionally). */
+  def pdfMovesFromText(text: String): Array[Byte] = {
+    val b = new GoldenGen.PdfBuilder()
+    var gi = 0
+    val contentIds = text.grouped(64).toIndexedSeq.grouped(8).map { pageChunks =>
+      val ops = new StringBuilder("BT ")
+      pageChunks.foreach { c =>
+        if (gi > 0) ops.append(gi % 3 match {
+          case 0 => "T* "
+          case 1 => "0 -14 Td "
+          case _ => "0 -14 TD "
+        })
+        ops.append('(').append(escapeLiteral(c)).append(") Tj ")
+        gi += 1
+      }
+      ops.append("ET")
       b.addStream("", ops.toString.getBytes(ISO_8859_1), deflate = true)
     }.toSeq
+    finishClassic(b, contentIds, text)
+  }
+
+  /** Variant 5: `Tm` newlines. Every chunk is preceded by a text matrix with
+    * a per-chunk ty, so within a page each Tm after the first changes the
+    * line offset and appends "\n"; the first Tm of each page never does
+    * (per-content `hasText` is still false). Shows alternate Tj / TJ. */
+  def pdfTmFromText(text: String): Array[Byte] = {
+    val b = new GoldenGen.PdfBuilder()
+    var gi = 0
+    val contentIds = text.grouped(64).toIndexedSeq.grouped(8).map { pageChunks =>
+      val ops = new StringBuilder("BT ")
+      pageChunks.zipWithIndex.foreach { case (c, j) =>
+        val e = escapeLiteral(c)
+        ops.append("1 0 0 1 50 ").append(760 - 14 * j).append(" Tm ")
+        if (gi % 2 == 0) ops.append('(').append(e).append(") Tj ")
+        else ops.append("[(").append(e).append(") -120] TJ ")
+        gi += 1
+      }
+      ops.append("ET")
+      b.addStream("", ops.toString.getBytes(ISO_8859_1), deflate = true)
+    }.toSeq
+    finishClassic(b, contentIds, text)
+  }
+
+  /** Variant 2: encoded-font decode. The written bytes are ROT13-scrambled
+    * for ASCII letters; a Type1 font recovers the original text through the
+    * /Differences overlay (uppercase codes → rot13 glyph names) and a
+    * ToUnicode CMap (lowercase bfranges + bfchar fixes for the Standard
+    * table's 0x27→quoteright and 0x60→quoteleft quirks). A decode bug in
+    * any of S16-S18 breaks byte identity. */
+  def pdfEncodedFontFromText(text: String): Array[Byte] = {
+    val b = new GoldenGen.PdfBuilder()
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |11 dict begin
+        |begincmap
+        |/CIDSystemInfo << /Registry(graft) /Ordering(UCS) /Supplement 0 >> def
+        |/CMapName /graft-rot13 def
+        |/CMapType 2 def
+        |1 begincodespacerange
+        |<00> <FF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<27> <0027>
+        |<60> <0060>
+        |endbfchar
+        |2 beginbfrange
+        |<61> <6D> <006E>
+        |<6E> <7A> <0061>
+        |endbfrange
+        |endcmap
+        |CMapName currentdict /CMap defineresource pop
+        |end
+        |end""".stripMargin
+    val cmapId = b.addStream("", cmap.getBytes(ISO_8859_1), deflate = true)
+    // code 65+i carries rot13('A'+i): /Differences maps it back
+    val diffs = (0 until 26).map(i => "/" + ('A' + (i + 13) % 26).toChar).mkString(" ")
+    val fontId = b.addObject(
+      s"<</Type/Font/Subtype/Type1/BaseFont/GraftRot/Encoding<</Type/Encoding/Differences[65 $diffs]>>/ToUnicode $cmapId 0 R>>")
+    var gi = 0
+    val contentIds = rot13(text).grouped(64).toIndexedSeq.grouped(8).map { pageChunks =>
+      val ops = new StringBuilder("BT /F1 10 Tf ")
+      pageChunks.foreach { c =>
+        val e = escapeLiteral(c)
+        if (gi % 2 == 0) ops.append('(').append(e).append(") Tj ")
+        else ops.append("[(").append(e).append(") -120] TJ ")
+        gi += 1
+      }
+      ops.append("ET")
+      b.addStream("", ops.toString.getBytes(ISO_8859_1), deflate = true)
+    }.toSeq
+    finishClassic(b, contentIds, text, fontObj = Some(("F1", fontId)))
+  }
+
+  private def rot13(s: String): String = s.map {
+    case c if c >= 'a' && c <= 'z' => ('a' + (c - 'a' + 13) % 26).toChar
+    case c if c >= 'A' && c <= 'Z' => ('A' + (c - 'A' + 13) % 26).toChar
+    case c => c
+  }
+
+  // Deterministic RC4 (40-bit V1 R2, empty passwords) document key shared by
+  // every variant-3 doc: /O via Algorithm 3, file key via Algorithm 2, /U via
+  // Algorithm 5 with the reference's 19-round XOR iteration.
+  private val EncDocIdHex = "0123456789abcdef0123456789abcdef"
+  private val EncPermission = -44
+  private lazy val encOKey: (Array[Byte], Array[Byte], Array[Byte]) = {
+    val docId = EncDocIdHex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    val ownerHash = PdfCrypto.md5(PdfCrypto.pad(""))
+    val o = PdfCrypto.rc4(java.util.Arrays.copyOf(ownerHash, 5), PdfCrypto.pad(""))
+    val key = PdfCrypto.computeEncryptionKey(PdfCrypto.pad(""), o, EncPermission, docId, 5)
+    val u = PdfCrypto.computeEncryptU(PdfCrypto.pad(""), docId, key)
+    (o, key, u)
+  }
+
+  /** Variant 3: RC4-encrypted (40-bit, V1 R2, empty user password). Content
+    * streams AND the /Info literal strings are encrypted with their object
+    * keys, so the gate covers S14's stream decryption and the
+    * decrypt-strings-parsed-before-the-key-existed path
+    * (reference: Tokeniser.cs:562-575). */
+  def pdfEncryptedFromText(text: String): Array[Byte] = {
+    val (o, key, u) = encOKey
+    val b = new GoldenGen.PdfBuilder()
+    val contentIds = rotatingShowContents(b, text, encryptKey = key)
     val catalog = GoldenGen.catalogFor(b, contentIds)
-    // deterministic /Info so document-metadata extraction (S7/S24) is
-    // oracle-checkable: Title carries the text length
-    val info = b.addObject(s"<</Title (doc-${text.length})/Producer (graft)>>")
+    // The reference's object-level literal-string parser keeps backslash
+    // escapes RAW and decrypts that raw form (Token.cs:206-276 +
+    // Tokeniser.cs:1859), so encrypted strings must be written UNESCAPED —
+    // which only round-trips when the ciphertext contains none of
+    // '(' ')' '\\'. The object key depends on the object number, so when a
+    // ciphertext draws a forbidden byte we insert a pad object to shift the
+    // Info id and redraw the keystream (deterministic in `text`).
+    def cipher(id: Int, s: String): Array[Byte] = {
+      val data = s.getBytes(ISO_8859_1)
+      PdfCrypto.rc4InPlace(PdfCrypto.objectKey(key, ObjectId(id, 0)), data, 0, data.length)
+      data
+    }
+    def unsafeBytes(bs: Array[Byte]): Boolean =
+      bs.exists(x => x == 0x28 || x == 0x29 || x == 0x5c)
+    val title = s"doc-${text.length}"
+    var infoId = b.nextObjectNumber
+    var tries = 0
+    while (unsafeBytes(cipher(infoId, title)) || unsafeBytes(cipher(infoId, "graft"))) {
+      b.addObject("<</Type/GraftPad>>") // shifts the next object number
+      infoId = b.nextObjectNumber
+      tries += 1
+      require(tries < 64, "could not find an escape-free Info keystream")
+    }
+    def rawStr(bs: Array[Byte]): String = new String(bs.map(x => (x & 0xff).toChar))
+    val realInfo = b.addObject(
+      s"<</Title (${rawStr(cipher(infoId, title))})/Producer (${rawStr(cipher(infoId, "graft"))})>>")
+    require(realInfo == infoId, s"info id mismatch: $realInfo vs $infoId")
+    def hex(bs: Array[Byte]): String = bs.map(x => f"${x & 0xff}%02x").mkString
+    val encId = b.addObject(
+      s"<</Filter/Standard/V 1/R 2/P $EncPermission/O <${hex(o)}>/U <${hex(u)}>>>")
+    b.finish(s"/Root $catalog 0 R/Info $infoId 0 R/Encrypt $encId 0 R" +
+      s"/ID[<$EncDocIdHex><$EncDocIdHex>]")
+  }
+
+  /** Variant 4: PDF 1.5 cross-reference STREAM layout — content streams as
+    * type-1 objects, the whole page graph + /Info packed into one
+    * FlateDecode object stream (type-2 entries), xref stream with the
+    * PNG-Up predictor — S5 + S10 + S11 in the driver gate. */
+  def pdfXrefStreamFromText(text: String): Array[Byte] = {
+    val b = new GoldenGen.PdfBuilder("1.5")
+    val contentIds = rotatingShowContents(b, text)
+    GoldenGen.finishXrefStream(b, contentIds, infoContent(text))
+  }
+
+  /** Variant 6: incremental update. The ORIGINAL section's object 1 (the
+    * first page's content stream) holds stale text; the appended update
+    * section rewrites object 1 at a new offset and chains the xref tables
+    * via /Prev. A reader that fails the Prev-chain walk or the
+    * newest-section-first object precedence extracts the stale page text —
+    * caught byte-for-byte by the roundtrip gate. (The trailer values are
+    * identical in both sections: the reference THROWS on conflicting
+    * trailer entries across the chain, so an /Info swap is not
+    * representable — replicated behavior, Tokeniser.cs:404-491.) */
+  def pdfIncrementalFromText(text: String): Array[Byte] = {
+    val b = new GoldenGen.PdfBuilder()
+    val pageOps = {
+      val ops = rotatingOpsPerPage(text)
+      if (ops.isEmpty) Seq("BT ET") else ops
+    }
+    // object 1: stale first-page content, superseded by the update section
+    val stale = b.addStream("",
+      "BT (stale first page content) Tj ET".getBytes(ISO_8859_1), deflate = true)
+    require(stale == 1, s"stale content must be object 1, got $stale")
+    val restIds = pageOps.drop(1).map(ops =>
+      b.addStream("", ops.getBytes(ISO_8859_1), deflate = true))
+    val catalog = GoldenGen.catalogFor(b, stale +: restIds)
+    val info = b.addObject(infoContent(text))
+    val xref1 = b.size
     b.finish(s"/Root $catalog 0 R/Info $info 0 R")
+    // update section: replacement object 1 with the REAL first-page ops
+    val newOff = b.size
+    val body = GoldenGen.zlib(pageOps.head.getBytes(ISO_8859_1))
+    b.raw(s"1 0 obj\n<</Length ${body.length}/Filter/FlateDecode>>stream\n")
+    b.raw(body)
+    b.raw("\nendstream\nendobj\n")
+    val xref2 = b.size
+    b.raw("xref\n")
+    b.raw("0 1\n0000000000 65535 f \n")
+    b.raw("1 1\n")
+    b.raw(f"$newOff%010d 00000 n \n")
+    b.raw(s"trailer<</Size ${info + 1}/Prev $xref1/Root $catalog 0 R/Info $info 0 R>>\n")
+    b.raw(s"startxref\n$xref2\n%%EOF\n")
+    b.currentBytes
+  }
+
+  /** Variant 7: malformed-but-tolerated layout — junk before the %PDF header
+    * (≤2000 B), wrong /Length forcing the endstream rescan, CR-only EOL
+    * after `stream`, trailing NULs after %%EOF
+    * (reference tolerances: Tokeniser.cs:190-200,239,1627-1641,1678-1696).
+    * Streams are uncompressed so the wrong-/Length rescan is exact. */
+  def pdfMalformedFromText(text: String): Array[Byte] = {
+    val junk = "q 119.06 0 0 48.93 51.02 41.78 cm /I1 Do Q\nBT 231.57 45.49 Td (stray preamble) Tj ET\n"
+    val b = new GoldenGen.PdfBuilder(prefix = junk)
+    var gi = 0
+    val contentIds = text.grouped(64).toIndexedSeq.grouped(8).map { pageChunks =>
+      val ops = new StringBuilder("BT ")
+      pageChunks.foreach { c =>
+        val e = escapeLiteral(c)
+        gi % 3 match {
+          case 0 => ops.append('(').append(e).append(") Tj ")
+          case 1 => ops.append('(').append(e).append(") ' ")
+          case _ => ops.append("[(").append(e).append(") -120] TJ ")
+        }
+        gi += 1
+      }
+      ops.append("ET")
+      // first content: broken /Length + CR-only EOL (rescan path); rest clean
+      val broken = b.nextObjectNumber == 1
+      b.addStream("", ops.toString.getBytes(ISO_8859_1),
+        lengthOverride = if (broken) 5 else -1, crOnlyEol = broken)
+    }.toSeq
+    val catalog = GoldenGen.catalogFor(b, contentIds)
+    val info = b.addObject(infoContent(text))
+    b.finish(s"/Root $catalog 0 R/Info $info 0 R", trailingNuls = 7)
   }
 
   /** Expected PDF page count for `text` under [[pdfFromText]] —
@@ -171,7 +484,7 @@ object Corpus {
   def isPdfDoc(docId: Long): Boolean = docId % 2 == 0
 
   def pageRowFor(docId: Long, text: String, lang: String): PageRow = {
-    val payload = if (isPdfDoc(docId)) pdfFromText(text) else htmlFromText(text, docId)
+    val payload = if (isPdfDoc(docId)) pdfForDoc(docId, text) else htmlFromText(text, docId)
     PageRow(
       url = UrlPrefix + docId,
       warc_ts = Timestamp.from(Instant.parse("2024-01-01T00:00:00Z").plusSeconds(docId * 60)),

@@ -1,0 +1,81 @@
+package graft
+
+import graft.pdf.PdfExtract
+import graft.pipeline.Corpus
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pure-JVM (no Spark) golden tests for the 8 PDF corpus variants: every
+  * variant × several text shapes × both content delimiters must extract to
+  * exactly [[Corpus.pdfExpectedText]] — the Scala twin of the driver gate's
+  * DuckDB oracle. This is the local proof that the oracle formulas and the
+  * builders agree before the sf0.01 gate runs them at scale. */
+class CorpusVariantsSpec extends AnyFunSuite {
+
+  private val texts = Seq(
+    "x",                                                               // 1 chunk
+    "It's quoted: 'single' and `backtick` plus (parens) \\ and ) stray end",
+    ("the quick brown fox jumps over seventeen lazy dogs daily " * 3).trim,   // 3 chunks, 1 page
+    ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 10).trim, // 2 pages
+    ("All Work And No Play 0123456789 MAKES a Dull Page; " * 30).trim) // 3 pages, mixed case
+
+  private def docIdFor(variant: Int): Long = variant.toLong * 2 // (id/2)%8 = variant
+
+  for (variant <- 0 until Corpus.NumPdfVariants; (t, ti) <- texts.zipWithIndex) {
+    test(s"variant $variant text#$ti round-trips byte-identically (delim '' and '|')") {
+      val id = docIdFor(variant)
+      assert(Corpus.pdfVariant(id) == variant)
+      val payload = Corpus.pdfForDoc(id, t)
+      for (delim <- Seq("", "|")) {
+        val r = PdfExtract.extract(payload, contentDelimiter = delim, captureFragments = false)
+        assert(r.decodeFailures == 0, s"v$variant failures: ${r.error}")
+        val want = Corpus.pdfExpectedText(id, t, delim)
+        assert(r.text == want,
+          s"v$variant delim='$delim': got <${r.text.take(120)}> want <${want.take(120)}>")
+      }
+    }
+  }
+
+  for (variant <- 0 until Corpus.NumPdfVariants) {
+    test(s"variant $variant metadata: version, /Info title, page count") {
+      val t = texts(3)
+      val id = docIdFor(variant)
+      val r = PdfExtract.extract(Corpus.pdfForDoc(id, t), captureFragments = false)
+      val wantVersion = if (variant == 4) "1.5" else "1.4"
+      assert(r.pdfVersion.contains(wantVersion), s"v$variant version=${r.pdfVersion}")
+      assert(r.documentInfo.contains(s"Title: doc-${t.length}; Producer: graft; "),
+        s"v$variant info=${r.documentInfo}")
+      assert(r.pages == Corpus.pdfPageCount(t))
+    }
+  }
+
+  test("extract is pure: the same encrypted payload extracts identically twice") {
+    // regression: RC4 stream decryption used to mutate the caller's array in
+    // place, so a second extract double-decrypted into garbage
+    val t = texts(3)
+    val payload = Corpus.pdfEncryptedFromText(t)
+    val before = payload.clone()
+    val r1 = PdfExtract.extract(payload, contentDelimiter = "", captureFragments = false)
+    val r2 = PdfExtract.extract(payload, contentDelimiter = "", captureFragments = false)
+    assert(r1.text == t && r2.text == t)
+    assert(java.util.Arrays.equals(payload, before), "extract mutated its input")
+  }
+
+  test("variant spread: even doc_ids cycle through all 8 builders") {
+    assert((0L until 16L by 2).map(Corpus.pdfVariant).toSet == (0 until 8).toSet)
+  }
+
+  test("variant 6: the original section alone yields the stale page (the update is live)") {
+    // sanity that the incremental fixture actually tests something: parsing
+    // only up to the FIRST %%EOF (i.e. ignoring the update section) must
+    // extract the stale object-1 content; the full file must not
+    val t = texts(2)
+    val full = Corpus.pdfIncrementalFromText(t)
+    val r = PdfExtract.extract(full, contentDelimiter = "", captureFragments = false)
+    assert(!r.text.contains("stale"), r.text.take(120))
+    val hay = new String(full.map(b => (b & 0xff).toChar))
+    val cut = hay.indexOf("%%EOF") + "%%EOF\n".length
+    val truncated = java.util.Arrays.copyOf(full, cut)
+    val r0 = PdfExtract.extract(truncated, contentDelimiter = "", captureFragments = false)
+    assert(r0.text.contains("stale first page content"), r0.text.take(120))
+  }
+}
