@@ -122,6 +122,13 @@ object SparkEntry {
     "dedup_minhash_lsh" -> ((s, dir) =>
       Dedup.minhashDedupPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.8)
         .orderBy("id_a", "id_b")),
+    "dedup_minhash_stream_parity" -> ((s, dir) =>
+      // the STREAMING banding transform (StreamMinhash.bandedStream) run in
+      // batch + exact verify: driver-gate evidence for the streaming code
+      // path — same banding fold a readStream pipeline executes, same
+      // exact-Jaccard oracle as dedup_minhash_lsh
+      graft.streaming.StreamMinhash.batchParityPairs(docs(s, dir), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
     "dedup_clusters" -> ((s, dir) =>
       Dedup.connectedComponents(
           Dedup.ngramJaccardPairs(docs(s, dir), "doc_id", "text", k = 3, threshold = 0.8))
@@ -156,7 +163,7 @@ object SparkEntry {
       val e = embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
       val corpus = e.unionAll(
         e.where(col("id") % 10 === 0).select((col("id") + 100000L).as("id"), col("embedding")))
-      Ann.cosineDupPairs(corpus, threshold = 0.95).orderBy("id_a", "id_b")
+      Ann.cosineDupPairsIvf(corpus, threshold = 0.95).orderBy("id_a", "id_b")
     }),
     "dedup_embedding_rplsh" -> ((s, dir) => {
       // random-hyperplane LSH band candidates + exact cosine verify — the
@@ -414,6 +421,7 @@ object SparkEntry {
          FROM corpus GROUP BY 1 ORDER BY fp""",
     "dedup_ngram_jaccard" -> exactJaccardSql,
     "dedup_minhash_lsh" -> exactJaccardSql,
+    "dedup_minhash_stream_parity" -> exactJaccardSql,
     "dedup_clusters" ->
       """WITH RECURSIVE docs AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
          sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh

@@ -225,21 +225,25 @@ object Ann {
       .select(col("id_a"), col("id_b"))
   }
 
-  /** Embedding-cosine near-duplicate pairs (cosine ≥ threshold, a<b),
-    * computed IVF-cell-locally: vectors are assigned to their `nprobe`
+  /** APPROXIMATE embedding-cosine near-duplicate pairs (cosine ≥ threshold,
+    * a<b), computed IVF-cell-locally: vectors are assigned to their `nprobe`
     * nearest cells of a deterministic spherical-k-means quantizer, and the
     * pair predicate runs as a self-EQUI-join on the cell id. No all-pairs
     * product, no full-table broadcast: the join shuffles on `cid`, so the
     * work is Σ_cells |cell|·nprobe choose 2 instead of N², and the memory
     * profile is one cell per task, not the whole table on the driver.
     *
-    * Recall: a pair is emitted iff the two vectors share at least one of
-    * their nprobe nearest cells AND their exact cosine clears the
-    * threshold (the predicate is exact — cells only gate candidates).
-    * Exact duplicates always share all cells; near-dups at threshold θ
-    * share a cell with probability → 1 as θ → 1; raise `nprobe` to trade
-    * compute for boundary recall. */
-  def cosineDupPairs(vectors: DataFrame, threshold: Double,
+    * Recall (the name says Ivf so callers opt into this explicitly): a pair
+    * is emitted iff the two vectors share at least one of their nprobe
+    * nearest cells AND their exact cosine clears the threshold (the
+    * predicate is exact — cells only gate candidates). Exact duplicates
+    * always share all cells; near-dups at threshold θ share a cell with
+    * probability → 1 as θ → 1; raise `nprobe` to trade compute for boundary
+    * recall ([[AnnSpec]] carries a brute-force-vs-IVF recall property at
+    * θ=0.9). For guaranteed recall on a bounded corpus use
+    * [[cosineDupPairsExact]]; for LSH-gated recall at scale use
+    * [[rplshCosineDupPairs]]. */
+  def cosineDupPairsIvf(vectors: DataFrame, threshold: Double,
       numCells: Int = 16, nprobe: Int = 2, iters: Int = 2): DataFrame = {
     val probed = assignTopN(vectors, kmeansCentroids(vectors, numCells, iters), nprobe)
     probed.as("a").join(probed.as("b"),
@@ -248,4 +252,16 @@ object Ann {
       .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
       .distinct()
   }
+
+  /** EXACT embedding-cosine near-duplicate pairs: the full O(N²/2) pair
+    * product with the exact cosine predicate — 100% recall by construction.
+    * This is a deliberate cartesian (Spark plans a BroadcastNestedLoopJoin /
+    * CartesianProduct): correct for bounded corpora (test oracles,
+    * per-partition re-verification, ≤10⁵ vectors); at web scale use
+    * [[cosineDupPairsIvf]] or [[rplshCosineDupPairs]], which gate the same
+    * exact predicate behind sub-quadratic candidate generation. */
+  def cosineDupPairsExact(vectors: DataFrame, threshold: Double): DataFrame =
+    vectors.as("a").join(vectors.as("b"), col("a.id") < col("b.id"))
+      .where(cosine(col("a.embedding"), col("b.embedding")) >= threshold)
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
 }

@@ -29,6 +29,17 @@ import scala.util.hashing.MurmurHash3
   *    far above any sandbox bucket (max df 25 at sf0.1), so oracle-checked
   *    results are exact at test scale; at web scale it is the difference
   *    between a bounded shuffle and a 10^16-row join on "click here".
+  *
+  * CACHE LIFECYCLE: the operators that build a capped inverted index or
+  * candidate set ([[ngramJaccardPairs]], [[minhashCandidates]],
+  * [[minhashDedupPairs]], [[ngramOverlapContamination]], [[simhashPairs]],
+  * `Ann.rplshCosineDupPairs`) persist that index (MEMORY_AND_DISK,
+  * evictable) so the expensive explode runs once per query instead of once
+  * per downstream join. Every such cache is registered centrally; a
+  * long-lived session that issues dedup queries in a loop should call
+  * [[clearCaches]] between batches — results already materialized are
+  * unaffected. DedupSpec's cache-lifecycle test pins the invariant that two
+  * back-to-back invocations plus clearCaches() leave zero persisted RDDs.
   */
 object Dedup {
 
@@ -67,11 +78,21 @@ object Dedup {
 
   private val liveCaches = mutable.ArrayBuffer.empty[DataFrame]
 
+  /** Test hook: the currently-registered operator caches (see the cache
+    * lifecycle note in the object doc). */
+  private[graft] def liveCacheSnapshot: Seq[DataFrame] =
+    liveCaches.synchronized { liveCaches.toList }
+
   /** Unpersist every index cache produced by the dedup/LSH operators since
     * the last clear (safe to call between batches; results already computed
     * are unaffected, lazily re-derived ones recompute). */
   def clearCaches(): Unit = liveCaches.synchronized {
-    liveCaches.foreach(_.unpersist())
+    liveCaches.foreach { df =>
+      // a cache whose session has been stopped is already gone; don't let
+      // its defunct BlockManager abort the sweep of the live ones
+      try if (!df.sparkSession.sparkContext.isStopped) df.unpersist()
+      catch { case _: Exception => () }
+    }
     liveCaches.clear()
   }
 
@@ -224,10 +245,24 @@ object Dedup {
     * (equals the exact ngramJaccardPairs result up to the LSH miss
     * probability (1-J^r)^b ≈ 5e-8 at J=0.8 with r=4,b=32). */
   def minhashDedupPairs(docs: DataFrame, idCol: String, textCol: String,
-      k: Int = 3, threshold: Double = 0.8, maxBucket: Int = MaxBucket): DataFrame = {
-    val cand = minhashCandidates(minhashBands(docs, idCol, textCol, k), maxBucket).persist()
-    // verify stage uses the SAME hot-shingle cap as ngramJaccardPairs so the
-    // two paths agree on the (stop-shingle-free) Jaccard value
+      k: Int = 3, threshold: Double = 0.8, maxBucket: Int = MaxBucket): DataFrame =
+    verifyCandidatesExact(docs, idCol, textCol,
+      minhashCandidates(minhashBands(docs, idCol, textCol, k), maxBucket),
+      k, threshold, maxBucket)
+
+  /** The exact-Jaccard verification stage over an arbitrary candidate-pair
+    * set `(id_a, id_b)` — shared by [[minhashDedupPairs]] and the streaming
+    * banding's batch-parity gate query
+    * (`StreamMinhash.batchParityPairs`). Uses the SAME hot-shingle cap as
+    * [[ngramJaccardPairs]] so all paths agree on the (stop-shingle-free)
+    * Jaccard value. */
+  def verifyCandidatesExact(docs: DataFrame, idCol: String, textCol: String,
+      candidates: DataFrame, k: Int = 3, threshold: Double = 0.8,
+      maxBucket: Int = MaxBucket): DataFrame = {
+    val cand = candidates.persist()
+    // registered like every other operator cache so clearCaches() releases
+    // it — a long-lived session must not accrue candidate sets across calls
+    liveCaches.synchronized { liveCaches += cand }
     val sh = dropHotKeysCached(shingles(docs, idCol, textCol, k), maxBucket, "sh")
     val cnt = sh.groupBy("id").agg(count(lit(1)).as("n"))
     // Exact verification touches ONLY docs that appear in some candidate

@@ -136,21 +136,46 @@ object Checkpoint {
     else Some(readManifests(spark, dirs).select("url").distinct())
   }
 
-  /** The committed output table: ONLY data batches referenced by a committed
-    * manifest — an orphan data directory from a crashed run is invisible. */
+  /** The committed output table: data batches referenced by a committed
+    * manifest — an orphan data directory from a crashed run is invisible —
+    * plus any flat part-files directly under `extracted/` as an implicit
+    * LEGACY batch (the pre-atomic layout wrote data flat; its urls are
+    * marked done by legacy manifests, so that committed output must stay
+    * readable here, not only via the raw path). Legacy files predate the
+    * format seam and are always parquet. */
   def readExtracted(spark: SparkSession, outDir: String): DataFrame = {
     val dirs = committedManifests(spark, outDir)
     val batches =
       if (dirs.isEmpty) Nil
-      else readManifests(spark, dirs)
-        .select("batch").where(col("batch").isNotNull && col("batch") =!= "")
-        .distinct().collect().map(_.getString(0)).toSeq
-    if (batches.isEmpty)
-      // schema-carrying empty table, so .select("url")/.as[ExtractedDoc]
-      // work on a fresh or manifest-only outDir
-      spark.emptyDataset(org.apache.spark.sql.Encoders.product[ExtractedDoc]).toDF()
-    else spark.read.format(tableFormat(spark))
-      .load(batches.map(b => s"${dataPath(outDir)}/$b"): _*)
+      else {
+        val man = readManifests(spark, dirs)
+        // an all-legacy outDir has no `batch` column at all
+        if (!man.columns.contains("batch")) Nil
+        else man.select("batch").where(col("batch").isNotNull && col("batch") =!= "")
+          .distinct().collect().map(_.getString(0)).toSeq
+      }
+    val legacyFiles = {
+      val root = new Path(dataPath(outDir))
+      val fs = fsOf(spark, dataPath(outDir))
+      if (dirs.isEmpty || !fs.exists(root)) Nil // no manifest ⇒ nothing committed
+      else fs.listStatus(root).toSeq
+        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+        .map(_.getPath.toString)
+    }
+    val batchDf =
+      if (batches.isEmpty) None
+      else Some(spark.read.format(tableFormat(spark))
+        .load(batches.map(b => s"${dataPath(outDir)}/$b"): _*))
+    val legacyDf = if (legacyFiles.isEmpty) None else Some(spark.read.parquet(legacyFiles: _*))
+    (batchDf, legacyDf) match {
+      case (Some(b), Some(l)) => b.unionByName(l, allowMissingColumns = true)
+      case (Some(b), None)    => b
+      case (None, Some(l))    => l
+      case (None, None)       =>
+        // schema-carrying empty table, so .select("url")/.as[ExtractedDoc]
+        // work on a fresh or manifest-only outDir
+        spark.emptyDataset(org.apache.spark.sql.Encoders.product[ExtractedDoc]).toDF()
+    }
   }
 
   /** Run-level metrics rollup from the committed manifests. */

@@ -52,18 +52,47 @@ object StreamMinhash {
       .flatMapGroupsWithState[BucketState, CandidatePair](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         (_: (Int, Long), rows: Iterator[BandedDoc], state: GroupState[BucketState]) =>
-          val seen = mutable.ArrayBuffer.from(state.getOption.map(_.ids).getOrElse(Nil))
+          val prior = state.getOption.map(_.ids).getOrElse(Nil)
+          val seen = mutable.ArrayBuffer.from(prior)
+          // O(1) membership alongside the ordered list (the state encoding
+          // stays the Seq; a capped bucket previously paid an O(n) scan per
+          // arrival)
+          val seenSet = mutable.HashSet.from(prior)
           val out = mutable.ArrayBuffer.empty[CandidatePair]
           rows.foreach { r =>
-            if (!seen.contains(r.id) && seen.length < maxBucket) {
+            if (!seenSet.contains(r.id) && seen.length < maxBucket) {
               seen.foreach { prev =>
                 out += CandidatePair(math.min(prev, r.id), math.max(prev, r.id))
               }
               seen += r.id
+              seenSet += r.id
             }
           }
           state.update(BucketState(seen.toSeq))
           out.iterator
       }
+  }
+
+  /** Batch-parity surface for the driver's correctness gate: run the
+    * STREAMING banding transform ([[bandedStream]] — the exact code a
+    * `readStream` pipeline executes, same signature fold and band keys)
+    * over a batch corpus, bucket-join the band rows into the candidate set
+    * a completed stream would have emitted (over a finished stream the
+    * stateful operator emits every within-bucket pair, modulo the cap — the
+    * batch [[Dedup.minhashCandidates]] computes the same set), and
+    * exact-Jaccard-verify. The result is oracled by the same exact-Jaccard
+    * SQL as `dedup_minhash_lsh`, giving the streaming code path driver-gate
+    * evidence (the stateful cross-micro-batch behavior itself is covered by
+    * PipelineSpec's streaming-vs-batch candidate-set test). */
+  def batchParityPairs(docs: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      k: Int = 3, threshold: Double = 0.8,
+      maxBucket: Int = Dedup.MaxBucket): org.apache.spark.sql.DataFrame = {
+    val spark = docs.sparkSession
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val banded = bandedStream(
+      docs.select(col(idCol).cast("long"), col(textCol).cast("string")).as[(Long, String)], k)
+    Dedup.verifyCandidatesExact(docs, idCol, textCol,
+      Dedup.minhashCandidates(banded.toDF(), maxBucket), k, threshold, maxBucket)
   }
 }

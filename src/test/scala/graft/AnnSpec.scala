@@ -54,11 +54,40 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"recall $recall") // 4/8 cells probed on clustered data
   }
 
-  test("cosineDupPairs finds planted duplicates only") {
+  test("cosineDupPairsIvf finds planted duplicates only") {
     val withCopies = emb.unionAll(
       emb.where(col("id") < 5).select((col("id") + 9000L).as("id"), col("embedding")))
-    val pairs = Ann.cosineDupPairs(withCopies, 0.95).collect()
+    val pairs = Ann.cosineDupPairsIvf(withCopies, 0.95).collect()
       .map(r => (r.getLong(0), r.getLong(1))).sorted
     assert(pairs.toSeq == (0L until 5L).map(i => (i, i + 9000L)))
+  }
+
+  test("IVF recall property at θ=0.9: near-boundary jittered pairs vs exact all-pairs") {
+    // NEAR-duplicates (not exact copies): jitter each base vector with a
+    // seeded Gaussian so pair cosines land near the 0.9 threshold from
+    // above — the cell-boundary regime where nprobe matters. Ground truth is
+    // the exact all-pairs variant; the IVF path must not lose boundary pairs.
+    import spark.implicits._
+    val base = emb.where(col("id") < 150).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rnd = new scala.util.Random(1234)
+    val jittered = base.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      // ~0.3·‖v‖ Gaussian noise ⇒ cosine(v, v+δ) ≈ 0.93-0.98: above but
+      // near the threshold, spread over the boundary band
+      val noise = v.map(_ => rnd.nextGaussian() * 0.3 * n / math.sqrt(v.length))
+      (id + 50000L, v.zip(noise).map { case (x, d) => (x + d).toFloat })
+    }
+    val corpus = (base ++ jittered).toSeq.toDF("id", "embedding").cache()
+    val exact = Ann.cosineDupPairsExact(corpus, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val ivf = Ann.cosineDupPairsIvf(corpus, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(exact.nonEmpty, "seeded jitter produced no >=0.9 pairs; bad test corpus")
+    assert((ivf -- exact).isEmpty, s"IVF emitted non-pairs: ${(ivf -- exact).take(5)}")
+    val recall = (exact & ivf).size.toDouble / exact.size
+    info(s"exact=${exact.size} ivf=${ivf.size} recall=$recall")
+    assert(recall >= 0.97, s"IVF boundary recall $recall < 0.97 — raise nprobe")
+    corpus.unpersist()
   }
 }

@@ -102,7 +102,29 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
-  test("cosineDupPairs is a cell-local equi-join: finds planted dups, no BroadcastNestedLoopJoin") {
+  test("cache lifecycle: back-to-back dedup invocations + clearCaches release every cache") {
+    import org.apache.spark.storage.StorageLevel
+    import spark.implicits._
+    val before = Dedup.liveCacheSnapshot.toSet
+    val docs = (0L until 40L)
+      .map(i => (i, (0 to 20).map(j => s"w${i}x$j").mkString(" "))).toDF("doc_id", "text")
+    // two back-to-back invocations of the cache-heaviest operator: every
+    // persist it creates (index caches AND the candidate set) must be
+    // registered, so one clearCaches() releases all of them. Other suites
+    // share the JVM-global registry under parallel execution, so assert only
+    // on THIS test's delta.
+    Dedup.minhashDedupPairs(docs, "doc_id", "text").count()
+    Dedup.minhashDedupPairs(docs, "doc_id", "text").count()
+    val mine = Dedup.liveCacheSnapshot.filterNot(before)
+    // 3 caches per invocation: band index, shingle index, candidate set
+    assert(mine.size >= 6, s"expected >=6 newly registered caches, got ${mine.size}")
+    assert(mine.forall(_.storageLevel != StorageLevel.NONE), "registered caches must be persisted")
+    Dedup.clearCaches()
+    assert(mine.forall(_.storageLevel == StorageLevel.NONE),
+      "clearCaches() must unpersist every registered cache")
+  }
+
+  test("cosineDupPairsIvf is a cell-local equi-join: finds planted dups, no BroadcastNestedLoopJoin") {
     import spark.implicits._
     val rnd = new java.util.Random(42)
     val base = (1L to 200L).map { i =>
@@ -110,7 +132,7 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
     val planted = base.filter(_._1 % 10 == 0).map { case (i, v) => (i + 100000L, v) }
     val vectors = (base ++ planted).toDF("id", "embedding")
-    val dups = Ann.cosineDupPairs(vectors, threshold = 0.95)
+    val dups = Ann.cosineDupPairsIvf(vectors, threshold = 0.95)
     val plan = dups.queryExecution.executedPlan.toString
     // the quantizer scoring (vectors × ≤16 broadcast centroids) is a
     // legitimate small cross join; the regression we guard against is an

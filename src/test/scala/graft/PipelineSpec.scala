@@ -124,6 +124,71 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Checkpoint.resume(pages, outDir).count() == 0)
   }
 
+  test("table-format seam: commit + crash-orphan + resume round-trips under ORC") {
+    import spark.implicits._
+    val texts = (0L until 12L).map(i => i -> s"orc seam document $i body words")
+    val pages = texts.map { case (id, t) => Corpus.pageRowFor(id, t, "en") }.toDS()
+    def docId = element_at(split(col("url"), "/"), -1).cast("long")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_spec_orc").toString
+    spark.conf.set("spark.graft.table.format", "orc")
+    try {
+      Checkpoint.commitWithData(ExtractPipeline.run(pages.where(docId < 5)), outDir)
+      assert(Checkpoint.readExtracted(spark, outDir).count() == 5)
+      // data files really are ORC, not parquet
+      val batchDirs = new java.io.File(Checkpoint.dataPath(outDir)).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("batch_"))
+      assert(batchDirs.nonEmpty)
+      assert(batchDirs.flatMap(_.listFiles()).exists(_.getName.endsWith(".orc")),
+        "expected .orc data files under the committed batch")
+      // crash window: orphan ORC batch is invisible until committed
+      ExtractPipeline.run(pages.where(docId >= 5)).toDF()
+        .write.orc(Checkpoint.dataPath(outDir) + "/batch_orphan")
+      assert(Checkpoint.readExtracted(spark, outDir).count() == 5)
+      val remaining = Checkpoint.resume(pages, outDir)
+      assert(remaining.count() == 7)
+      Checkpoint.commitWithData(ExtractPipeline.run(remaining), outDir)
+      val out = Checkpoint.readExtracted(spark, outDir)
+      assert(out.count() == 12 && out.select("url").distinct().count() == 12)
+      assert(Checkpoint.resume(pages, outDir).count() == 0)
+    } finally spark.conf.unset("spark.graft.table.format")
+  }
+
+  test("legacy pre-atomic layout: flat data files stay readable and their urls stay done") {
+    import spark.implicits._
+    val texts = (0L until 8L).map(i => i -> s"legacy layout document $i words")
+    val pages = texts.map { case (id, t) => Corpus.pageRowFor(id, t, "en") }.toDS()
+    val outDir = java.nio.file.Files.createTempDirectory("graft_spec_legacy").toString
+    // simulate an old run: data as FLAT part-files under extracted/, manifest
+    // as flat part-files under _manifest/ without a `batch` column
+    val done = ExtractPipeline.run(pages)
+    done.toDF().coalesce(1).write.parquet(s"$outDir/.legacy_stage")
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(Checkpoint.dataPath(outDir)))
+    new java.io.File(s"$outDir/.legacy_stage").listFiles()
+      .filter(_.getName.startsWith("part-")).foreach { f =>
+        fs.rename(new org.apache.hadoop.fs.Path(f.getPath),
+          new org.apache.hadoop.fs.Path(s"${Checkpoint.dataPath(outDir)}/${f.getName}"))
+      }
+    done.select("url", "n_chars", "decode_failures")
+      .withColumn("part_id", spark_partition_id())
+      .coalesce(1).write.parquet(s"$outDir/.legacy_man")
+    fs.mkdirs(new org.apache.hadoop.fs.Path(Checkpoint.manifestPath(outDir)))
+    new java.io.File(s"$outDir/.legacy_man").listFiles()
+      .filter(_.getName.startsWith("part-")).foreach { f =>
+        fs.rename(new org.apache.hadoop.fs.Path(f.getPath),
+          new org.apache.hadoop.fs.Path(s"${Checkpoint.manifestPath(outDir)}/${f.getName}"))
+      }
+    // the committed legacy output is readable through the standard reader...
+    assert(Checkpoint.readExtracted(spark, outDir).count() == 8)
+    // ...its urls stay done, and a new-layout commit coexists with it
+    assert(Checkpoint.resume(pages, outDir).count() == 0)
+    val more = (100L until 104L).map(i => Corpus.pageRowFor(i, s"new doc $i", "en")).toDS()
+    Checkpoint.commitWithData(ExtractPipeline.run(more), outDir)
+    assert(Checkpoint.readExtracted(spark, outDir).count() == 12)
+    assert(Checkpoint.metrics(spark, outDir).collect().head.getAs[Long]("docs_done") == 12)
+  }
+
   test("sizeRouted: both lanes preserve rows and extraction is unchanged") {
     import spark.implicits._
     val tiny = (0L until 40L).map(i => Corpus.pageRowFor(i, s"small doc $i words", "en"))
