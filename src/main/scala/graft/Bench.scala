@@ -17,16 +17,21 @@ import org.apache.spark.sql.functions._
   *
   * Three scaling numbers are reported, because on one box they measure
   * different things:
-  *  - `scaling.efficiency`      — the full Spark pipeline (scan + extract +
-  *    agg). On shared hardware this is bounded by the single memory bus that
-  *    all 32 threads contend for; on a real N→4N *executor* scale-out each
-  *    node brings its own memory system, so per-node profiles transfer.
+  *  - `scaling.efficiency`      — the Spark metrics-rollup pipeline (scan +
+  *    parse + agg, no text materialization — the job a profiling run
+  *    actually executes). On shared hardware this is bounded by the single
+  *    memory bus all 32 threads contend for; on a real N→4N *executor*
+  *    scale-out each node brings its own memory system, so per-node
+  *    profiles transfer.
   *  - `scaling.parse_efficiency` — the pure parse stack (no Spark) at the
   *    same two thread counts: the per-core compute that dominates at
   *    cluster scale.
   *  - `scaling.cpu_efficiency`  — a pure-ALU LCG loop: the hardware ceiling
   *    (turbo clocks drop as cores activate; ~0.83 on this VM).
-  * Protocol + analysis in BASELINE.md.
+  * Measurement discipline (round 3): page-cache pre-read before every tier,
+  * PAIRED lo/hi rounds each yielding one efficiency sample, rejection of
+  * rounds whose scan floors disagree >2x, median-of-rounds reporting with
+  * all samples in the JSON. Protocol + analysis in BASELINE.md.
   */
 object Bench {
 
@@ -59,7 +64,10 @@ object Bench {
     * the production shape; an in-memory cache is NOT used — it measured
     * BlockManager behavior instead of the pipeline). */
   private def corpusDir(spark: SparkSession, sfDir: String, repl: Int, textRep: Int): String = {
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_bench_${Integer.toHexString((sfDir + repl + "x" + textRep).hashCode)}"
+    // "v3": cache key versioned with the corpus generation — round 3 widened
+    // the PDF payloads to 8 file-layout variants, so a cached round-2 corpus
+    // must not be reused
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_bench_${Integer.toHexString(("v3" + sfDir + repl + "x" + textRep).hashCode)}"
     val marker = new java.io.File(s"$dir/_SUCCESS")
     if (!marker.exists()) {
       import spark.implicits._
@@ -92,6 +100,37 @@ object Bench {
       .agg(count(lit(1)), sum("n_chars"), sum("decode_failures"))
       .collect()
     ()
+  }
+
+  /** The scaling-tier job: same parse work, metrics-only output
+    * (`ExtractPipeline.runMetrics`) — no full-document text copy, no text
+    * column serialized into the agg that immediately drops it. This is the
+    * honest shape of a counting/profiling run; the full-text job stays the
+    * headline `extract_pipeline` entry. */
+  private def runMetricsJob(pages: Dataset[PageRow]): Unit = {
+    ExtractPipeline.runMetrics(pages)
+      .groupBy("kind")
+      .agg(count(lit(1)), sum("n_chars"), sum("decode_failures"))
+      .collect()
+    ()
+  }
+
+  /** Pull every corpus file through the OS page cache so neither tier pays
+    * cold-read I/O (a cold tier's "scan floor" measures the disk, not the
+    * pipeline — the r2 artifact recorded a physically impossible 2.16
+    * efficiency from exactly that asymmetry). */
+  private def preReadCorpus(dir: String): Long = {
+    var sum = 0L
+    val files = new java.io.File(dir).listFiles()
+    if (files != null) files.filter(_.isFile).foreach { f =>
+      val in = new java.io.FileInputStream(f)
+      try {
+        val buf = new Array[Byte](1 << 20)
+        var n = in.read(buf)
+        while (n >= 0) { sum += n; n = in.read(buf) }
+      } finally in.close()
+    }
+    sum
   }
 
   /** Pure parse-stack throughput (docs/sec) at `threads`, no Spark. */
@@ -195,56 +234,77 @@ object Bench {
       graft.streaming.Events.userSessions(
         spark.read.parquet(s"$sfDir/events.parquet")).count())
 
+    // headline metrics-only throughput at full cores (the scaling-tier job)
+    results("extract_metrics_only") = time(3)(runMetricsJob(pages))
     spark.stop()
 
-    // ---- alternating hi/lo scaling passes. Run-to-run drift on this shared
-    // VM is ±20% (the pure-ALU ceiling itself moves that much between
-    // minutes); measuring hi once and lo once minutes later folds that drift
-    // straight into the efficiency ratio, in either direction. Alternating
-    // lo/hi sessions twice and taking the best wall time per tier bounds the
-    // bias: each tier gets a sample from both halves of the drift window.
-    // The scan floor (read + snappy + binary materialization — the term that
-    // does NOT thread-scale on one box but scales trivially with executors,
-    // see BASELINE.md) is measured the same way.
-    // mean of 3 back-to-back runs per session: single ~1 s windows (esp. the
-    // lo tier) swing ±25% with VM jitter; a 3-run window averages it, and
-    // the min across THREE alternating lo/hi rounds removes slow-phase
-    // outliers. The scan floor uses the SAME mean-of-3 estimator — mixing a
-    // min-of-singles floor with a mean-of-3 wall time would bias the
-    // subtracted compute term differently per tier.
+    // ---- scaling protocol (round 3 — see BASELINE.md):
+    //  1. the corpus is PRE-READ into the OS page cache before every tier,
+    //     so no tier pays cold-read I/O;
+    //  2. rounds are PAIRED: each round measures lo then hi back-to-back
+    //     and contributes ONE efficiency sample computed from its own pair —
+    //     pairing cancels the VM's minute-scale drift, which best-of-tiers
+    //     across rounds folded straight into the ratio (the r2 artifact
+    //     recorded efficiency 2.16 that way);
+    //  3. a round whose two scan floors disagree by more than 2x is evidence
+    //     of a degraded phase (throttled VM, evicted cache) and is REJECTED
+    //     and redone, up to `maxAttempts`;
+    //  4. the reported numbers are the MEDIAN round's (by efficiency), and
+    //     every per-round sample ships in the JSON so the artifact is
+    //     auditable.
+    // Each tier's wall time is a mean of 3 back-to-back runs after a warm-up
+    // run (single ~1 s windows swing ±25% under VM jitter); the scan floor
+    // uses the SAME estimator so the subtracted compute term is unbiased.
     def meanOf3(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; f; f
       (System.nanoTime() - t0) / 3e9
     }
-    var tHiBest, tLoBest, tScanHiBest, tScanLoBest = Double.MaxValue
-    for (_ <- 1 to 3) {
-      val sLo = session(loCores)
-      val pLo = pagesOf(sLo, dir)
-      runExtract(pLo) // per-session codegen warm-up (JIT is already hot)
-      tLoBest = math.min(tLoBest, meanOf3(runExtract(pLo)))
-      tScanLoBest = math.min(tScanLoBest,
-        meanOf3(sLo.read.parquet(dir).agg(sum(length(col("html")))).collect()))
-      sLo.stop()
-      val sHi = session(cpus)
-      val pHi = pagesOf(sHi, dir)
-      runExtract(pHi)
-      tHiBest = math.min(tHiBest, meanOf3(runExtract(pHi)))
-      tScanHiBest = math.min(tScanHiBest,
-        meanOf3(sHi.read.parquet(dir).agg(sum(length(col("html")))).collect()))
-      sHi.stop()
+    final case class Round(tLo: Double, tHi: Double, scanLo: Double, scanHi: Double) {
+      def eff: Double = (tLo / tHi) / (cpus.toDouble / loCores)
+      def computeEff: Double = {
+        val cHi = math.max(1e-3, tHi - scanHi)
+        val cLo = math.max(1e-3, tLo - scanLo)
+        (cLo / cHi) / (cpus.toDouble / loCores)
+      }
+      def floorsConsistent: Boolean =
+        math.max(scanLo, scanHi) / math.max(1e-3, math.min(scanLo, scanHi)) <= 2.0
     }
-    val thrHi = nDocs / tHiBest
-    val thrLo = nDocs / tLoBest
-    val tScanHi = tScanHiBest
-    val tScanLo = tScanLoBest
-    val eff = (thrHi / thrLo) / (cpus.toDouble / loCores)
-    // compute-term efficiency: subtract the scan floor from both wall times
-    // (the decomposition reported in BASELINE.md)
-    val computeEff = {
-      val cHi = math.max(1e-3, tHiBest - tScanHi)
-      val cLo = math.max(1e-3, tLoBest - tScanLo)
-      (cLo / cHi) / (cpus.toDouble / loCores)
+    def measureTier(cores: Int): (Double, Double) = {
+      preReadCorpus(dir)
+      val s = session(cores)
+      val p = pagesOf(s, dir)
+      runMetricsJob(p) // per-session codegen warm-up (JIT is already hot)
+      val t = meanOf3(runMetricsJob(p))
+      val scan = meanOf3(s.read.parquet(dir).agg(sum(length(col("html")))).collect())
+      s.stop()
+      (t, scan)
     }
+    val targetRounds = 3
+    val maxAttempts = 6
+    val accepted = scala.collection.mutable.ArrayBuffer.empty[Round]
+    val rejected = scala.collection.mutable.ArrayBuffer.empty[Round]
+    var attempt = 0
+    while (accepted.size < targetRounds && attempt < maxAttempts) {
+      attempt += 1
+      val (tLo, scanLo) = measureTier(loCores)
+      val (tHi, scanHi) = measureTier(cpus)
+      val r = Round(tLo, tHi, scanLo, scanHi)
+      if (r.floorsConsistent) accepted += r else rejected += r
+    }
+    val pool = if (accepted.nonEmpty) accepted.toSeq else rejected.toSeq
+    val median = pool.sortBy(_.eff).apply(pool.size / 2)
+    val thrHi = nDocs / median.tHi
+    val thrLo = nDocs / median.tLo
+    val tScanHi = median.scanHi
+    val tScanLo = median.scanLo
+    val eff = median.eff
+    val computeEff = median.computeEff
+    def roundJson(r: Round, ok: Boolean): String =
+      s"""{"t_lo":${f"${r.tLo}%.3f"},"t_hi":${f"${r.tHi}%.3f"},""" +
+        s""""scan_lo":${f"${r.scanLo}%.3f"},"scan_hi":${f"${r.scanHi}%.3f"},""" +
+        s""""efficiency":${f"${r.eff}%.3f"},"accepted":$ok}"""
+    val roundsJson = (accepted.map(roundJson(_, true)) ++ rejected.map(roundJson(_, false)))
+      .mkString("[", ",", "]")
 
     // ---- pure parse-stack scaling (no Spark) on an in-memory slice
     val slice = {
@@ -252,7 +312,9 @@ object Bench {
       val words = Array("key", "agg", "row", "scan", "slow", "fast", "table", "value", "part", "hash")
       Array.tabulate(30000) { i =>
         val t = Array.fill(300 + rnd.nextInt(200))(words(rnd.nextInt(words.length))).mkString(" ")
-        if (i % 2 == 0) (true, Corpus.pdfFromText(t)) else (false, Corpus.htmlFromText(t, i))
+        // even i -> PDF routed through all 8 corpus variants (encryption,
+        // xref streams, encoded fonts included), odd i -> HTML
+        if (i % 2 == 0) (true, Corpus.pdfForDoc(i.toLong, t)) else (false, Corpus.htmlFromText(t, i))
       }
     }
     pureParse(slice, cpus) // warm
@@ -266,15 +328,19 @@ object Bench {
     val qs = results.map { case (k, v) => s""""$k":${f"$v%.3f"}""" }.mkString("{", ",", "}")
     val total = results.values.sum
     val scaling =
-      s"""{"cores_lo":$loCores,"cores_hi":$cpus,""" +
+      s"""{"cores_lo":$loCores,"cores_hi":$cpus,"job":"metrics_rollup",""" +
         s""""docs_per_sec_lo":${f"$thrLo%.1f"},"docs_per_sec_hi":${f"$thrHi%.1f"},"efficiency":${f"$eff%.3f"},""" +
         s""""scan_floor_sec_lo":${f"$tScanLo%.3f"},"scan_floor_sec_hi":${f"$tScanHi%.3f"},"compute_efficiency":${f"$computeEff%.3f"},""" +
+        s""""rounds":$roundsJson,""" +
         s""""parse_docs_per_sec_lo":${f"$pLo%.1f"},"parse_docs_per_sec_hi":${f"$pHi%.1f"},"parse_efficiency":${f"$parseEff%.3f"},""" +
         s""""cpu_efficiency":${f"$cpuEff%.3f"}}"""
     println(
       s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir",""" +
         s""""bench_docs":$nDocs,"bench_mb":${f"$mb%.1f"},""" +
-        s""""extract_docs_per_sec":${f"$thrHi%.1f"},"extract_mb_per_sec":${f"${mb / results("extract_pipeline")}%.1f"},""" +
+        // headline throughput = the FULL extraction job (text materialized),
+        // comparable across rounds; the scaling block's docs_per_sec_* are
+        // the metrics-rollup job (see scaling.job)
+        s""""extract_docs_per_sec":${f"${nDocs / results("extract_pipeline")}%.1f"},"extract_mb_per_sec":${f"${mb / results("extract_pipeline")}%.1f"},""" +
         s""""scaling":$scaling}""")
   }
 }

@@ -13,9 +13,13 @@ final case class TextSpan(start: Int, end: Int, srcOffset: Int, kind: String, sr
 
 /** Document-level extraction result. `text` is the byte-identical surface:
   * pages in tree order → contents in array order → each content's assembled
-  * text (reference: PdfParser/PdfContent.cs:186, browser concatenation). */
+  * text (reference: PdfParser/PdfContent.cs:186, browser concatenation).
+  * `nChars` always carries the assembled length — under
+  * `captureText = false` (metrics-only jobs) `text` stays empty and the
+  * full-document String copy is skipped entirely. */
 final case class ExtractResult(
     text: String,
+    nChars: Int,
     fragments: Seq[String],
     spans: Seq[TextSpan],
     pages: Int,
@@ -59,7 +63,10 @@ object PdfExtract {
       /** Compute each span's 1-based source line ([[TextStore]] semantics);
         * costs one extra pass + char buffer over the document bytes, so the
         * bulk pipeline leaves it off. */
-      captureLines: Boolean = false): ExtractResult = {
+      captureLines: Boolean = false,
+      /** `false` = metrics-only: skip the final full-document text copy
+        * (`nChars` still reports the assembled length). */
+      captureText: Boolean = true): ExtractResult = {
     val tk = new PdfTokeniser(bytes, password, contentDelimiter, buffers, captureFragments, extendedFilters)
     try {
       tk.verifyFileHeader()
@@ -104,7 +111,8 @@ object PdfExtract {
       }
 
       ExtractResult(
-        text = tk.docText.toString,
+        text = if (captureText) tk.docText.toString else "",
+        nChars = tk.docText.length,
         fragments = fragments.toSeq,
         spans = spans.toSeq,
         pages = tk.pageList.size,
@@ -123,6 +131,7 @@ object PdfExtract {
         }
         ExtractResult(
           text = "",
+          nChars = 0,
           fragments = Nil,
           spans = Nil,
           pages = 0,

@@ -39,7 +39,7 @@ object ExtractPipeline {
         buffers = buffers, captureFragments = false, captureLines = captureLines)
       ExtractedDoc(url, "pdf", r.text, "",
         r.spans.map(s => SpanRow(s.start, s.end, s.srcOffset, s.kind, s.srcLine)),
-        r.pages, r.text.length, r.decodeFailures, r.error.getOrElse(""), lang, nBytes)
+        r.pages, r.nChars, r.decodeFailures, r.error.getOrElse(""), lang, nBytes)
     } else {
       try {
         val html = Boilerplate.decode(payload)
@@ -68,6 +68,43 @@ object ExtractPipeline {
       .mapPartitions { it =>
         val buffers = new WorkBuffers()
         it.map(r => extractOne(r.url, r.html, r.lang, delimiter, buffers, captureLines))
+      }
+  }
+
+  /** Metrics-only extraction: the full parse runs but (a) the PDF path
+    * skips the final full-document text copy (`captureText = false` —
+    * lengths come from the shared builder) and (b) the output row carries
+    * no text/spans, so nothing wide is serialized between the map and the
+    * downstream agg. This is the job shape for counting/profiling runs
+    * (tokens, decode failures, corpus stats) where the extracted text is
+    * never stored — at 100 TB the difference is the text column's worth of
+    * row-serialization plus the per-doc copy, with zero change to what is
+    * parsed. */
+  def runMetrics(pages: Dataset[PageRow]): Dataset[ExtractMetricsRow] = {
+    val spark = pages.sparkSession
+    import spark.implicits._
+    pages
+      .select(col("url"), col("html"), col("lang"))
+      .as[ExtractInput]
+      .mapPartitions { it =>
+        val buffers = new WorkBuffers()
+        it.map { r =>
+          val nBytes = if (r.html == null) 0L else r.html.length.toLong
+          if (r.html == null || r.html.isEmpty)
+            ExtractMetricsRow(r.url, "empty", 0, 0, 1, r.lang, nBytes)
+          else if (PdfExtract.isPdf(r.html)) {
+            val d = PdfExtract.extract(r.html, contentDelimiter = "",
+              buffers = buffers, captureFragments = false, captureText = false)
+            ExtractMetricsRow(r.url, "pdf", d.pages, d.nChars, d.decodeFailures, r.lang, nBytes)
+          } else {
+            try {
+              val d = Boilerplate.extract(Boilerplate.decode(r.html))
+              ExtractMetricsRow(r.url, "html", 1, d.text.length, 0, r.lang, nBytes)
+            } catch {
+              case _: Exception => ExtractMetricsRow(r.url, "html", 1, 0, 1, r.lang, nBytes)
+            }
+          }
+        }
       }
   }
 

@@ -37,6 +37,7 @@ object Main {
     val partitions = opt("partitions").map(_.toInt)
       .getOrElse(spark.sparkContext.defaultParallelism * 2)
 
+    val t0 = System.nanoTime() // job time: resume + extract + metrics + commit
     val pages = TableIO.readPages(spark, input)
     val todo = if (resume) Checkpoint.resume(pages, outDir) else pages
     val extracted = ExtractPipeline
@@ -56,8 +57,10 @@ object Main {
     // as the commit point — a crash at any moment leaves either nothing or
     // an unmanifested (invisible, re-extracted) orphan, never duplicates
     if (m.getLong(0) > 0) Checkpoint.commitWithData(extracted, outDir)
+    val wall = (System.nanoTime() - t0) / 1e9
     println(s"""{"docs":${m.getLong(0)},"chars":${m.getLong(1)},""" +
-      s""""decode_failures":${m.getLong(2)},"pdf_docs":${m.getLong(3)},"resumed":$resume}""")
+      s""""decode_failures":${m.getLong(2)},"pdf_docs":${m.getLong(3)},"resumed":$resume,""" +
+      s""""wall_sec":${f"$wall%.2f"}}""")
     spark.stop()
   }
 }

@@ -32,6 +32,17 @@ final case class SpanRow(start: Int, end: Int, src_offset: Int, kind: String, sr
 /** Output row of the extraction pipeline. Errors are captured per row, never
   * thrown — one malformed document must not fail a 10^12-row job
   * (reference: PdfPage.cs:70-81, PdfContent.cs:191-202). */
+/** Narrow output row of [[ExtractPipeline.runMetrics]]: everything the
+  * metrics rollups need, nothing wide — no text, no spans. */
+final case class ExtractMetricsRow(
+    url: String,
+    kind: String,
+    pages: Int,
+    n_chars: Int,
+    decode_failures: Int,
+    lang: String,
+    n_bytes: Long)
+
 final case class ExtractedDoc(
     url: String,
     kind: String, // "pdf" | "html"

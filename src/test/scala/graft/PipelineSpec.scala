@@ -75,6 +75,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Corpus.pdfExpectedText(42L, t))
   }
 
+  test("runMetrics agrees with run on kind/pages/chars/failures across all variants") {
+    import spark.implicits._
+    val long = ("metrics parity corpus with plenty of words to span pages " * 12).trim
+    val pages = (0L until 20L).map(i => Corpus.pageRowFor(i, long, "en")).toDS()
+    def key(url: String, kind: String, pages: Int, chars: Int, fails: Int) =
+      url -> ((kind, pages, chars, fails))
+    val full = ExtractPipeline.run(pages, delimiter = "").collect()
+      .map(d => key(d.url, d.kind, d.pages, d.n_chars, d.decode_failures)).toMap
+    val metrics = ExtractPipeline.runMetrics(pages).collect()
+      .map(d => key(d.url, d.kind, d.pages, d.n_chars, d.decode_failures)).toMap
+    assert(metrics == full)
+  }
+
   test("malformed payload becomes an error row, not an exception") {
     import spark.implicits._
     val junk = "%PDF-1.4 this is not really a pdf".getBytes("ISO-8859-1")
