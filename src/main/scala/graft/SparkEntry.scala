@@ -395,14 +395,26 @@ object SparkEntry {
            FROM d)
          SELECT doc_id, concat_ws(chr(10), p, i1, i2, tbl) AS text
          FROM parts ORDER BY doc_id""",
+    // n_spans: one span per CONTENT STREAM with text. Variant 2 splits
+    // pages of >4 chunks into two content streams (/Contents array form),
+    // so its span count is 2 per full page plus 1-or-2 for the last page
+    // depending on its chunk remainder; every other variant has one
+    // content per page.
     "extract_pipeline_mixed" ->
-      s"""SELECT doc_id,
+      s"""WITH d AS (SELECT doc_id, text, lang, (doc_id // 2) % 8 AS v,
+                (length(text) + 63) // 64 AS chunks,
+                ((length(text) + 63) // 64 + 7) // 8 AS pages
+              FROM documents)
+         SELECT doc_id,
          CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS kind,
          CAST(length(text) + $pdfExtraCharsSql AS BIGINT) AS n_chars,
-         CAST(CASE WHEN doc_id % 2 = 0 THEN ((length(text)+63)//64 + 7)//8 ELSE 1 END AS BIGINT) AS pages,
-         CAST(CASE WHEN doc_id % 2 = 0 THEN ((length(text)+63)//64 + 7)//8 ELSE 1 END AS BIGINT) AS n_spans,
+         CAST(CASE WHEN doc_id % 2 = 0 THEN pages ELSE 1 END AS BIGINT) AS pages,
+         CAST(CASE WHEN doc_id % 2 = 1 THEN 1
+                   WHEN v = 2 THEN 2 * (pages - 1)
+                        + (CASE WHEN chunks - 8 * (pages - 1) > 4 THEN 2 ELSE 1 END)
+                   ELSE pages END AS BIGINT) AS n_spans,
          CAST(0 AS BIGINT) AS failures
-         FROM documents ORDER BY doc_id""",
+         FROM d ORDER BY doc_id""",
     "extract_metrics_by_lang" ->
       s"""SELECT lang, count(*) AS n_docs,
          CAST(sum(length(text) + $pdfExtraCharsSql) AS BIGINT) AS total_chars,

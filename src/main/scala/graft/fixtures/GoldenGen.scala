@@ -94,11 +94,21 @@ object GoldenGen {
   }
 
   /** Page tree + catalog for already-written content objects. */
-  def catalogFor(b: PdfBuilder, contentIds: Seq[Int], fontObj: Option[(String, Int)] = None): Int = {
-    val pagesId = b.nextObjectNumber + contentIds.length
+  def catalogFor(b: PdfBuilder, contentIds: Seq[Int], fontObj: Option[(String, Int)] = None): Int =
+    catalogForPages(b, contentIds.map(Seq(_)), fontObj)
+
+  /** Page tree + catalog with one page per inner Seq; a page with several
+    * content ids gets the `/Contents [a 0 R b 0 R]` ARRAY form (the
+    * reference iterates it in array order — PdfPage.cs:60-72). */
+  def catalogForPages(b: PdfBuilder, pageContents: Seq[Seq[Int]],
+      fontObj: Option[(String, Int)] = None): Int = {
+    val pagesId = b.nextObjectNumber + pageContents.length
     val resources = fontObj.map { case (name, id) => s"/Resources<</Font<</$name $id 0 R>>>>" }.getOrElse("")
-    val pageIds = contentIds.map { cid =>
-      b.addObject(s"<</Type/Page /Parent $pagesId 0 R/Contents $cid 0 R$resources>>")
+    val pageIds = pageContents.map { cids =>
+      val contents =
+        if (cids.lengthCompare(1) == 0) s"/Contents ${cids.head} 0 R"
+        else s"/Contents[${cids.map(_ + " 0 R").mkString(" ")}]"
+      b.addObject(s"<</Type/Page /Parent $pagesId 0 R$contents$resources>>")
     }
     val realPagesId = b.addObject(s"<</Type/Pages /Kids[${pageIds.map(_ + " 0 R").mkString(" ")}] /Count ${pageIds.length}>>")
     require(realPagesId == pagesId, s"pages id mismatch: $realPagesId vs $pagesId")

@@ -213,10 +213,15 @@ object Corpus {
     val diffs = (0 until 26).map(i => "/" + ('A' + (i + 13) % 26).toChar).mkString(" ")
     val fontId = b.addObject(
       s"<</Type/Font/Subtype/Type1/BaseFont/GraftRot/Encoding<</Type/Encoding/Differences[65 $diffs]>>/ToUnicode $cmapId 0 R>>")
+    // pages with more than 4 chunks split into TWO content streams and use
+    // the /Contents ARRAY form — the gate then exercises the reference's
+    // array-order content iteration (PdfPage.cs:60-72). Text is unaffected
+    // (no newline ops; concatenation across a page's contents in array
+    // order); extract_pipeline_mixed's n_spans accounts for the split.
     var gi = 0
-    val contentIds = rot13(text).grouped(64).toIndexedSeq.grouped(8).map { pageChunks =>
+    def contentOf(chunks: Seq[String]): Int = {
       val ops = new StringBuilder("BT /F1 10 Tf ")
-      pageChunks.foreach { c =>
+      chunks.foreach { c =>
         val e = escapeLiteral(c)
         if (gi % 2 == 0) ops.append('(').append(e).append(") Tj ")
         else ops.append("[(").append(e).append(") -120] TJ ")
@@ -224,8 +229,14 @@ object Corpus {
       }
       ops.append("ET")
       b.addStream("", ops.toString.getBytes(ISO_8859_1), deflate = true)
+    }
+    val pageContents = rot13(text).grouped(64).toIndexedSeq.grouped(8).map { pageChunks =>
+      if (pageChunks.length > 4) Seq(contentOf(pageChunks.take(4)), contentOf(pageChunks.drop(4)))
+      else Seq(contentOf(pageChunks))
     }.toSeq
-    finishClassic(b, contentIds, text, fontObj = Some(("F1", fontId)))
+    val catalog = GoldenGen.catalogForPages(b, pageContents, fontObj = Some(("F1", fontId)))
+    val info = b.addObject(infoContent(text))
+    b.finish(s"/Root $catalog 0 R/Info $info 0 R")
   }
 
   private def rot13(s: String): String = s.map {
@@ -403,7 +414,15 @@ object Corpus {
     * The <title> block is reported separately by the extractor, never in
     * the text. */
   def htmlFromText(text: String, docId: Long): Array[Byte] = {
-    val esc = escapeHtml(text)
+    // odd doc_ids alternate between plain escaping (h0) and a
+    // numeric-character-reference payload (h1): every vowel is written as a
+    // decimal (&#97;) or hex (&#x41;) reference — mid-word, so the gate
+    // proves the entity decoder emits into the CURRENT word without
+    // inventing boundaries. Expected extraction is unchanged, so the
+    // html_extract_roundtrip oracle needs no variant CASE.
+    val esc =
+      if ((docId / 2) % 2 == 1) escapeHtmlNumericVowels(text)
+      else escapeHtml(text)
     val html =
       s"""<!DOCTYPE html>
          |<html><head><title>doc $docId</title>
@@ -421,6 +440,23 @@ object Corpus {
 
   private def escapeHtml(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  /** Single-pass escape that additionally writes vowels as numeric
+    * character references — lowercase as decimal, uppercase as hex
+    * (both reference forms). One pass so entity bodies are never
+    * re-escaped. */
+  private def escapeHtmlNumericVowels(s: String): String = {
+    val sb = new StringBuilder(s.length + 32)
+    s.foreach {
+      case '&' => sb.append("&amp;")
+      case '<' => sb.append("&lt;")
+      case '>' => sb.append("&gt;")
+      case c if "aeiou".indexOf(c) >= 0 => sb.append("&#").append(c.toInt).append(';')
+      case c if "AEIOU".indexOf(c) >= 0 => sb.append("&#x").append(Integer.toHexString(c.toInt)).append(';')
+      case c => sb.append(c)
+    }
+    sb.toString
+  }
 
   /** HTML payload exercising the LAYOUT surface (lists + tables): the text's
     * words are distributed over a fixed deterministic structure —

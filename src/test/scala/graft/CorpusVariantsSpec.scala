@@ -48,6 +48,21 @@ class CorpusVariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("variant 2 uses the /Contents ARRAY form: two spans per full page, text unchanged") {
+    val t = texts(3) // 2 pages: 8 + remainder chunks
+    val chunks = (t.length + 63) / 64
+    val pages = (chunks + 7) / 8
+    val lastR = chunks - 8 * (pages - 1)
+    val r = PdfExtract.extract(Corpus.pdfEncodedFontFromText(t),
+      contentDelimiter = "", captureFragments = false)
+    val wantSpans = 2 * (pages - 1) + (if (lastR > 4) 2 else 1)
+    assert(r.spans.length == wantSpans, s"spans=${r.spans.length} want=$wantSpans")
+    assert(r.pages == pages)
+    assert(r.text == t)
+    // spans tile the text in array order
+    assert(r.spans.map(s => r.text.substring(s.start, s.end)).mkString == t)
+  }
+
   test("extract is pure: the same encrypted payload extracts identically twice") {
     // regression: RC4 stream decryption used to mutate the caller's array in
     // place, so a second extract double-decrypted into garbage
@@ -58,6 +73,17 @@ class CorpusVariantsSpec extends AnyFunSuite {
     val r2 = PdfExtract.extract(payload, contentDelimiter = "", captureFragments = false)
     assert(r1.text == t && r2.text == t)
     assert(java.util.Arrays.equals(payload, before), "extract mutated its input")
+  }
+
+  test("html h1 variant: numeric character references decode mid-word to the same text") {
+    import graft.html.Boilerplate
+    val t = "An AEIOU vowel heavy sentence indeed with Upper And lower cases"
+    val h0 = Boilerplate.extract(Boilerplate.decode(Corpus.htmlFromText(t, 1L))).text  // 1/2=0 -> h0
+    val h1 = Boilerplate.extract(Boilerplate.decode(Corpus.htmlFromText(t, 3L))).text  // 3/2=1 -> h1
+    assert(h0 == t)
+    assert(h1 == t)
+    // and the payloads really differ (h1 carries &#…; references)
+    assert(new String(Corpus.htmlFromText(t, 3L), "UTF-8").contains("&#"))
   }
 
   test("variant spread: even doc_ids cycle through all 8 builders") {
