@@ -438,14 +438,15 @@ object Dedup {
     sig
   }
 
-  /** Per-doc SimHash signatures. */
+  /** Per-doc SimHash signatures — computed by the native
+    * [[graft.functions.SimHash64Expr]] codegen expression, so the scan →
+    * signature projection is one WholeStageCodegen span (the previous typed
+    * `map` deserialized every row to a (Long, String) tuple and back). */
   def simhashes(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .map { case (id, t) => (id, simhash64(t)) }
-      .toDF("id", "simhash")
+    import org.apache.spark.sql.GraftColumnBridge
+    docs.select(col(idCol).cast("long").as("id"),
+      GraftColumnBridge.column(
+        graft.functions.SimHash64Expr(GraftColumnBridge.expression(col(textCol)))).as("simhash"))
   }
 
   /** Pairs with Hamming distance ≤ maxDist, via the pigeonhole band trick:

@@ -94,6 +94,35 @@ object RollingHash64 {
   }
 }
 
+/** `simhash64(text)` → BIGINT: Charikar/Manku 64-bit SimHash over word
+  * 4-shingles — the same function the dedup operators use
+  * ([[graft.dedup.Dedup.simhash64]]), surfaced as a native expression with
+  * `doGenCode` so signature computation runs inside WholeStageCodegen (the
+  * previous typed-`map` path paid a row ⇄ object conversion per document —
+  * at 10^12 rows that conversion IS the job). */
+case class SimHash64Expr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash64 expects STRING, got ${child.dataType.catalogString}")
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.hash(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.SimHash64.hash($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64Expr =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Java-static entry (called from generated code). */
+  def hash(s: UTF8String): Long = graft.dedup.Dedup.simhash64(s.toString)
+}
+
 /** Function registration: either through `SparkSessionExtensions` (config
   * `spark.sql.extensions=graft.functions.GraftExtensions`) or imperatively
   * on a live session via [[GraftFunctions.register]]. */
@@ -101,6 +130,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
   override def apply(ext: org.apache.spark.sql.SparkSessionExtensions): Unit = {
     ext.injectFunction(GraftFunctions.pdfExtractDesc)
     ext.injectFunction(GraftFunctions.rollingHashDesc)
+    ext.injectFunction(GraftFunctions.simHashDesc)
   }
 }
 
@@ -118,10 +148,16 @@ object GraftFunctions {
     new ExpressionInfo(classOf[RollingHash64Expr].getName, "rolling_hash64"),
     (children: Seq[Expression]) => RollingHash64Expr(children.head))
 
+  val simHashDesc: FunctionDescription = (
+    FunctionIdentifier("simhash64"),
+    new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
+    (children: Seq[Expression]) => SimHash64Expr(children.head))
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(pdfExtractDesc._1, pdfExtractDesc._2, pdfExtractDesc._3)
     reg.registerFunction(rollingHashDesc._1, rollingHashDesc._2, rollingHashDesc._3)
+    reg.registerFunction(simHashDesc._1, simHashDesc._2, simHashDesc._3)
   }
 }

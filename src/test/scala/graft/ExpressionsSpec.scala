@@ -38,6 +38,30 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out(Corpus.UrlPrefix + 11) == (("html", "and the html path too of course", 0)))
   }
 
+  test("simhash64 SQL matches Dedup.simhash64 and stays in codegen; simhashes() plan has no typed-map conversion") {
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog every day",
+      "a different document with other words entirely present here",
+      "tiny") // < 4 words -> signature 0
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    df.createOrReplaceTempView("expr_sim")
+    val got = spark.sql("SELECT doc_id, simhash64(text) AS s FROM expr_sim")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    texts.zipWithIndex.foreach { case (t, i) =>
+      assert(got(i.toLong) == graft.dedup.Dedup.simhash64(t), s"doc $i")
+    }
+    // codegen evidence on a non-constant-foldable source
+    val planDf = spark.range(3).selectExpr("concat('w x y z doc ', id) AS t")
+      .selectExpr("simhash64(t) AS s")
+    val plan = planDf.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().trim.startsWith("*(") && plan.contains("simhash64"), plan)
+    // the Column-based simhashes() path must NOT deserialize rows to objects
+    val opPlan = graft.dedup.Dedup.simhashes(df, "doc_id", "text")
+      .queryExecution.executedPlan.toString
+    assert(!opPlan.contains("DeserializeToObject") && !opPlan.contains("MapElements"), opPlan)
+  }
+
   test("pdf_extract rejects non-binary input at analysis time") {
     val e = intercept[Exception](spark.sql("SELECT pdf_extract('not binary')").collect())
     assert(e.getMessage.toLowerCase.contains("binary") || e.getMessage.contains("DATATYPE"))
