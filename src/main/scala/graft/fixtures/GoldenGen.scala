@@ -243,6 +243,30 @@ object GoldenGen {
     b.currentBytes
   }
 
+  /** NESTED page tree: leaf pages under intermediate /Pages nodes of
+    * `groupSize`, all under one root — the reference's tree walk recurses
+    * into Pages-type kids depth-first in Kids order
+    * (Tokeniser.cs:1106-1144), so extraction order equals `contentIds`
+    * order. Exercises the multi-level branch the flat [[catalogFor]] never
+    * takes. */
+  def catalogForNestedPages(b: PdfBuilder, contentIds: Seq[Int], groupSize: Int = 4): Int = {
+    val p = contentIds.length
+    val n0 = b.nextObjectNumber
+    val groups = math.max(1, (p + groupSize - 1) / groupSize)
+    val rootId = n0 + p + groups
+    val pageIds = contentIds.zipWithIndex.map { case (cid, i) =>
+      b.addObject(s"<</Type/Page /Parent ${n0 + p + i / groupSize} 0 R/Contents $cid 0 R>>")
+    }
+    (0 until groups).foreach { g =>
+      val kids = pageIds.slice(g * groupSize, (g + 1) * groupSize)
+      b.addObject(s"<</Type/Pages /Parent $rootId 0 R/Kids[${kids.map(_ + " 0 R").mkString(" ")}] /Count ${kids.length}>>")
+    }
+    val realRoot = b.addObject(
+      s"<</Type/Pages /Kids[${(0 until groups).map(g => s"${n0 + p + g} 0 R").mkString(" ")}] /Count $p>>")
+    require(realRoot == rootId, s"root pages id mismatch: $realRoot vs $rootId")
+    b.addObject(s"<</Type/Catalog /Pages $rootId 0 R>>")
+  }
+
   /** Generalized xref-stream tail for an arbitrary page count (the fixture
     * [[xrefStreamPdf]] is the 1-page hand-packed original): `contentIds`
     * must be objects 1..P already written to `b`; the page graph + /Info

@@ -178,6 +178,44 @@ object Checkpoint {
     }
   }
 
+  /** One committed snapshot: the manifest publish (the atomic commit point)
+    * ordered by its filesystem modification time. `commitMs` is the
+    * manifest's publish-time ordering key, usable with
+    * [[readExtractedAsOf]]. */
+  final case class Snapshot(manifest: String, batch: String, commitMs: Long)
+
+  /** Commit history, oldest first — the Iceberg-snapshot analogue over the
+    * manifest model: every committed manifest is one snapshot; the table
+    * "as of" snapshot k is the union of batches 1..k. Legacy flat manifests
+    * participate with batch = "" (manifest-only). */
+  def snapshots(spark: SparkSession, outDir: String): Seq[Snapshot] = {
+    val root = new Path(manifestPath(outDir))
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(root)) Nil
+    else fs.listStatus(root).toSeq
+      .filter(s => (s.isDirectory && s.getPath.getName.startsWith("batch_")) ||
+        (s.isFile && s.getPath.getName.startsWith("part-")))
+      .map { s =>
+        val batch =
+          if (s.isDirectory) s.getPath.getName else "" // legacy manifest-only
+        Snapshot(s.getPath.toString, batch, s.getModificationTime)
+      }
+      .sortBy(s => (s.commitMs, s.manifest))
+  }
+
+  /** Time travel: the committed output table as of `commitMs` — only data
+    * batches whose manifest was published at or before that instant. The
+    * same manifest-gated read as [[readExtracted]], restricted to a prefix
+    * of the snapshot history. */
+  def readExtractedAsOf(spark: SparkSession, outDir: String, commitMs: Long): DataFrame = {
+    val keep = snapshots(spark, outDir).filter(_.commitMs <= commitMs)
+    val batches = keep.map(_.batch).filter(_.nonEmpty).distinct
+    if (batches.isEmpty)
+      spark.emptyDataset(org.apache.spark.sql.Encoders.product[ExtractedDoc]).toDF()
+    else spark.read.format(tableFormat(spark))
+      .load(batches.map(b => s"${dataPath(outDir)}/$b"): _*)
+  }
+
   /** Run-level metrics rollup from the committed manifests. */
   def metrics(spark: SparkSession, outDir: String): DataFrame = {
     val dirs = committedManifests(spark, outDir)

@@ -135,7 +135,9 @@ object Corpus {
 
   /** Variant 1: line-move newlines. A rotating `Td`/`TD`/`T*` precedes every
     * chunk except the global first (page starts included — the reference
-    * appends a newline per line move unconditionally). */
+    * appends a newline per line move unconditionally). The page tree is
+    * NESTED (leaf pages under intermediate /Pages nodes), so the gate also
+    * covers the multi-level tree walk in depth-first Kids order. */
   def pdfMovesFromText(text: String): Array[Byte] = {
     val b = new GoldenGen.PdfBuilder()
     var gi = 0
@@ -153,7 +155,9 @@ object Corpus {
       ops.append("ET")
       b.addStream("", ops.toString.getBytes(ISO_8859_1), deflate = true)
     }.toSeq
-    finishClassic(b, contentIds, text)
+    val catalog = GoldenGen.catalogForNestedPages(b, contentIds)
+    val info = b.addObject(infoContent(text))
+    b.finish(s"/Root $catalog 0 R/Info $info 0 R")
   }
 
   /** Variant 5: `Tm` newlines. Every chunk is preceded by a text matrix with

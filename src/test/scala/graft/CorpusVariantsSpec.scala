@@ -48,6 +48,16 @@ class CorpusVariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("variant 1 nested page tree: multi-group depth-first order over a 6-page doc") {
+    val t = ("deep tree corpus page filler words repeating onward " * 60).trim // ~6 pages
+    val id = docIdFor(1)
+    assert(Corpus.pdfPageCount(t) >= 5, s"want >=5 pages, got ${Corpus.pdfPageCount(t)}")
+    val r = PdfExtract.extract(Corpus.pdfForDoc(id, t), contentDelimiter = "", captureFragments = false)
+    assert(r.decodeFailures == 0, r.error)
+    assert(r.pages == Corpus.pdfPageCount(t))
+    assert(r.text == Corpus.pdfExpectedText(id, t))
+  }
+
   test("variant 2 uses the /Contents ARRAY form: two spans per full page, text unchanged") {
     val t = texts(3) // 2 pages: 8 + remainder chunks
     val chunks = (t.length + 63) / 64

@@ -137,6 +137,25 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Checkpoint.resume(pages, outDir).count() == 0)
   }
 
+  test("snapshot time travel: readExtractedAsOf sees exactly the batches committed by then") {
+    import spark.implicits._
+    val outDir = java.nio.file.Files.createTempDirectory("graft_spec_tt").toString
+    def commitRange(lo: Long, hi: Long): Unit = {
+      val pages = (lo until hi).map(i => Corpus.pageRowFor(i, s"time travel doc $i", "en")).toDS()
+      Checkpoint.commitWithData(ExtractPipeline.run(pages), outDir)
+      Thread.sleep(20) // distinct manifest mtimes on a coarse-granularity fs
+    }
+    commitRange(0, 3); commitRange(3, 7); commitRange(7, 12)
+    val snaps = Checkpoint.snapshots(spark, outDir)
+    assert(snaps.length == 3)
+    assert(snaps.map(_.commitMs).sliding(2).forall(p => p.head <= p.last))
+    assert(Checkpoint.readExtractedAsOf(spark, outDir, snaps(0).commitMs).count() == 3)
+    assert(Checkpoint.readExtractedAsOf(spark, outDir, snaps(1).commitMs).count() == 7)
+    assert(Checkpoint.readExtractedAsOf(spark, outDir, snaps(2).commitMs).count() == 12)
+    assert(Checkpoint.readExtractedAsOf(spark, outDir, snaps(0).commitMs - 1).count() == 0)
+    assert(Checkpoint.readExtracted(spark, outDir).count() == 12)
+  }
+
   test("table-format seam: commit + crash-orphan + resume round-trips under ORC") {
     import spark.implicits._
     val texts = (0L until 12L).map(i => i -> s"orc seam document $i body words")
