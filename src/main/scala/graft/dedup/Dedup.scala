@@ -160,6 +160,9 @@ object Dedup {
   final val NumHashes = 128
   final val Bands = 32
   final val RowsPerBand = NumHashes / Bands // 4
+  /** The word-shingle size every default caller (and the `minhash_bands`
+    * SQL expression) uses. */
+  final val DefaultShingleK = 3
   private final val MersennePrime = (1L << 61) - 1
 
   // Deterministic affine permutations over the Mersenne prime field
@@ -207,21 +210,31 @@ object Dedup {
   }
 
   /** (id, band, bucket) rows: LSH band keys of the MinHash signature. */
-  def minhashBands(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
-    val spark = docs.sparkSession
-    import spark.implicits._
-    docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
-      .as[(Long, String)]
-      .flatMap { case (id, text) =>
-        val hs = shingleHashes(text, k)
-        if (!hs.hasNext) Iterator.empty
-        else {
-          val sig = minhashSignature(hs)
-          (0 until Bands).iterator.map(b => (id, b, bandKey(sig, b)))
+  def minhashBands(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+    if (k == DefaultShingleK) {
+      // the default shingle size runs through the native codegen expression
+      // (graft.functions.MinhashBandsExpr): scan → signature → posexplode,
+      // zero typed-row conversions
+      import org.apache.spark.sql.GraftColumnBridge
+      docs.select(col(idCol).cast("long").as("id"),
+          posexplode(GraftColumnBridge.column(graft.functions.MinhashBandsExpr(
+            GraftColumnBridge.expression(col(textCol))))).as(Seq("band", "bucket")))
+        .select(col("id"), col("band"), col("bucket"))
+    } else {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      docs.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+        .as[(Long, String)]
+        .flatMap { case (id, text) =>
+          val hs = shingleHashes(text, k)
+          if (!hs.hasNext) Iterator.empty
+          else {
+            val sig = minhashSignature(hs)
+            (0 until Bands).iterator.map(b => (id, b, bandKey(sig, b)))
+          }
         }
-      }
-      .toDF("id", "band", "bucket")
-  }
+        .toDF("id", "band", "bucket")
+    }
 
   /** Candidate pairs from LSH buckets (distinct, a<b). Buckets with more
     * than `maxBucket` members are dropped first: a degenerate bucket (10^6

@@ -123,6 +123,49 @@ object SimHash64 {
   def hash(s: UTF8String): Long = graft.dedup.Dedup.simhash64(s.toString)
 }
 
+/** `minhash_bands(text)` → ARRAY<BIGINT>: the 32 LSH band keys of the
+  * 128-hash MinHash signature over word 3-shingles — one array per
+  * document, exploded by the caller. Native `doGenCode` expression, so the
+  * scan → signature stage is WholeStageCodegen with no typed-row
+  * conversion; the banding fold is the SAME [[graft.dedup.Dedup.bandKey]]
+  * the streaming path uses (one definition, or the candidate sets desync). */
+case class MinhashBandsExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash_bands expects STRING, got ${child.dataType.catalogString}")
+  override def prettyName: String = "minhash_bands"
+
+  override def nullSafeEval(input: Any): Any =
+    MinhashBands.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.MinhashBands.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): MinhashBandsExpr =
+    copy(child = newChild)
+}
+
+object MinhashBands {
+  import graft.dedup.Dedup
+
+  /** Java-static entry (called from generated code). Empty array for docs
+    * below the shingle size (no bands — the doc simply has no candidates),
+    * mirroring the typed path's flatMap-to-nothing. */
+  def compute(s: UTF8String): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val hs = Dedup.shingleHashes(s.toString, Dedup.DefaultShingleK)
+    if (!hs.hasNext) new GenericArrayData(Array.emptyLongArray)
+    else {
+      val sig = Dedup.minhashSignature(hs)
+      val keys = new Array[Long](Dedup.Bands)
+      var b = 0
+      while (b < Dedup.Bands) { keys(b) = Dedup.bandKey(sig, b); b += 1 }
+      new GenericArrayData(keys)
+    }
+  }
+}
+
 /** Function registration: either through `SparkSessionExtensions` (config
   * `spark.sql.extensions=graft.functions.GraftExtensions`) or imperatively
   * on a live session via [[GraftFunctions.register]]. */
@@ -131,6 +174,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.pdfExtractDesc)
     ext.injectFunction(GraftFunctions.rollingHashDesc)
     ext.injectFunction(GraftFunctions.simHashDesc)
+    ext.injectFunction(GraftFunctions.minhashBandsDesc)
   }
 }
 
@@ -153,11 +197,17 @@ object GraftFunctions {
     new ExpressionInfo(classOf[SimHash64Expr].getName, "simhash64"),
     (children: Seq[Expression]) => SimHash64Expr(children.head))
 
+  val minhashBandsDesc: FunctionDescription = (
+    FunctionIdentifier("minhash_bands"),
+    new ExpressionInfo(classOf[MinhashBandsExpr].getName, "minhash_bands"),
+    (children: Seq[Expression]) => MinhashBandsExpr(children.head))
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
     reg.registerFunction(pdfExtractDesc._1, pdfExtractDesc._2, pdfExtractDesc._3)
     reg.registerFunction(rollingHashDesc._1, rollingHashDesc._2, rollingHashDesc._3)
     reg.registerFunction(simHashDesc._1, simHashDesc._2, simHashDesc._3)
+    reg.registerFunction(minhashBandsDesc._1, minhashBandsDesc._2, minhashBandsDesc._3)
   }
 }

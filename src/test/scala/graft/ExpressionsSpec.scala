@@ -62,6 +62,31 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!opPlan.contains("DeserializeToObject") && !opPlan.contains("MapElements"), opPlan)
   }
 
+  test("minhash_bands expression equals the Scala banding fold; banded plan has no typed map") {
+    import spark.implicits._
+    import graft.dedup.Dedup
+    val texts = Seq(
+      "alpha beta gamma delta epsilon zeta eta theta iota kappa",
+      "one two three four five six seven eight nine ten eleven twelve",
+      "too small") // < 3 words -> no bands
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val got = Dedup.minhashBands(df, "doc_id", "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val want = texts.zipWithIndex.flatMap { case (t, i) =>
+      val hs = Dedup.shingleHashes(t, 3)
+      if (!hs.hasNext) Nil
+      else {
+        val sig = Dedup.minhashSignature(hs)
+        (0 until Dedup.Bands).map(b => (i.toLong, b, Dedup.bandKey(sig, b)))
+      }
+    }.toSet
+    assert(got == want)
+    assert(got.count(_._1 == 2L) == 0) // sub-shingle doc emits nothing
+    val plan = Dedup.minhashBands(df, "doc_id", "text", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("DeserializeToObject") && plan.contains("minhash_bands"), plan)
+  }
+
   test("pdf_extract rejects non-binary input at analysis time") {
     val e = intercept[Exception](spark.sql("SELECT pdf_extract('not binary')").collect())
     assert(e.getMessage.toLowerCase.contains("binary") || e.getMessage.contains("DATATYPE"))
