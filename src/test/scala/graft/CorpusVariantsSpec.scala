@@ -96,6 +96,31 @@ class CorpusVariantsSpec extends AnyFunSuite {
     assert(new String(Corpus.htmlFromText(t, 3L), "UTF-8").contains("&#"))
   }
 
+  test("property: random printable-ASCII texts round-trip through every variant") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    val textGen = for {
+      n <- Gen.chooseNum(1, 1200)
+      cs <- Gen.listOfN(n, Gen.chooseNum(0x20, 0x7e).map(_.toChar))
+    } yield cs.mkString
+    val prop = Prop.forAll(textGen, Gen.chooseNum(0, Corpus.NumPdfVariants - 1)) {
+      (t0: String, v: Int) =>
+        // builders assume non-empty shown text; trim can empty a
+        // whitespace-only draw — normalize to one visible char then
+        val t = if (t0.trim.isEmpty) "x" else t0
+        val id = v.toLong * 2
+        val r = PdfExtract.extract(Corpus.pdfForDoc(id, t),
+          contentDelimiter = "", captureFragments = false)
+        val ok = r.decodeFailures == 0 && r.text == Corpus.pdfExpectedText(id, t)
+        if (!ok) println(s"FAIL v=$v len=${t.length} err=${r.error} got=<${r.text.take(80)}>")
+        ok
+    }
+    val params = SCTest.Parameters.default
+      .withMinSuccessfulTests(150)
+      .withInitialSeed(org.scalacheck.rng.Seed(1337L))
+    val result = SCTest.check(params, prop)
+    assert(result.passed, result.status.toString)
+  }
+
   test("variant spread: even doc_ids cycle through all 8 builders") {
     assert((0L until 16L by 2).map(Corpus.pdfVariant).toSet == (0 until 8).toSet)
   }
