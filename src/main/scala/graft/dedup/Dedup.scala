@@ -354,8 +354,14 @@ object Dedup {
     * component), one row per doc that appears in some pair. Keeping
     * `cluster_rep` and dropping the rest is the dedup policy. */
   def connectedComponents(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("id_a").as("u"), col("id_b").as("v"))
-      .unionAll(pairs.select(col("id_b").as("u"), col("id_a").as("v")))
+    // symmetrize in ONE scan of `pairs` (explode of the two directions):
+    // a unionAll of two selects over the same subtree computes the whole
+    // upstream pair pipeline TWICE at materialization — no CSE across
+    // union branches
+    val edges = pairs.select(explode(array(
+        struct(col("id_a").as("u"), col("id_b").as("v")),
+        struct(col("id_b").as("u"), col("id_a").as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist()
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
@@ -390,6 +396,10 @@ object Dedup {
       rounds += 1
     }
     edges.unpersist()
+    // the converged labels stay persisted for the caller (they back the
+    // returned frame); register them so clearCaches() releases the round's
+    // last cache too
+    liveCaches.synchronized { liveCaches += labels }
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 
