@@ -51,6 +51,12 @@ object Checkpoint {
     fs.mkdirs(dst.getParent)
     if (!fs.rename(new Path(staging), dst))
       throw new IllegalStateException(s"commit rename failed: $staging -> $target")
+    // stamp the PUBLISH time: rename preserves the staging-write mtime, so
+    // without this Snapshot.commitMs would order concurrent committers by
+    // when they staged, not when they committed. Best-effort — a filesystem
+    // without setTimes keeps the staging mtime (documented on snapshots()).
+    try fs.setTimes(dst, System.currentTimeMillis(), -1)
+    catch { case _: Exception => () }
   }
 
   /** Atomically commit a batch of extracted docs: stage data + manifest,
@@ -136,32 +142,40 @@ object Checkpoint {
     else Some(readManifests(spark, dirs).select("url").distinct())
   }
 
-  /** The committed output table: data batches referenced by a committed
-    * manifest — an orphan data directory from a crashed run is invisible —
-    * plus any flat part-files directly under `extracted/` as an implicit
-    * LEGACY batch (the pre-atomic layout wrote data flat; its urls are
-    * marked done by legacy manifests, so that committed output must stay
-    * readable here, not only via the raw path). Legacy files predate the
-    * format seam and are always parquet. */
-  def readExtracted(spark: SparkSession, outDir: String): DataFrame = {
-    val dirs = committedManifests(spark, outDir)
-    val batches =
-      if (dirs.isEmpty) Nil
-      else {
-        val man = readManifests(spark, dirs)
-        // an all-legacy outDir has no `batch` column at all
-        if (!man.columns.contains("batch")) Nil
-        else man.select("batch").where(col("batch").isNotNull && col("batch") =!= "")
-          .distinct().collect().map(_.getString(0)).toSeq
-      }
-    val legacyFiles = {
-      val root = new Path(dataPath(outDir))
-      val fs = fsOf(spark, dataPath(outDir))
-      if (dirs.isEmpty || !fs.exists(root)) Nil // no manifest ⇒ nothing committed
-      else fs.listStatus(root).toSeq
-        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .map(_.getPath.toString)
+  private def isLegacyManifest(path: String): Boolean =
+    new Path(path).getName.startsWith("part-")
+
+  /** Distinct data-batch names referenced by the given manifests' ROWS
+    * (manifest-only commits reference none; all-legacy manifests have no
+    * `batch` column at all). */
+  private def referencedBatches(spark: SparkSession, manifests: Seq[String]): Seq[String] =
+    if (manifests.isEmpty) Nil
+    else {
+      val man = readManifests(spark, manifests)
+      if (!man.columns.contains("batch")) Nil
+      else man.select("batch").where(col("batch").isNotNull && col("batch") =!= "")
+        .distinct().collect().map(_.getString(0)).toSeq
     }
+
+  /** Assemble the output table from committed batch dirs plus (when a
+    * LEGACY manifest vouches for them) the pre-atomic flat part-files
+    * directly under `extracted/`. Legacy files predate the format seam and
+    * are always parquet. Gating legacy data on legacy MANIFESTS — not on
+    * any manifest — keeps exactly-once: a legacy run that crashed between
+    * its data write and its manifest write left flat files that no
+    * manifest vouches for; they stay invisible and their urls re-extract. */
+  private def assembleTable(spark: SparkSession, outDir: String,
+      batches: Seq[String], includeLegacy: Boolean): DataFrame = {
+    val legacyFiles =
+      if (!includeLegacy) Nil
+      else {
+        val root = new Path(dataPath(outDir))
+        val fs = fsOf(spark, dataPath(outDir))
+        if (!fs.exists(root)) Nil
+        else fs.listStatus(root).toSeq
+          .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
+          .map(_.getPath.toString)
+      }
     val batchDf =
       if (batches.isEmpty) None
       else Some(spark.read.format(tableFormat(spark))
@@ -178,16 +192,29 @@ object Checkpoint {
     }
   }
 
-  /** One committed snapshot: the manifest publish (the atomic commit point)
-    * ordered by its filesystem modification time. `commitMs` is the
-    * manifest's publish-time ordering key, usable with
-    * [[readExtractedAsOf]]. */
-  final case class Snapshot(manifest: String, batch: String, commitMs: Long)
+  /** The committed output table: data batches referenced by a committed
+    * manifest — an orphan data directory from a crashed run is invisible —
+    * plus the implicit legacy flat batch when a legacy manifest exists
+    * (see [[assembleTable]]). */
+  def readExtracted(spark: SparkSession, outDir: String): DataFrame = {
+    val dirs = committedManifests(spark, outDir)
+    assembleTable(spark, outDir,
+      referencedBatches(spark, dirs), includeLegacy = dirs.exists(isLegacyManifest))
+  }
+
+  /** One committed snapshot. `name` is the manifest entry ("" only for
+    * legacy flat manifests); `commitMs` is the PUBLISH time ([[publish]]
+    * stamps the renamed manifest with `setTimes`; on a filesystem without
+    * setTimes it degrades to the staging-write mtime, which still orders
+    * single-committer histories correctly). Ties at millisecond
+    * granularity order by name and are both included by an inclusive
+    * as-of read. */
+  final case class Snapshot(manifest: String, name: String, commitMs: Long)
 
   /** Commit history, oldest first — the Iceberg-snapshot analogue over the
     * manifest model: every committed manifest is one snapshot; the table
-    * "as of" snapshot k is the union of batches 1..k. Legacy flat manifests
-    * participate with batch = "" (manifest-only). */
+    * "as of" snapshot k is the union of the data batches referenced by
+    * manifests 1..k. Legacy flat manifests participate with name = "". */
   def snapshots(spark: SparkSession, outDir: String): Seq[Snapshot] = {
     val root = new Path(manifestPath(outDir))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -196,24 +223,25 @@ object Checkpoint {
       .filter(s => (s.isDirectory && s.getPath.getName.startsWith("batch_")) ||
         (s.isFile && s.getPath.getName.startsWith("part-")))
       .map { s =>
-        val batch =
-          if (s.isDirectory) s.getPath.getName else "" // legacy manifest-only
-        Snapshot(s.getPath.toString, batch, s.getModificationTime)
+        val name =
+          if (s.isDirectory) s.getPath.getName else "" // legacy flat manifest
+        Snapshot(s.getPath.toString, name, s.getModificationTime)
       }
       .sortBy(s => (s.commitMs, s.manifest))
   }
 
-  /** Time travel: the committed output table as of `commitMs` — only data
-    * batches whose manifest was published at or before that instant. The
-    * same manifest-gated read as [[readExtracted]], restricted to a prefix
-    * of the snapshot history. */
+  /** Time travel: the committed output table as of `commitMs` — the same
+    * manifest-gated read as [[readExtracted]] (data batches resolved from
+    * the manifests' ROWS, so manifest-only commits contribute nothing and
+    * legacy flat data participates exactly when a legacy manifest is in
+    * range), restricted to the manifests published at or before that
+    * instant. `readExtractedAsOf(outDir, snapshots.last.commitMs)` equals
+    * `readExtracted(outDir)`. */
   def readExtractedAsOf(spark: SparkSession, outDir: String, commitMs: Long): DataFrame = {
     val keep = snapshots(spark, outDir).filter(_.commitMs <= commitMs)
-    val batches = keep.map(_.batch).filter(_.nonEmpty).distinct
-    if (batches.isEmpty)
-      spark.emptyDataset(org.apache.spark.sql.Encoders.product[ExtractedDoc]).toDF()
-    else spark.read.format(tableFormat(spark))
-      .load(batches.map(b => s"${dataPath(outDir)}/$b"): _*)
+    assembleTable(spark, outDir,
+      referencedBatches(spark, keep.map(_.manifest)),
+      includeLegacy = keep.exists(_.name.isEmpty))
   }
 
   /** Run-level metrics rollup from the committed manifests. */

@@ -146,13 +146,18 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       Thread.sleep(20) // distinct manifest mtimes on a coarse-granularity fs
     }
     commitRange(0, 3); commitRange(3, 7); commitRange(7, 12)
+    // a manifest-ONLY commit (no data batch) must not break as-of reads
+    val extra = Seq(Corpus.pageRowFor(100L, "manifest only doc", "en")).toDS()
+    Checkpoint.commit(ExtractPipeline.run(extra), outDir)
     val snaps = Checkpoint.snapshots(spark, outDir)
-    assert(snaps.length == 3)
+    assert(snaps.length == 4)
     assert(snaps.map(_.commitMs).sliding(2).forall(p => p.head <= p.last))
     assert(Checkpoint.readExtractedAsOf(spark, outDir, snaps(0).commitMs).count() == 3)
     assert(Checkpoint.readExtractedAsOf(spark, outDir, snaps(1).commitMs).count() == 7)
     assert(Checkpoint.readExtractedAsOf(spark, outDir, snaps(2).commitMs).count() == 12)
+    assert(Checkpoint.readExtractedAsOf(spark, outDir, snaps(3).commitMs).count() == 12)
     assert(Checkpoint.readExtractedAsOf(spark, outDir, snaps(0).commitMs - 1).count() == 0)
+    // as-of the newest snapshot == the current table
     assert(Checkpoint.readExtracted(spark, outDir).count() == 12)
   }
 
@@ -219,6 +224,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     Checkpoint.commitWithData(ExtractPipeline.run(more), outDir)
     assert(Checkpoint.readExtracted(spark, outDir).count() == 12)
     assert(Checkpoint.metrics(spark, outDir).collect().head.getAs[Long]("docs_done") == 12)
+    // time travel spans the legacy commit too: as of the legacy manifest's
+    // snapshot only the 8 legacy rows exist; as of the newest, all 12
+    val snaps = Checkpoint.snapshots(spark, outDir)
+    assert(snaps.length == 2 && snaps.head.name.isEmpty)
+    assert(Checkpoint.readExtractedAsOf(spark, outDir, snaps.head.commitMs).count() == 8)
+    assert(Checkpoint.readExtractedAsOf(spark, outDir, snaps.last.commitMs).count() == 12)
+  }
+
+  test("exactly-once: ORPHAN legacy flat data (no legacy manifest) stays invisible") {
+    import spark.implicits._
+    val texts = (0L until 6L).map(i => i -> s"orphan legacy doc $i words")
+    val pages = texts.map { case (id, t) => Corpus.pageRowFor(id, t, "en") }.toDS()
+    val outDir = java.nio.file.Files.createTempDirectory("graft_spec_orphleg").toString
+    // a legacy run crashed AFTER writing flat data, BEFORE its manifest:
+    // flat part-files exist, but no manifest vouches for them
+    ExtractPipeline.run(pages.limit(3)).toDF().coalesce(1).write.parquet(s"$outDir/.stage")
+    val fs = new org.apache.hadoop.fs.Path(outDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(Checkpoint.dataPath(outDir)))
+    new java.io.File(s"$outDir/.stage").listFiles()
+      .filter(_.getName.startsWith("part-")).foreach { f =>
+        fs.rename(new org.apache.hadoop.fs.Path(f.getPath),
+          new org.apache.hadoop.fs.Path(s"${Checkpoint.dataPath(outDir)}/${f.getName}"))
+      }
+    // a NEW-layout commit must not make the orphan visible
+    Checkpoint.commitWithData(ExtractPipeline.run(pages), outDir)
+    val out = Checkpoint.readExtracted(spark, outDir)
+    assert(out.count() == 6, "orphan legacy flat files leaked into reads")
+    assert(out.select("url").distinct().count() == 6, "duplicate urls from orphan leak")
   }
 
   test("sizeRouted: both lanes preserve rows and extraction is unchanged") {
