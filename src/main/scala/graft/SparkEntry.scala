@@ -235,7 +235,7 @@ object SparkEntry {
     }),
     "pdf_metadata" -> ((s, dir) => {
       // document-level metadata surface (version sniff, trailer /Info merge,
-      // page-tree count) — S2/S7/S15/S24
+      // page-tree count, /Metadata XML, trailer /ID) — S2/S7/S15/S24
       import s.implicits._
       Corpus.pagesCached(s, dir)
         .filter(p => Corpus.isPdfDoc(p.url.substring(Corpus.UrlPrefix.length).toLong))
@@ -244,9 +244,10 @@ object SparkEntry {
           it.map { p =>
             val r = graft.pdf.PdfExtract.extract(p.html, buffers = buffers, captureFragments = false)
             (p.url.substring(Corpus.UrlPrefix.length).toLong,
-              r.pdfVersion.getOrElse(""), r.documentInfo.getOrElse(""), r.pages.toLong)
+              r.pdfVersion.getOrElse(""), r.documentInfo.getOrElse(""), r.pages.toLong,
+              r.metadata.getOrElse(""), r.documentId.getOrElse(""))
           }
-        }.toDF("doc_id", "pdf_version", "info", "n_pages")
+        }.toDF("doc_id", "pdf_version", "info", "n_pages", "metadata", "document_id")
         .orderBy("doc_id")
     }),
     "sql_pdf_extract" -> ((s, dir) => {
@@ -575,12 +576,23 @@ object SparkEntry {
            WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
            ELSE 'zh' END AS pred_lang
          FROM h ORDER BY doc_id""",
+    // document_id: the reference renders each trailer /ID hex string as
+    // '"<hex>"; ' (StrTok.render keeps the angle brackets and wraps in
+    // double quotes); variant 3's /ID is the fixed encryption docId (the
+    // file key derives from it), every other variant's is the 32-digit
+    // zero-padded hex of the text length
     "pdf_metadata" ->
-      """SELECT doc_id,
-         CASE WHEN (doc_id // 2) % 8 = 4 THEN '1.5' ELSE '1.4' END AS pdf_version,
+      """WITH d AS (SELECT doc_id, text, (doc_id // 2) % 8 AS v,
+              CASE WHEN (doc_id // 2) % 8 = 3 THEN '0123456789abcdef0123456789abcdef'
+                   ELSE printf('%032x', length(text)) END AS h
+            FROM documents WHERE doc_id % 2 = 0)
+         SELECT doc_id,
+         CASE WHEN v = 4 THEN '1.5' ELSE '1.4' END AS pdf_version,
          'Title: doc-' || length(text) || '; Producer: graft; ' AS info,
-         CAST(((length(text)+63)//64 + 7)//8 AS BIGINT) AS n_pages
-         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+         CAST(((length(text)+63)//64 + 7)//8 AS BIGINT) AS n_pages,
+         '<graft:meta len="' || length(text) || '"/>' AS metadata,
+         '"<' || h || '>"; "<' || h || '>"; ' AS document_id
+         FROM d ORDER BY doc_id""",
     "sql_pdf_extract" ->
       s"""WITH d AS (SELECT doc_id, text, (doc_id // 2) % 8 AS v,
                             regexp_extract_all(text, '.{1,64}') AS ch

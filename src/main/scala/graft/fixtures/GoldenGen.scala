@@ -93,15 +93,19 @@ object GoldenGen {
     out.toByteArray
   }
 
+  private def metadataEntry(metadataId: Option[Int]): String =
+    metadataId.map(id => s"/Metadata $id 0 R").getOrElse("")
+
   /** Page tree + catalog for already-written content objects. */
-  def catalogFor(b: PdfBuilder, contentIds: Seq[Int], fontObj: Option[(String, Int)] = None): Int =
-    catalogForPages(b, contentIds.map(Seq(_)), fontObj)
+  def catalogFor(b: PdfBuilder, contentIds: Seq[Int], fontObj: Option[(String, Int)] = None,
+      metadataId: Option[Int] = None): Int =
+    catalogForPages(b, contentIds.map(Seq(_)), fontObj, metadataId)
 
   /** Page tree + catalog with one page per inner Seq; a page with several
     * content ids gets the `/Contents [a 0 R b 0 R]` ARRAY form (the
     * reference iterates it in array order — PdfPage.cs:60-72). */
   def catalogForPages(b: PdfBuilder, pageContents: Seq[Seq[Int]],
-      fontObj: Option[(String, Int)] = None): Int = {
+      fontObj: Option[(String, Int)] = None, metadataId: Option[Int] = None): Int = {
     val pagesId = b.nextObjectNumber + pageContents.length
     val resources = fontObj.map { case (name, id) => s"/Resources<</Font<</$name $id 0 R>>>>" }.getOrElse("")
     val pageIds = pageContents.map { cids =>
@@ -112,7 +116,7 @@ object GoldenGen {
     }
     val realPagesId = b.addObject(s"<</Type/Pages /Kids[${pageIds.map(_ + " 0 R").mkString(" ")}] /Count ${pageIds.length}>>")
     require(realPagesId == pagesId, s"pages id mismatch: $realPagesId vs $pagesId")
-    b.addObject(s"<</Type/Catalog /Pages $pagesId 0 R>>")
+    b.addObject(s"<</Type/Catalog /Pages $pagesId 0 R${metadataEntry(metadataId)}>>")
   }
 
   /** Minimal single-page uncompressed PDF: `(…) Tj` only — the reference
@@ -249,7 +253,8 @@ object GoldenGen {
     * (Tokeniser.cs:1106-1144), so extraction order equals `contentIds`
     * order. Exercises the multi-level branch the flat [[catalogFor]] never
     * takes. */
-  def catalogForNestedPages(b: PdfBuilder, contentIds: Seq[Int], groupSize: Int = 4): Int = {
+  def catalogForNestedPages(b: PdfBuilder, contentIds: Seq[Int], groupSize: Int = 4,
+      metadataId: Option[Int] = None): Int = {
     val p = contentIds.length
     val n0 = b.nextObjectNumber
     val groups = math.max(1, (p + groupSize - 1) / groupSize)
@@ -264,7 +269,7 @@ object GoldenGen {
     val realRoot = b.addObject(
       s"<</Type/Pages /Kids[${(0 until groups).map(g => s"${n0 + p + g} 0 R").mkString(" ")}] /Count $p>>")
     require(realRoot == rootId, s"root pages id mismatch: $realRoot vs $rootId")
-    b.addObject(s"<</Type/Catalog /Pages $rootId 0 R>>")
+    b.addObject(s"<</Type/Catalog /Pages $rootId 0 R${metadataEntry(metadataId)}>>")
   }
 
   /** Generalized xref-stream tail for an arbitrary page count (the fixture
@@ -273,20 +278,25 @@ object GoldenGen {
     * goes into one FlateDecode object stream (type-2 entries), and the
     * cross-reference stream uses W [1 3 2] (2-byte member index — a 500 KB
     * document has >255 ObjStm members) with the PNG-Up predictor. */
-  def finishXrefStream(b: PdfBuilder, contentIds: Seq[Int], infoContent: String): Array[Byte] = {
+  def finishXrefStream(b: PdfBuilder, contentIds: Seq[Int], infoContent: String,
+      metadataId: Option[Int] = None, trailerId: Option[String] = None): Array[Byte] = {
     val p = contentIds.length
     require(contentIds == (1 to p), s"contents must be objects 1..$p, got $contentIds")
-    val objStmId = p + 1
-    val pagesId = 2 * p + 2
-    val catalogId = 2 * p + 3
-    val infoId = 2 * p + 4
-    val xrefId = 2 * p + 5
+    // metadata (a STREAM — streams cannot live inside an ObjStm) is written
+    // by the caller right after the contents, as object p+1
+    metadataId.foreach(id => require(id == p + 1, s"metadata must be object ${p + 1}, got $id"))
+    val m = metadataId.size // 0 or 1 extra type-1 object before the ObjStm
+    val objStmId = p + m + 1
+    val pagesId = objStmId + p + 1
+    val catalogId = pagesId + 1
+    val infoId = catalogId + 1
+    val xrefId = infoId + 1
     val members: Seq[(Int, String)] =
       contentIds.zipWithIndex.map { case (cid, i) =>
-        (p + 2 + i, s"<</Type/Page /Parent $pagesId 0 R/Contents $cid 0 R>>")
+        (objStmId + 1 + i, s"<</Type/Page /Parent $pagesId 0 R/Contents $cid 0 R>>")
       } ++ Seq(
-        pagesId -> s"<</Type/Pages /Kids[${(0 until p).map(i => s"${p + 2 + i} 0 R").mkString(" ")}] /Count $p>>",
-        catalogId -> s"<</Type/Catalog /Pages $pagesId 0 R>>",
+        pagesId -> s"<</Type/Pages /Kids[${(0 until p).map(i => s"${objStmId + 1 + i} 0 R").mkString(" ")}] /Count $p>>",
+        catalogId -> s"<</Type/Catalog /Pages $pagesId 0 R${metadataEntry(metadataId)}>>",
         infoId -> infoContent)
     val payloadBody = members.map(_._2).mkString(" ")
     var off = 0
@@ -318,9 +328,10 @@ object GoldenGen {
       prev = r
     }
     val body = zlib(enc.toByteArray)
+    val idEntry = trailerId.map(h => s"/ID[<$h><$h>]").getOrElse("")
     b.raw(s"$xrefId 0 obj\n<</Type/XRef/Size ${rows.length}/W[1 3 2]" +
       s"/DecodeParms<</Predictor 12/Columns 6>>/Filter/FlateDecode/Length ${body.length}" +
-      s"/Root $catalogId 0 R/Info $infoId 0 R>>stream\n")
+      s"/Root $catalogId 0 R/Info $infoId 0 R$idEntry>>stream\n")
     b.raw(body)
     b.raw("\nendstream\nendobj\n")
     b.raw(s"startxref\n$xrefAddress\n%%EOF\n")

@@ -68,18 +68,31 @@ object Corpus {
     rotatingOpsPerPage(text).map(ops =>
       b.addStream("", ops.getBytes(ISO_8859_1), deflate = deflate, encryptKey = encryptKey))
 
-  /** Classic-xref tail shared by most variants: page tree + deterministic
-    * /Info (Title carries the text length so document-metadata extraction —
-    * S7/S24 — is oracle-checkable). */
+  /** Classic-xref tail shared by most variants: /Metadata XML stream, page
+    * tree, deterministic /Info (Title carries the text length), trailer /ID
+    * — so every document-level output (S2/S7/S24 and the XMP metadata +
+    * DocumentID surfaces) is oracle-checkable per doc. */
   private def finishClassic(b: GoldenGen.PdfBuilder, contentIds: Seq[Int],
       text: String, fontObj: Option[(String, Int)] = None): Array[Byte] = {
-    val catalog = GoldenGen.catalogFor(b, contentIds, fontObj)
+    val metaId = addMetadata(b, text)
+    val catalog = GoldenGen.catalogFor(b, contentIds, fontObj, metadataId = Some(metaId))
     val info = b.addObject(infoContent(text))
-    b.finish(s"/Root $catalog 0 R/Info $info 0 R")
+    b.finish(s"/Root $catalog 0 R/Info $info 0 R/ID[<${docIdHex(text)}><${docIdHex(text)}>]")
   }
 
   private def infoContent(text: String): String =
     s"<</Title (doc-${text.length})/Producer (graft)>>"
+
+  /** The XMP-style metadata payload — deterministic and SQL-computable. */
+  def metadataXml(text: String): String = s"""<graft:meta len="${text.length}"/>"""
+
+  private def addMetadata(b: GoldenGen.PdfBuilder, text: String,
+      encryptKey: Array[Byte] = null): Int =
+    b.addStream("/Type/Metadata/Subtype/XML",
+      metadataXml(text).getBytes(ISO_8859_1), encryptKey = encryptKey)
+
+  /** Deterministic trailer /ID hex (32 digits) from the text length. */
+  def docIdHex(text: String): String = f"${text.length}%032x"
 
   // ------------------------------------------------------------------
   // PDF file-layout / operator variants. Even doc_ids are PDFs; each PDF
@@ -155,9 +168,10 @@ object Corpus {
       ops.append("ET")
       b.addStream("", ops.toString.getBytes(ISO_8859_1), deflate = true)
     }.toSeq
-    val catalog = GoldenGen.catalogForNestedPages(b, contentIds)
+    val metaId = addMetadata(b, text)
+    val catalog = GoldenGen.catalogForNestedPages(b, contentIds, metadataId = Some(metaId))
     val info = b.addObject(infoContent(text))
-    b.finish(s"/Root $catalog 0 R/Info $info 0 R")
+    b.finish(s"/Root $catalog 0 R/Info $info 0 R/ID[<${docIdHex(text)}><${docIdHex(text)}>]")
   }
 
   /** Variant 5: `Tm` newlines. Every chunk is preceded by a text matrix with
@@ -238,9 +252,11 @@ object Corpus {
       if (pageChunks.length > 4) Seq(contentOf(pageChunks.take(4)), contentOf(pageChunks.drop(4)))
       else Seq(contentOf(pageChunks))
     }.toSeq
-    val catalog = GoldenGen.catalogForPages(b, pageContents, fontObj = Some(("F1", fontId)))
+    val metaId = addMetadata(b, text)
+    val catalog = GoldenGen.catalogForPages(b, pageContents, fontObj = Some(("F1", fontId)),
+      metadataId = Some(metaId))
     val info = b.addObject(infoContent(text))
-    b.finish(s"/Root $catalog 0 R/Info $info 0 R")
+    b.finish(s"/Root $catalog 0 R/Info $info 0 R/ID[<${docIdHex(text)}><${docIdHex(text)}>]")
   }
 
   private def rot13(s: String): String = s.map {
@@ -272,7 +288,8 @@ object Corpus {
     val (o, key, u) = encOKey
     val b = new GoldenGen.PdfBuilder()
     val contentIds = rotatingShowContents(b, text, encryptKey = key)
-    val catalog = GoldenGen.catalogFor(b, contentIds)
+    val metaId = addMetadata(b, text, encryptKey = key)
+    val catalog = GoldenGen.catalogFor(b, contentIds, metadataId = Some(metaId))
     // The reference's object-level literal-string parser keeps backslash
     // escapes RAW and decrypts that raw form (Token.cs:206-276 +
     // Tokeniser.cs:1859), so encrypted strings must be written UNESCAPED —
@@ -314,7 +331,9 @@ object Corpus {
   def pdfXrefStreamFromText(text: String): Array[Byte] = {
     val b = new GoldenGen.PdfBuilder("1.5")
     val contentIds = rotatingShowContents(b, text)
-    GoldenGen.finishXrefStream(b, contentIds, infoContent(text))
+    val metaId = addMetadata(b, text) // a stream: type-1 object, not in the ObjStm
+    GoldenGen.finishXrefStream(b, contentIds, infoContent(text),
+      metadataId = Some(metaId), trailerId = Some(docIdHex(text)))
   }
 
   /** Variant 6: incremental update. The ORIGINAL section's object 1 (the
@@ -338,10 +357,11 @@ object Corpus {
     require(stale == 1, s"stale content must be object 1, got $stale")
     val restIds = pageOps.drop(1).map(ops =>
       b.addStream("", ops.getBytes(ISO_8859_1), deflate = true))
-    val catalog = GoldenGen.catalogFor(b, stale +: restIds)
+    val metaId = addMetadata(b, text)
+    val catalog = GoldenGen.catalogFor(b, stale +: restIds, metadataId = Some(metaId))
     val info = b.addObject(infoContent(text))
     val xref1 = b.size
-    b.finish(s"/Root $catalog 0 R/Info $info 0 R")
+    b.finish(s"/Root $catalog 0 R/Info $info 0 R/ID[<${docIdHex(text)}><${docIdHex(text)}>]")
     // update section: replacement object 1 with the REAL first-page ops
     val newOff = b.size
     val body = GoldenGen.zlib(pageOps.head.getBytes(ISO_8859_1))
@@ -384,9 +404,11 @@ object Corpus {
       b.addStream("", ops.toString.getBytes(ISO_8859_1),
         lengthOverride = if (broken) 5 else -1, crOnlyEol = broken)
     }.toSeq
-    val catalog = GoldenGen.catalogFor(b, contentIds)
+    val metaId = addMetadata(b, text)
+    val catalog = GoldenGen.catalogFor(b, contentIds, metadataId = Some(metaId))
     val info = b.addObject(infoContent(text))
-    b.finish(s"/Root $catalog 0 R/Info $info 0 R", trailingNuls = 7)
+    b.finish(s"/Root $catalog 0 R/Info $info 0 R/ID[<${docIdHex(text)}><${docIdHex(text)}>]",
+      trailingNuls = 7)
   }
 
   /** Expected PDF page count for `text` under [[pdfFromText]] —

@@ -36,7 +36,7 @@ class CorpusVariantsSpec extends AnyFunSuite {
   }
 
   for (variant <- 0 until Corpus.NumPdfVariants) {
-    test(s"variant $variant metadata: version, /Info title, page count") {
+    test(s"variant $variant metadata: version, /Info title, page count, XML metadata, /ID") {
       val t = texts(3)
       val id = docIdFor(variant)
       val r = PdfExtract.extract(Corpus.pdfForDoc(id, t), captureFragments = false)
@@ -45,6 +45,10 @@ class CorpusVariantsSpec extends AnyFunSuite {
       assert(r.documentInfo.contains(s"Title: doc-${t.length}; Producer: graft; "),
         s"v$variant info=${r.documentInfo}")
       assert(r.pages == Corpus.pdfPageCount(t))
+      assert(r.metadata.contains(Corpus.metadataXml(t)), s"v$variant metadata=${r.metadata}")
+      val h = if (variant == 3) "0123456789abcdef0123456789abcdef" else Corpus.docIdHex(t)
+      assert(r.documentId.contains(s""""<$h>"; "<$h>"; """),
+        s"v$variant document_id=${r.documentId}")
     }
   }
 
