@@ -89,6 +89,17 @@ object SparkEntry {
           sum(col("decode_failures").cast("long")).as("total_failures"))
         .orderBy("lang")
     }),
+    "extract_metrics_fast" -> ((s, dir) =>
+      // the metrics-only path (runMetrics: captureText=false, narrow row) —
+      // gated independently of the full-text path so the two can never
+      // silently diverge
+      ExtractPipeline.runMetrics(Corpus.pagesCached(s, dir)).toDF()
+        .groupBy("kind")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars").cast("long")).as("total_chars"),
+          sum(col("pages").cast("long")).as("total_pages"),
+          sum(col("decode_failures").cast("long")).as("total_failures"))
+        .orderBy("kind")),
     "resume_after_checkpoint" -> ((s, dir) => {
       import org.apache.spark.sql.SaveMode
       val pages = Corpus.pagesCached(s, dir)
@@ -421,6 +432,13 @@ object SparkEntry {
          CAST(sum(length(text) + $pdfExtraCharsSql) AS BIGINT) AS total_chars,
          CAST(0 AS BIGINT) AS total_failures
          FROM documents GROUP BY lang ORDER BY lang""",
+    "extract_metrics_fast" ->
+      s"""SELECT CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS kind,
+         count(*) AS n_docs,
+         CAST(sum(length(text) + $pdfExtraCharsSql) AS BIGINT) AS total_chars,
+         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN ((length(text)+63)//64 + 7)//8 ELSE 1 END) AS BIGINT) AS total_pages,
+         CAST(0 AS BIGINT) AS total_failures
+         FROM documents GROUP BY 1 ORDER BY kind""",
     "resume_after_checkpoint" ->
       s"""SELECT doc_id, CAST(length(text) + $pdfExtraCharsSql AS BIGINT) AS n_chars
           FROM documents WHERE doc_id % 7 <> 0 ORDER BY doc_id""",
