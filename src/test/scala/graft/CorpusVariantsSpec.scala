@@ -125,6 +125,30 @@ class CorpusVariantsSpec extends AnyFunSuite {
     assert(result.passed, result.status.toString)
   }
 
+  test("fuzz: corrupted variant payloads never throw (executor safety per variant)") {
+    // every file-layout variant (encrypted, ObjStm, predictor, /Prev chain,
+    // nested trees, /Contents arrays) must degrade to a result/error row
+    // under random corruption — one bad doc must never kill an executor
+    val rnd = new java.util.Random(20260817L)
+    val t = ("fuzz base corpus words repeated for a couple of pages worth " * 12).trim
+    val bases = (0 until Corpus.NumPdfVariants).map(v => Corpus.pdfForDoc(v.toLong * 2, t))
+    var errorRows = 0
+    (1 to 320).foreach { i =>
+      val mutated = bases(i % bases.length).clone()
+      (1 to 1 + rnd.nextInt(8)).foreach { _ =>
+        mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
+      }
+      val r = PdfExtract.extract(mutated, captureFragments = false) // must not throw
+      if (r.error.isDefined) errorRows += 1
+    }
+    (1 to 40).foreach { i =>
+      val base = bases(i % bases.length)
+      val cut = 1 + rnd.nextInt(base.length - 1)
+      PdfExtract.extract(java.util.Arrays.copyOf(base, cut), captureFragments = false)
+    }
+    assert(errorRows > 0, "mutations never produced an error row — fuzz too weak")
+  }
+
   test("variant spread: even doc_ids cycle through all 8 builders") {
     assert((0L until 16L by 2).map(Corpus.pdfVariant).toSet == (0 until 8).toSet)
   }
