@@ -370,8 +370,10 @@ object SparkEntry {
     * variant 1 adds chunks-1, variant 5 adds chunks-pages, PDFs otherwise 0
     * (and HTML rows 0). */
   private val pdfExtraCharsSql: String =
+    // greatest(..., 0): an empty text has 0 chunks, and chunks-1 must not
+    // go negative (the Scala twin yields "" there)
     """CASE WHEN doc_id % 2 = 0 AND (doc_id // 2) % 8 = 1
-             THEN (length(text) + 63) // 64 - 1
+             THEN greatest((length(text) + 63) // 64 - 1, 0)
            WHEN doc_id % 2 = 0 AND (doc_id // 2) % 8 = 5
              THEN (length(text) + 63) // 64 - ((length(text) + 63) // 64 + 7) // 8
            ELSE 0 END"""

@@ -49,14 +49,18 @@ object Checkpoint {
     val fs = fsOf(spark, target)
     val dst = new Path(target)
     fs.mkdirs(dst.getParent)
+    // stamp the commit time BEFORE the rename (rename preserves mtimes, so
+    // without this Snapshot.commitMs would order concurrent committers by
+    // when they STAGED, not when they committed). Stamping pre-rename means
+    // a listed manifest always carries its stamped time — there is no
+    // window where a published manifest is visible with a stale mtime; the
+    // stamp trails the true commit point by at most the rename duration.
+    // Best-effort: a filesystem without setTimes keeps the staging-write
+    // mtime (documented on snapshots()).
+    try fs.setTimes(new Path(staging), System.currentTimeMillis(), -1)
+    catch { case _: Exception => () }
     if (!fs.rename(new Path(staging), dst))
       throw new IllegalStateException(s"commit rename failed: $staging -> $target")
-    // stamp the PUBLISH time: rename preserves the staging-write mtime, so
-    // without this Snapshot.commitMs would order concurrent committers by
-    // when they staged, not when they committed. Best-effort — a filesystem
-    // without setTimes keeps the staging mtime (documented on snapshots()).
-    try fs.setTimes(dst, System.currentTimeMillis(), -1)
-    catch { case _: Exception => () }
   }
 
   /** Atomically commit a batch of extracted docs: stage data + manifest,
@@ -96,26 +100,23 @@ object Checkpoint {
     publish(spark, manStaging, s"${manifestPath(outDir)}/$batch")
   }
 
-  /** Committed manifest sources: batch directories (staging dirs are
-    * dot-prefixed and never listed), plus any flat part-files directly under
-    * `_manifest/` — the pre-atomic-commit layout, still honored so an outDir
-    * written by an older run keeps its resume/metrics validity (its rows
-    * read with a null `batch`, i.e. manifest-only semantics). */
-  private def committedManifests(spark: SparkSession, outDir: String): Seq[String] = {
+  /** The ONE listing predicate for committed manifest entries: `batch_`
+    * directories (new layout) and flat `part-` files (the pre-atomic
+    * legacy layout — honored so an outDir written by an older run keeps
+    * its resume/metrics validity; its rows read with a null `batch`).
+    * Staging dirs are dot-prefixed and never listed. Every consumer
+    * ([[committedManifests]], [[snapshots]]) goes through here. */
+  private def manifestStatuses(spark: SparkSession, outDir: String): Seq[org.apache.hadoop.fs.FileStatus] = {
     val root = new Path(manifestPath(outDir))
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(root)) Nil
-    else {
-      val entries = fs.listStatus(root).toSeq
-      val batchDirs = entries
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith("batch_"))
-        .map(_.getPath.toString)
-      val legacyFiles = entries
-        .filter(s => s.isFile && s.getPath.getName.startsWith("part-"))
-        .map(_.getPath.toString)
-      batchDirs ++ legacyFiles
-    }
+    else fs.listStatus(root).toSeq.filter(s =>
+      (s.isDirectory && s.getPath.getName.startsWith("batch_")) ||
+        (s.isFile && s.getPath.getName.startsWith("part-")))
   }
+
+  private def committedManifests(spark: SparkSession, outDir: String): Seq[String] =
+    manifestStatuses(spark, outDir).map(_.getPath.toString)
 
   private def readManifests(spark: SparkSession, dirs: Seq[String]): DataFrame =
     // mergeSchema: legacy manifests lack the `batch` column
@@ -141,9 +142,6 @@ object Checkpoint {
     if (dirs.isEmpty) None
     else Some(readManifests(spark, dirs).select("url").distinct())
   }
-
-  private def isLegacyManifest(path: String): Boolean =
-    new Path(path).getName.startsWith("part-")
 
   /** Distinct data-batch names referenced by the given manifests' ROWS
     * (manifest-only commits reference none; all-legacy manifests have no
@@ -195,16 +193,14 @@ object Checkpoint {
   /** The committed output table: data batches referenced by a committed
     * manifest — an orphan data directory from a crashed run is invisible —
     * plus the implicit legacy flat batch when a legacy manifest exists
-    * (see [[assembleTable]]). */
-  def readExtracted(spark: SparkSession, outDir: String): DataFrame = {
-    val dirs = committedManifests(spark, outDir)
-    assembleTable(spark, outDir,
-      referencedBatches(spark, dirs), includeLegacy = dirs.exists(isLegacyManifest))
-  }
+    * (see [[assembleTable]]). Definitionally the as-of read at the end of
+    * time, so the two read paths cannot drift apart. */
+  def readExtracted(spark: SparkSession, outDir: String): DataFrame =
+    readExtractedAsOf(spark, outDir, Long.MaxValue)
 
-  /** One committed snapshot. `name` is the manifest entry ("" only for
-    * legacy flat manifests); `commitMs` is the PUBLISH time ([[publish]]
-    * stamps the renamed manifest with `setTimes`; on a filesystem without
+  /** One committed snapshot. `name` is the manifest entry ("" only for the
+    * coalesced legacy snapshot); `commitMs` is the commit time ([[publish]]
+    * stamps the manifest just before the rename; on a filesystem without
     * setTimes it degrades to the staging-write mtime, which still orders
     * single-committer histories correctly). Ties at millisecond
     * granularity order by name and are both included by an inclusive
@@ -214,20 +210,19 @@ object Checkpoint {
   /** Commit history, oldest first — the Iceberg-snapshot analogue over the
     * manifest model: every committed manifest is one snapshot; the table
     * "as of" snapshot k is the union of the data batches referenced by
-    * manifests 1..k. Legacy flat manifests participate with name = "". */
+    * manifests 1..k. The pre-atomic legacy layout (flat part- manifest
+    * files) is ONE logical commit regardless of its part-file count and
+    * appears as a single snapshot with name = "" at its newest file's
+    * mtime — as-of reads before that instant see none of the legacy data,
+    * from it onward all of it. */
   def snapshots(spark: SparkSession, outDir: String): Seq[Snapshot] = {
-    val root = new Path(manifestPath(outDir))
-    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(root)) Nil
-    else fs.listStatus(root).toSeq
-      .filter(s => (s.isDirectory && s.getPath.getName.startsWith("batch_")) ||
-        (s.isFile && s.getPath.getName.startsWith("part-")))
-      .map { s =>
-        val name =
-          if (s.isDirectory) s.getPath.getName else "" // legacy flat manifest
-        Snapshot(s.getPath.toString, name, s.getModificationTime)
-      }
-      .sortBy(s => (s.commitMs, s.manifest))
+    val (legacy, batchDirs) = manifestStatuses(spark, outDir).partition(_.isFile)
+    val batchSnaps = batchDirs.map(s =>
+      Snapshot(s.getPath.toString, s.getPath.getName, s.getModificationTime))
+    val legacySnap =
+      if (legacy.isEmpty) Nil
+      else Seq(Snapshot(manifestPath(outDir), "", legacy.map(_.getModificationTime).max))
+    (legacySnap ++ batchSnaps).sortBy(s => (s.commitMs, s.manifest))
   }
 
   /** Time travel: the committed output table as of `commitMs` — the same
@@ -239,8 +234,10 @@ object Checkpoint {
     * `readExtracted(outDir)`. */
   def readExtractedAsOf(spark: SparkSession, outDir: String, commitMs: Long): DataFrame = {
     val keep = snapshots(spark, outDir).filter(_.commitMs <= commitMs)
+    // only batch manifests carry batch references; the coalesced legacy
+    // snapshot's `manifest` is the _manifest DIR and must not be globbed
     assembleTable(spark, outDir,
-      referencedBatches(spark, keep.map(_.manifest)),
+      referencedBatches(spark, keep.filter(_.name.nonEmpty).map(_.manifest)),
       includeLegacy = keep.exists(_.name.isEmpty))
   }
 

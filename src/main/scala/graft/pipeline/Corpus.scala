@@ -42,20 +42,18 @@ object Corpus {
     finishClassic(b, rotatingShowContents(b, text), text)
   }
 
-  /** The variant-0 per-page operator streams (rotating show ops, no line
-    * moves), shared by the encrypted / xref-stream / incremental / malformed
-    * file layouts whose operator surface is identical to variant 0. */
-  private def rotatingOpsPerPage(text: String): Seq[String] = {
+  /** The ONE chunk/page walk every variant shares — 64-char chunks, 8 per
+    * page — with a per-chunk operator emitter
+    * `emit(ops, escapedChunk, globalIdx, pageLocalIdx)`. A change to the
+    * chunking contract happens here once; the oracle formulas
+    * ([[pdfExpectedText]], SparkEntry) depend on exactly this shape. */
+  private def pageOpsFor(text: String, btPrefix: String = "BT ")(
+      emit: (StringBuilder, String, Int, Int) => Unit): Seq[String] = {
     var gi = 0
     text.grouped(64).toIndexedSeq.grouped(8).map { pageChunks =>
-      val ops = new StringBuilder("BT ")
-      pageChunks.foreach { c =>
-        val e = escapeLiteral(c)
-        gi % 3 match {
-          case 0 => ops.append('(').append(e).append(") Tj ")
-          case 1 => ops.append('(').append(e).append(") ' ")
-          case _ => ops.append("[(").append(e).append(") -120] TJ ")
-        }
+      val ops = new StringBuilder(btPrefix)
+      pageChunks.zipWithIndex.foreach { case (c, j) =>
+        emit(ops, escapeLiteral(c), gi, j)
         gi += 1
       }
       ops.append("ET")
@@ -63,22 +61,45 @@ object Corpus {
     }.toSeq
   }
 
+  /** Show op cycling Tj / TJ-with-discarded-kern on the global index. */
+  private def appendShowTjTJ(ops: StringBuilder, escaped: String, gi: Int): Unit =
+    if (gi % 2 == 0) ops.append('(').append(escaped).append(") Tj ")
+    else ops.append("[(").append(escaped).append(") -120] TJ ")
+
+  /** The variant-0 per-page operator streams (rotating Tj/'/TJ show ops, no
+    * line moves), shared by the encrypted / xref-stream / incremental /
+    * malformed file layouts whose operator surface is identical. */
+  private def rotatingOpsPerPage(text: String): Seq[String] =
+    pageOpsFor(text) { (ops, e, gi, _) =>
+      gi % 3 match {
+        case 0 => ops.append('(').append(e).append(") Tj ")
+        case 1 => ops.append('(').append(e).append(") ' ")
+        case _ => ops.append("[(").append(e).append(") -120] TJ ")
+      }
+    }
+
   private def rotatingShowContents(b: GoldenGen.PdfBuilder, text: String,
       encryptKey: Array[Byte] = null, deflate: Boolean = true): Seq[Int] =
     rotatingOpsPerPage(text).map(ops =>
       b.addStream("", ops.getBytes(ISO_8859_1), deflate = deflate, encryptKey = encryptKey))
 
-  /** Classic-xref tail shared by most variants: /Metadata XML stream, page
-    * tree, deterministic /Info (Title carries the text length), trailer /ID
-    * — so every document-level output (S2/S7/S24 and the XMP metadata +
-    * DocumentID surfaces) is oracle-checkable per doc. */
-  private def finishClassic(b: GoldenGen.PdfBuilder, contentIds: Seq[Int],
-      text: String, fontObj: Option[(String, Int)] = None): Array[Byte] = {
+  /** Classic-xref tail shared by the variants: /Metadata XML stream, a
+    * caller-chosen page-tree/catalog strategy, deterministic /Info (Title
+    * carries the text length), trailer /ID — so every document-level
+    * output (S2/S7/S24 and the XMP metadata + DocumentID surfaces) is
+    * oracle-checkable per doc. */
+  private def finishClassicWith(b: GoldenGen.PdfBuilder, text: String,
+      trailingNuls: Int = 0)(catalogOf: Option[Int] => Int): Array[Byte] = {
     val metaId = addMetadata(b, text)
-    val catalog = GoldenGen.catalogFor(b, contentIds, fontObj, metadataId = Some(metaId))
+    val catalog = catalogOf(Some(metaId))
     val info = b.addObject(infoContent(text))
-    b.finish(s"/Root $catalog 0 R/Info $info 0 R/ID[<${docIdHex(text)}><${docIdHex(text)}>]")
+    b.finish(s"/Root $catalog 0 R/Info $info 0 R/ID[<${docIdHex(text)}><${docIdHex(text)}>]",
+      trailingNuls)
   }
+
+  private def finishClassic(b: GoldenGen.PdfBuilder, contentIds: Seq[Int],
+      text: String, fontObj: Option[(String, Int)] = None): Array[Byte] =
+    finishClassicWith(b, text)(mid => GoldenGen.catalogFor(b, contentIds, fontObj, mid))
 
   private def infoContent(text: String): String =
     s"<</Title (doc-${text.length})/Producer (graft)>>"
@@ -153,25 +174,16 @@ object Corpus {
     * covers the multi-level tree walk in depth-first Kids order. */
   def pdfMovesFromText(text: String): Array[Byte] = {
     val b = new GoldenGen.PdfBuilder()
-    var gi = 0
-    val contentIds = text.grouped(64).toIndexedSeq.grouped(8).map { pageChunks =>
-      val ops = new StringBuilder("BT ")
-      pageChunks.foreach { c =>
-        if (gi > 0) ops.append(gi % 3 match {
-          case 0 => "T* "
-          case 1 => "0 -14 Td "
-          case _ => "0 -14 TD "
-        })
-        ops.append('(').append(escapeLiteral(c)).append(") Tj ")
-        gi += 1
-      }
-      ops.append("ET")
-      b.addStream("", ops.toString.getBytes(ISO_8859_1), deflate = true)
-    }.toSeq
-    val metaId = addMetadata(b, text)
-    val catalog = GoldenGen.catalogForNestedPages(b, contentIds, metadataId = Some(metaId))
-    val info = b.addObject(infoContent(text))
-    b.finish(s"/Root $catalog 0 R/Info $info 0 R/ID[<${docIdHex(text)}><${docIdHex(text)}>]")
+    val contentIds = pageOpsFor(text) { (ops, e, gi, _) =>
+      if (gi > 0) ops.append(gi % 3 match {
+        case 0 => "T* "
+        case 1 => "0 -14 Td "
+        case _ => "0 -14 TD "
+      })
+      ops.append('(').append(e).append(") Tj ")
+    }.map(ops => b.addStream("", ops.getBytes(ISO_8859_1), deflate = true))
+    finishClassicWith(b, text)(mid =>
+      GoldenGen.catalogForNestedPages(b, contentIds, metadataId = mid))
   }
 
   /** Variant 5: `Tm` newlines. Every chunk is preceded by a text matrix with
@@ -180,19 +192,10 @@ object Corpus {
     * (per-content `hasText` is still false). Shows alternate Tj / TJ. */
   def pdfTmFromText(text: String): Array[Byte] = {
     val b = new GoldenGen.PdfBuilder()
-    var gi = 0
-    val contentIds = text.grouped(64).toIndexedSeq.grouped(8).map { pageChunks =>
-      val ops = new StringBuilder("BT ")
-      pageChunks.zipWithIndex.foreach { case (c, j) =>
-        val e = escapeLiteral(c)
-        ops.append("1 0 0 1 50 ").append(760 - 14 * j).append(" Tm ")
-        if (gi % 2 == 0) ops.append('(').append(e).append(") Tj ")
-        else ops.append("[(").append(e).append(") -120] TJ ")
-        gi += 1
-      }
-      ops.append("ET")
-      b.addStream("", ops.toString.getBytes(ISO_8859_1), deflate = true)
-    }.toSeq
+    val contentIds = pageOpsFor(text) { (ops, e, gi, j) =>
+      ops.append("1 0 0 1 50 ").append(760 - 14 * j).append(" Tm ")
+      appendShowTjTJ(ops, e, gi)
+    }.map(ops => b.addStream("", ops.getBytes(ISO_8859_1), deflate = true))
     finishClassic(b, contentIds, text)
   }
 
@@ -240,9 +243,7 @@ object Corpus {
     def contentOf(chunks: Seq[String]): Int = {
       val ops = new StringBuilder("BT /F1 10 Tf ")
       chunks.foreach { c =>
-        val e = escapeLiteral(c)
-        if (gi % 2 == 0) ops.append('(').append(e).append(") Tj ")
-        else ops.append("[(").append(e).append(") -120] TJ ")
+        appendShowTjTJ(ops, escapeLiteral(c), gi)
         gi += 1
       }
       ops.append("ET")
@@ -252,11 +253,9 @@ object Corpus {
       if (pageChunks.length > 4) Seq(contentOf(pageChunks.take(4)), contentOf(pageChunks.drop(4)))
       else Seq(contentOf(pageChunks))
     }.toSeq
-    val metaId = addMetadata(b, text)
-    val catalog = GoldenGen.catalogForPages(b, pageContents, fontObj = Some(("F1", fontId)),
-      metadataId = Some(metaId))
-    val info = b.addObject(infoContent(text))
-    b.finish(s"/Root $catalog 0 R/Info $info 0 R/ID[<${docIdHex(text)}><${docIdHex(text)}>]")
+    finishClassicWith(b, text)(mid =>
+      GoldenGen.catalogForPages(b, pageContents, fontObj = Some(("F1", fontId)),
+        metadataId = mid))
   }
 
   private def rot13(s: String): String = s.map {
@@ -386,29 +385,13 @@ object Corpus {
   def pdfMalformedFromText(text: String): Array[Byte] = {
     val junk = "q 119.06 0 0 48.93 51.02 41.78 cm /I1 Do Q\nBT 231.57 45.49 Td (stray preamble) Tj ET\n"
     val b = new GoldenGen.PdfBuilder(prefix = junk)
-    var gi = 0
-    val contentIds = text.grouped(64).toIndexedSeq.grouped(8).map { pageChunks =>
-      val ops = new StringBuilder("BT ")
-      pageChunks.foreach { c =>
-        val e = escapeLiteral(c)
-        gi % 3 match {
-          case 0 => ops.append('(').append(e).append(") Tj ")
-          case 1 => ops.append('(').append(e).append(") ' ")
-          case _ => ops.append("[(").append(e).append(") -120] TJ ")
-        }
-        gi += 1
-      }
-      ops.append("ET")
+    val contentIds = rotatingOpsPerPage(text).zipWithIndex.map { case (ops, i) =>
       // first content: broken /Length + CR-only EOL (rescan path); rest clean
-      val broken = b.nextObjectNumber == 1
-      b.addStream("", ops.toString.getBytes(ISO_8859_1),
-        lengthOverride = if (broken) 5 else -1, crOnlyEol = broken)
-    }.toSeq
-    val metaId = addMetadata(b, text)
-    val catalog = GoldenGen.catalogFor(b, contentIds, metadataId = Some(metaId))
-    val info = b.addObject(infoContent(text))
-    b.finish(s"/Root $catalog 0 R/Info $info 0 R/ID[<${docIdHex(text)}><${docIdHex(text)}>]",
-      trailingNuls = 7)
+      b.addStream("", ops.getBytes(ISO_8859_1),
+        lengthOverride = if (i == 0) 5 else -1, crOnlyEol = i == 0)
+    }
+    finishClassicWith(b, text, trailingNuls = 7)(mid =>
+      GoldenGen.catalogFor(b, contentIds, metadataId = mid))
   }
 
   /** Expected PDF page count for `text` under [[pdfFromText]] —

@@ -80,7 +80,7 @@ object ExtractPipeline {
     * never stored — at 100 TB the difference is the text column's worth of
     * row-serialization plus the per-doc copy, with zero change to what is
     * parsed. */
-  def runMetrics(pages: Dataset[PageRow]): Dataset[ExtractMetricsRow] = {
+  def runMetrics(pages: Dataset[PageRow], delimiter: String = ""): Dataset[ExtractMetricsRow] = {
     val spark = pages.sparkSession
     import spark.implicits._
     pages
@@ -93,7 +93,7 @@ object ExtractPipeline {
           if (r.html == null || r.html.isEmpty)
             ExtractMetricsRow(r.url, "empty", 0, 0, 1, r.lang, nBytes)
           else if (PdfExtract.isPdf(r.html)) {
-            val d = PdfExtract.extract(r.html, contentDelimiter = "",
+            val d = PdfExtract.extract(r.html, contentDelimiter = delimiter,
               buffers = buffers, captureFragments = false, captureText = false)
             ExtractMetricsRow(r.url, "pdf", d.pages, d.nChars, d.decodeFailures, r.lang, nBytes)
           } else {

@@ -75,17 +75,19 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       == Corpus.pdfExpectedText(42L, t))
   }
 
-  test("runMetrics agrees with run on kind/pages/chars/failures across all variants") {
+  test("runMetrics agrees with run on kind/pages/chars/failures across all variants and delimiters") {
     import spark.implicits._
     val long = ("metrics parity corpus with plenty of words to span pages " * 12).trim
     val pages = (0L until 20L).map(i => Corpus.pageRowFor(i, long, "en")).toDS()
     def key(url: String, kind: String, pages: Int, chars: Int, fails: Int) =
       url -> ((kind, pages, chars, fails))
-    val full = ExtractPipeline.run(pages, delimiter = "").collect()
-      .map(d => key(d.url, d.kind, d.pages, d.n_chars, d.decode_failures)).toMap
-    val metrics = ExtractPipeline.runMetrics(pages).collect()
-      .map(d => key(d.url, d.kind, d.pages, d.n_chars, d.decode_failures)).toMap
-    assert(metrics == full)
+    for (delim <- Seq("", "|")) {
+      val full = ExtractPipeline.run(pages, delimiter = delim).collect()
+        .map(d => key(d.url, d.kind, d.pages, d.n_chars, d.decode_failures)).toMap
+      val metrics = ExtractPipeline.runMetrics(pages, delimiter = delim).collect()
+        .map(d => key(d.url, d.kind, d.pages, d.n_chars, d.decode_failures)).toMap
+      assert(metrics == full, s"delimiter '$delim'")
+    }
   }
 
   test("malformed payload becomes an error row, not an exception") {
