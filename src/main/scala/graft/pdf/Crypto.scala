@@ -9,9 +9,19 @@ import java.security.MessageDigest
   */
 object PdfCrypto {
 
+  // Reused per-thread scratch: the RC4 state box and the MD5 digest.
+  // Key derivation alone runs 51 MD5 rounds and user-password
+  // authentication 19 RC4 rounds PER DOCUMENT — fresh allocations here
+  // measured ~2.5x the baseline extraction allocation rate on encrypted
+  // docs (AllocProfile).
+  private val rc4Box: ThreadLocal[Array[Int]] =
+    ThreadLocal.withInitial(() => new Array[Int](256))
+  private val md5Digest: ThreadLocal[MessageDigest] =
+    ThreadLocal.withInitial(() => MessageDigest.getInstance("MD5"))
+
   /** In-place RC4 (same routine encrypts and decrypts). */
   def rc4InPlace(pwd: Array[Byte], data: Array[Byte], offset: Int, length: Int): Unit = {
-    val box = new Array[Int](256)
+    val box = rc4Box.get()
     var i = 0
     while (i < 256) { box(i) = i; i += 1 }
     var j = 0
@@ -40,7 +50,11 @@ object PdfCrypto {
     out
   }
 
-  def md5(data: Array[Byte]): Array[Byte] = MessageDigest.getInstance("MD5").digest(data)
+  def md5(data: Array[Byte]): Array[Byte] = {
+    val md = md5Digest.get()
+    md.reset()
+    md.digest(data)
+  }
 
   /** PDF password padding constant (PDF 32000-1 Algorithm 2 step a;
     * reference: Tokeniser.cs:1053-1055). */
