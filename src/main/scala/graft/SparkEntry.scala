@@ -261,6 +261,27 @@ object SparkEntry {
         }.toDF("doc_id", "pdf_version", "info", "n_pages", "metadata", "document_id")
         .orderBy("doc_id")
     }),
+    "pdf_extract_extended" -> ((s, dir) => {
+      // the opt-in extended filter surface (LZW / ASCIIHex / ASCII85 /
+      // ASCII85+Flate chain) — extraction with extendedFilters = true over
+      // payloads the DEFAULT reference mode refuses (it supports only None
+      // and FlateDecode); same chunk contract as variant 0, so the oracle
+      // is the raw text
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .filter(_._1 % 2 == 0)
+        .mapPartitions { it =>
+          val buffers = new graft.pdf.WorkBuffers()
+          it.map { case (id, t) =>
+            val r = graft.pdf.PdfExtract.extract(Corpus.pdfExtendedForDoc(id, t),
+              contentDelimiter = "", buffers = buffers, captureFragments = false,
+              extendedFilters = true)
+            (id, r.text, r.decodeFailures.toLong)
+          }
+        }.toDF("doc_id", "text", "failures")
+        .orderBy("doc_id")
+    }),
     "sql_pdf_extract" -> ((s, dir) => {
       // SQL surface: the whole parse stack as a scalar Catalyst expression
       graft.functions.GraftFunctions.register(s)
@@ -621,6 +642,9 @@ object SparkEntry {
           CASE WHEN doc_id % 2 = 0 THEN 'pdf' ELSE 'html' END AS kind,
           CASE WHEN doc_id % 2 = 0 THEN $pdfExpectedSql ELSE text END AS text
           FROM d ORDER BY doc_id""",
+    "pdf_extract_extended" ->
+      """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
+         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     // mirrors Urls.canonicalUrl step by step (all regexes RE2-safe)
     "url_canonical" ->
       """WITH u AS (SELECT doc_id,

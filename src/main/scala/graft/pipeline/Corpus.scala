@@ -394,7 +394,32 @@ object Corpus {
       GoldenGen.catalogFor(b, contentIds, metadataId = mid))
   }
 
-  /** Expected PDF page count for `text` under [[pdfFromText]] —
+  /** EXTENDED-mode corpus: the exact chunk/page contract of variant 0, but
+    * content streams encoded with the opt-in filter surface
+    * (`extendedFilters = true` — the reference supports only None and
+    * FlateDecode and throws otherwise; replicated in default mode), routed
+    * by `(doc_id/2) % 4`: LZWDecode, ASCIIHexDecode, ASCII85Decode, and the
+    * `[ASCII85Decode FlateDecode]` two-stage chain. Expected extraction is
+    * plain `text` (no newline ops), so the gate oracle is trivial while the
+    * decode path is anything but. */
+  def pdfExtendedForDoc(docId: Long, text: String): Array[Byte] = {
+    import graft.pdf.ExtraFilters
+    val b = new GoldenGen.PdfBuilder()
+    val contentIds = rotatingOpsPerPage(text).map { ops =>
+      val plain = ops.getBytes(ISO_8859_1)
+      val (dictExtra, payload) = ((docId / 2) % 4).toInt match {
+        case 0 => ("/Filter/LZWDecode", ExtraFilters.lzwEncode(plain))
+        case 1 => ("/Filter/ASCIIHexDecode", ExtraFilters.asciiHexEncode(plain))
+        case 2 => ("/Filter/ASCII85Decode", ExtraFilters.ascii85Encode(plain))
+        case _ => ("/Filter[/ASCII85Decode/FlateDecode]",
+          ExtraFilters.ascii85Encode(GoldenGen.zlib(plain)))
+      }
+      b.addStream(dictExtra, payload)
+    }
+    finishClassic(b, contentIds, text)
+  }
+
+  /** Expected PDF page count for [[pdfFromText]] under `text` —
     * SQL-expressible: ((length(text)+63)//64 + 7)//8. */
   def pdfPageCount(text: String): Int = {
     val chunks = (text.length + 63) / 64

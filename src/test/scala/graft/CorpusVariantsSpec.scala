@@ -77,6 +77,21 @@ class CorpusVariantsSpec extends AnyFunSuite {
     assert(r.spans.map(s => r.text.substring(s.start, s.end)).mkString == t)
   }
 
+  test("extended-filter corpus: all 4 encodings round-trip under extendedFilters; default mode errors") {
+    val t = texts(3)
+    for (route <- 0 until 4) {
+      val id = route.toLong * 2
+      val payload = Corpus.pdfExtendedForDoc(id, t)
+      val ext = PdfExtract.extract(payload, contentDelimiter = "",
+        captureFragments = false, extendedFilters = true)
+      assert(ext.decodeFailures == 0, s"route $route: ${ext.error}")
+      assert(ext.text == t, s"route $route")
+      // default mode replicates the reference: None/FlateDecode only
+      val default = PdfExtract.extract(payload, contentDelimiter = "", captureFragments = false)
+      assert(default.decodeFailures > 0, s"route $route should fail in default mode")
+    }
+  }
+
   test("extract is pure: the same encrypted payload extracts identically twice") {
     // regression: RC4 stream decryption used to mutate the caller's array in
     // place, so a second extract double-decrypted into garbage
