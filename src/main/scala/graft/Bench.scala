@@ -64,10 +64,9 @@ object Bench {
     * the production shape; an in-memory cache is NOT used — it measured
     * BlockManager behavior instead of the pipeline). */
   private def corpusDir(spark: SparkSession, sfDir: String, repl: Int, textRep: Int): String = {
-    // "v3": cache key versioned with the corpus generation — round 3 widened
-    // the PDF payloads to 8 file-layout variants, so a cached round-2 corpus
-    // must not be reused
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_bench_${Integer.toHexString(("v3" + sfDir + repl + "x" + textRep).hashCode)}"
+    // cache key carries the generator version — a corpus cached by an older
+    // payload generator must never be reused
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_bench_${Integer.toHexString((Corpus.GeneratorVersion + sfDir + repl + "x" + textRep).hashCode)}"
     val marker = new java.io.File(s"$dir/_SUCCESS")
     if (!marker.exists()) {
       import spark.implicits._

@@ -26,6 +26,11 @@ object Corpus {
 
   val UrlPrefix = "https://example.org/doc/"
 
+  /** Bump on ANY change to payload generation: cached synthesized corpora
+    * (graft.Bench's on-disk table) key on this, so a stale cache can never
+    * be mistaken for the current generator's output. */
+  val GeneratorVersion = "r3b"
+
   /** PDF payload whose extraction (with contentDelimiter="") equals `text`
     * byte-for-byte: the text is sliced into 64-char chunks (8 chunks per
     * page), each shown with a rotating show operator (`Tj`, `'`, `TJ` with a
