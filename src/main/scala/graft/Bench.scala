@@ -66,7 +66,7 @@ object Bench {
   private def corpusDir(spark: SparkSession, sfDir: String, repl: Int, textRep: Int): String = {
     // cache key carries the generator version — a corpus cached by an older
     // payload generator must never be reused
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_bench_${Integer.toHexString((Corpus.GeneratorVersion + sfDir + repl + "x" + textRep).hashCode)}"
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_bench_${Integer.toHexString(Seq(Corpus.GeneratorVersion, sfDir, repl, textRep).mkString("|").hashCode)}"
     val marker = new java.io.File(s"$dir/_SUCCESS")
     if (!marker.exists()) {
       import spark.implicits._

@@ -272,7 +272,16 @@ object Dedup {
   def verifyCandidatesExact(docs: DataFrame, idCol: String, textCol: String,
       candidates: DataFrame, k: Int = 3, threshold: Double = 0.8,
       maxBucket: Int = MaxBucket): DataFrame = {
-    val cand = candidates.persist()
+    // normalize the candidate set up front: orientation a<b, self-pairs
+    // dropped, duplicates collapsed — the verify is documented as
+    // idempotent (StreamMinhash feeds it a per-band stream where the same
+    // pair surfaces repeatedly), and output rows are driven off cand rows
+    val cand = candidates.select(
+        least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+      .where(col("id_a") < col("id_b"))
+      .distinct()
+      .persist()
     // registered like every other operator cache so clearCaches() releases
     // it — a long-lived session must not accrue candidate sets across calls
     liveCaches.synchronized { liveCaches += cand }
@@ -291,15 +300,21 @@ object Dedup {
     // corpus can make candidates arbitrarily large — AQE picks broadcast
     // when the runtime size allows
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    // persisted: shSets feeds BOTH pair-join sides — without the pin the
+    // semi-join + collect_set (the expensive stage) would run twice
     val shSets = sh.join(candIds, Seq("id"), "left_semi")
       .groupBy("id").agg(collect_set(col("sh")).as("shs"))
+      .persist()
+    liveCaches.synchronized { liveCaches += shSets }
     cand
       .join(shSets.select(col("id").as("id_a"), col("shs").as("sa")), Seq("id_a"))
       .join(shSets.select(col("id").as("id_b"), col("shs").as("sb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         size(array_intersect(col("sa"), col("sb"))).cast("double").as("i"),
         size(col("sa")).as("na"), size(col("sb")).as("nb"))
-      .where(col("i") / (col("na") + col("nb") - col("i")) >= threshold)
+      // i > 0 preserves the prior formulation's semantics at degenerate
+      // thresholds: a pair must share at least one shingle to be emitted
+      .where(col("i") > 0 && col("i") / (col("na") + col("nb") - col("i")) >= threshold)
       .select(col("id_a"), col("id_b"))
   }
 

@@ -102,6 +102,25 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === want)
   }
 
+  test("verifyCandidatesExact is idempotent: duplicate/reversed/self candidates normalize away") {
+    import spark.implicits._
+    // 15 words differing only in the last -> J = 12/14 ≈ 0.857 ≥ 0.8
+    val docs = Seq(
+      (1L, "zebra quagga okapi tapir bongo eland kudu nyala oryx addax saiga ibex markhor urial addra"),
+      (2L, "zebra quagga okapi tapir bongo eland kudu nyala oryx addax saiga ibex markhor urial gerenuk"),
+      (3L, "entirely unrelated words with no shared shingles at all here"))
+      .toDF("doc_id", "text")
+    // the streaming candidate generator emits the same pair once per band;
+    // hand it the worst case: 5 duplicates, both orientations, a self-pair,
+    // and a zero-overlap pair
+    val cand = (Seq.fill(5)((1L, 2L)) ++ Seq((2L, 1L), (1L, 1L), (1L, 3L)))
+      .toDF("id_a", "id_b")
+    val out = Dedup.verifyCandidatesExact(docs, "doc_id", "text", cand, k = 3, threshold = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(out == Seq((1L, 2L)), s"got $out")
+    Dedup.clearCaches()
+  }
+
   test("cache lifecycle: back-to-back dedup invocations + clearCaches release every cache") {
     import org.apache.spark.storage.StorageLevel
     import spark.implicits._
@@ -116,8 +135,8 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     Dedup.minhashDedupPairs(docs, "doc_id", "text").count()
     Dedup.minhashDedupPairs(docs, "doc_id", "text").count()
     val mine = Dedup.liveCacheSnapshot.filterNot(before)
-    // 3 caches per invocation: band index, shingle index, candidate set
-    assert(mine.size >= 6, s"expected >=6 newly registered caches, got ${mine.size}")
+    // 4 caches per invocation: band index, shingle index, candidate set, shingle sets
+    assert(mine.size >= 8, s"expected >=8 newly registered caches, got ${mine.size}")
     assert(mine.forall(_.storageLevel != StorageLevel.NONE), "registered caches must be persisted")
     Dedup.clearCaches()
     assert(mine.forall(_.storageLevel == StorageLevel.NONE),
