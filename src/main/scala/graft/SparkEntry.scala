@@ -351,6 +351,26 @@ object SparkEntry {
         .groupBy("lang")
         .agg(countDistinct(col("term")).as("vocab"))
         .orderBy("lang")),
+    "vocab_bigrams_by_lang" -> ((s, dir) => {
+      // per-language top-5 bigrams (training-mix phrase profile): one
+      // explode -> map-side-combined groupBy -> per-lang WindowGroupLimit;
+      // ws materialized before the transform (CSE across the HOF boundary,
+      // same rationale as Dedup.shinglesFromWords)
+      import org.apache.spark.sql.expressions.Window
+      val withWs = docs(s, dir)
+        .select(col("lang"), split(trim(col("text")), "\\s+").as("ws"))
+        .where(size(col("ws")) >= 2)
+      val bg = withWs.select(col("lang"),
+        explode(transform(sequence(lit(0), size(col("ws")) - 2),
+          i => concat_ws(" ", element_at(col("ws"), i + 1), element_at(col("ws"), i + 2))))
+          .as("bigram"))
+      bg.groupBy("lang", "bigram").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("lang").orderBy(col("n").desc, col("bigram"))))
+        .where(col("rn") <= 5)
+        .select(col("lang"), col("bigram"), col("n"))
+        .orderBy("lang", "bigram")
+    }),
     // ------------------------------------------------------------ multimodal
     "multimodal_meta" -> ((s, dir) =>
       Multimodal.extractMeta(Multimodal.mediaTable(s, dir)).toDF()
@@ -715,6 +735,15 @@ object SparkEntry {
       """SELECT lang, CAST(count(DISTINCT term) AS BIGINT) AS vocab FROM (
            SELECT lang, unnest(string_split(trim(text), ' ')) AS term FROM documents)
          GROUP BY lang ORDER BY lang""",
+    "vocab_bigrams_by_lang" ->
+      """WITH d AS (SELECT lang, string_split(trim(text), ' ') AS ws FROM documents
+                    WHERE len(string_split(trim(text), ' ')) >= 2),
+         bg AS (SELECT lang, ws[i] || ' ' || ws[i+1] AS bigram
+                FROM (SELECT lang, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM d)),
+         cnt AS (SELECT lang, bigram, count(*) AS n FROM bg GROUP BY 1, 2),
+         r AS (SELECT lang, bigram, n,
+                 row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn FROM cnt)
+         SELECT lang, bigram, n FROM r WHERE rn <= 5 ORDER BY lang, bigram""",
     "multimodal_meta" ->
       """SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_kind,

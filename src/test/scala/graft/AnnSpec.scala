@@ -62,6 +62,36 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(pairs.toSeq == (0L until 5L).map(i => (i, i + 9000L)))
   }
 
+  test("RP-LSH recall property at θ=0.9: near-boundary jittered pairs vs exact all-pairs") {
+    // same jittered-boundary corpus shape as the IVF property below: the
+    // banded random-hyperplane path's analytic recall (1-(1-(1-θ/π)^r)^b)
+    // must hold empirically, not just on planted exact copies
+    import spark.implicits._
+    val base = emb.where(col("id") < 150).collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+    val rnd = new scala.util.Random(4321)
+    val jittered = base.map { case (id, v) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val noise = v.map(_ => rnd.nextGaussian() * 0.3 * n / math.sqrt(v.length))
+      (id + 50000L, v.zip(noise).map { case (x, d) => (x + d).toFloat })
+    }
+    val corpus = (base ++ jittered).toSeq.toDF("id", "embedding").cache()
+    val exact = Ann.cosineDupPairsExact(corpus, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Ann.rplshCosineDupPairs(corpus, 0.9).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    graft.dedup.Dedup.clearCaches() // rplsh registers a banded-index cache
+    assert(exact.nonEmpty)
+    assert((lsh -- exact).isEmpty, s"LSH emitted non-pairs: ${(lsh -- exact).take(5)}")
+    val recall = (exact & lsh).size.toDouble / exact.size
+    info(s"exact=${exact.size} lsh=${lsh.size} recall=$recall")
+    // analytic recall at cosine 0.9 with 16 bands x 16 bits is ~0.82;
+    // assert a margin below it (the corpus sits mostly above 0.93 where
+    // recall is higher)
+    assert(recall >= 0.8, s"RP-LSH boundary recall $recall < 0.8")
+    corpus.unpersist()
+  }
+
   test("IVF recall property at θ=0.9: near-boundary jittered pairs vs exact all-pairs") {
     // NEAR-duplicates (not exact copies): jitter each base vector with a
     // seeded Gaussian so pair cosines land near the 0.9 threshold from
