@@ -690,9 +690,12 @@ object SparkEntry {
                      || (CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END) END AS canon_url
          FROM d JOIN c ON c.doc_id = d.doc_id JOIN u ON u.doc_id = d.doc_id
          ORDER BY doc_id""",
+    // ((id%P)*(K%P))%P == (id*K)%P mathematically, but stays exact in
+    // 64-bit for every id (the direct product overflows at id >= ~3.5e9);
+    // 427799 = 2654435761 % 1000003
     "split_assign" ->
-      """SELECT doc_id, CASE WHEN ((doc_id * 2654435761) % 1000003) % 100 < 80 THEN 'train'
-         WHEN ((doc_id * 2654435761) % 1000003) % 100 < 90 THEN 'val' ELSE 'test' END AS split
+      """SELECT doc_id, CASE WHEN ((doc_id % 1000003) * 427799) % 1000003 % 100 < 80 THEN 'train'
+         WHEN ((doc_id % 1000003) * 427799) % 1000003 % 100 < 90 THEN 'val' ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
     "decontamination" ->
       """WITH docs2 AS (SELECT doc_id, text, source, string_split(trim(text), ' ') AS ws FROM documents),
@@ -720,7 +723,7 @@ object SparkEntry {
     "stratified_sample" ->
       """SELECT lang, doc_id FROM (
            SELECT lang, doc_id, row_number() OVER (PARTITION BY lang
-             ORDER BY ((doc_id * 2654435761) % 1000003) % 100, doc_id) AS rn
+             ORDER BY ((doc_id % 1000003) * 427799) % 1000003 % 100, doc_id) AS rn
            FROM documents)
          WHERE rn <= 10 ORDER BY lang, doc_id""",
     "tokens_histogram" ->
@@ -744,16 +747,21 @@ object SparkEntry {
          r AS (SELECT lang, bigram, n,
                  row_number() OVER (PARTITION BY lang ORDER BY n DESC, bigram) AS rn FROM cnt)
          SELECT lang, bigram, n FROM r WHERE rn <= 5 ORDER BY lang, bigram""",
+    // n = UTF-8 BYTE length of the payload (the Scala path derives every
+    // field from payload.length) — octet_length(encode(..)), matching the
+    // multimodal_frames oracle; length(text) counts CHARACTERS and diverges
+    // on any non-ASCII doc
     "multimodal_meta" ->
-      """SELECT doc_id,
+      """WITH v AS (SELECT doc_id, text, octet_length(encode(text)) AS n FROM documents)
+         SELECT doc_id,
          CASE WHEN doc_id % 3 = 0 THEN 'image' WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS media_kind,
-         CAST(length(text) AS BIGINT) AS n_bytes,
-         CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + length(text) % 512 END AS BIGINT) AS width,
-         CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + (length(text) * 7) % 512 END AS BIGINT) AS height,
-         CAST(CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN 0 ELSE 1 + length(text) % 24 END AS BIGINT) AS frames,
-         CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (length(text) % 5) * 8000 ELSE 0 END AS BIGINT) AS sample_rate,
+         CAST(n AS BIGINT) AS n_bytes,
+         CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + n % 512 END AS BIGINT) AS width,
+         CAST(CASE WHEN doc_id % 3 = 1 THEN 0 ELSE 64 + (n * 7) % 512 END AS BIGINT) AS height,
+         CAST(CASE WHEN doc_id % 3 = 0 THEN 1 WHEN doc_id % 3 = 1 THEN 0 ELSE 1 + n % 24 END AS BIGINT) AS frames,
+         CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (n % 5) * 8000 ELSE 0 END AS BIGINT) AS sample_rate,
          md5(text) AS checksum
-         FROM documents ORDER BY doc_id""",
+         FROM v ORDER BY doc_id""",
     // stub decoder arithmetic mirrored exactly: payload = UTF-8 of text,
     // video kind = doc_id%3==2, frames = 1 + n%24, w/h from n, resize to
     // min(w,224) with integer floor division; frame fp = md5 of

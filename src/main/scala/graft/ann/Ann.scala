@@ -100,7 +100,7 @@ object Ann {
     * (cid, dim): fully parallel, no driver-side math). */
   def kmeansCentroids(corpus: DataFrame, k: Int, iters: Int): DataFrame = {
     val seed = corpus
-      .orderBy(pmod(col("id") * graft.functions.Sampling.Knuth, lit(graft.functions.Sampling.Mod)), col("id"))
+      .orderBy(graft.functions.Sampling.orderKey(col("id")), col("id"))
       .limit(k)
       .select(row_number().over(Window.orderBy(col("id"))).cast("long").as("id"),
         col("embedding"))

@@ -172,7 +172,26 @@ object Dedup {
     Array.fill(NumHashes)((math.abs(rnd.nextLong()) % MersennePrime + 1, math.abs(rnd.nextLong()) % MersennePrime))
   }
 
-  /** 128-entry MinHash signature of a shingle set. */
+  /** (a·x) mod (2^61−1) without overflow: a < 2^61, x < 2^32, so the full
+    * product needs 93 bits — take it as (hi, lo) 128-bit halves via
+    * `Math.multiplyHigh` and Mersenne-fold: a·x = hi·2^3·2^61 + lo, and
+    * y mod (2^61−1) folds as (y & p) + (y >>> 61). The previous
+    * formulation's `(a % p) * x` silently wrapped mod 2^64, so the hash
+    * was NOT the documented affine permutation over GF(p) and the LSH
+    * collision probability was not the Jaccard similarity. */
+  private[graft] def mulModP(a: Long, x: Long): Long = {
+    val hi = Math.multiplyHigh(a, x)
+    val lo = a * x
+    var r = (lo & MersennePrime) + ((lo >>> 61) | (hi << 3))
+    if (r >= MersennePrime) r -= MersennePrime
+    if (r >= MersennePrime) r -= MersennePrime
+    r
+  }
+
+  /** 128-entry MinHash signature of a shingle set: true affine permutations
+    * h_i(x) = (a_i·x + b_i) mod (2^61−1) — P[min collision] = Jaccard
+    * (Broder 1997), which the banded-LSH miss-probability analysis relies
+    * on. */
   def minhashSignature(shingleHashes: Iterator[Int]): Array[Long] = {
     val sig = Array.fill(NumHashes)(Long.MaxValue)
     while (shingleHashes.hasNext) {
@@ -180,8 +199,8 @@ object Dedup {
       var i = 0
       while (i < NumHashes) {
         val (a, b) = hashAB(i)
-        // (a*x+b) mod p via Math.multiplyHigh-free 61-bit trick: a,x < 2^61
-        val v = ((a % MersennePrime) * x + b) % MersennePrime
+        var v = mulModP(a, x) + b
+        if (v >= MersennePrime) v -= MersennePrime
         if (v < sig(i)) sig(i) = v
         i += 1
       }

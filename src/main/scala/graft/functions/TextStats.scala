@@ -37,11 +37,9 @@ object TextStats {
     Seq("the", "a", "an", "of", "and", "to", "in", "is", "it", "that")
 
   /** Stopword hits over whitespace tokens (array intrinsics, codegen'd). */
-  def nStopwords(text: Column): Column = {
-    val inList = Stopwords.map(s => s"'$s'").mkString(", ")
+  def nStopwords(text: Column): Column =
     size(filter(split(trim(text), "\\s+"), w => w.isin(Stopwords.map(_.asInstanceOf[Any]): _*)))
       .cast("long")
-  }
 
   /** Content-defined fingerprint: md5 of whitespace-normalized lowercase
     * text — the exact-dedup key. Deterministic and SQL-portable. */

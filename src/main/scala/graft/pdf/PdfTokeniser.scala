@@ -43,7 +43,13 @@ private[pdf] final class XRefTable(tk: PdfTokeniser) {
     if (!addresses.contains(id)) addresses(id) = new ObjAddress(address, -1, -1)
   def addStreamAddress(id: ObjectId, streamId: Int, idx: Int): Unit =
     if (!addresses.contains(id)) addresses(id) = new ObjAddress(-1, streamId, idx)
-  /** A free entry masks older in-file definitions (reference: PdfXRefTable.cs:130-132). */
+  /** Free-entry marker, replicated AS-IS from the reference: the overwrite
+    * is UNCONDITIONAL (`addresses[objectId] = …`, PdfXRefTable.cs:130-132),
+    * so a free entry in an OLDER /Prev section — read after the newer ones —
+    * clobbers a newer section's live definition of a reused object number,
+    * and resolving it then errors the document (captured as an error row).
+    * The first-seen-wins guard applies only to [[addAddress]]/
+    * [[addStreamAddress]], exactly like the reference's Add. */
   def removeAddress(id: ObjectId): Unit =
     addresses(id) = new ObjAddress(-1, -1, -1)
 
@@ -829,6 +835,13 @@ final class PdfTokeniser(
     } else throw fileException(s"String format error, '(' or '<' expected as leading character, but was '${(b0 & 0xff).toChar}'.")
 
     val raw = sb.toString
+    // `objectId.get` throws for strings NESTED in dicts/arrays parsed after
+    // encryption setup — replicated AS-IS from the reference, whose nested
+    // tokens also carry no id and whose `objectId!.Value` throws the same
+    // way (Token.cs:269 + DictionaryToken/ArrayToken passing no id to
+    // children); the failure is captured as the document's error row.
+    // Top-level trailer dicts (/Info) are covered by the
+    // decrypt-strings-parsed-before-the-key-existed fix-up loop.
     val value =
       if (isStringNeedsDecryption) decryptString(objectId.get, raw)
       else raw

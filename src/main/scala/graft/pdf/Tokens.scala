@@ -43,9 +43,11 @@ sealed abstract class PdfTok {
       case None     => t.renderTo(sb)
     }
 
-  /** The reference emits a separating newline before a nested array/dict
-    * render unless the buffer already ends in one
-    * (reference: Token.cs:407,673, adapted from CRLF to "\n"). */
+  /** The reference's nested-render newline guard, replicated AS-IS: it
+    * appends a newline when the buffer is a single char or already ENDS in
+    * one (Token.cs:407,673 — the condition reads inverted, but the golden
+    * token strings re-encoded from the reference's own TokeniserTest pin
+    * this exact output; CRLF adapted to "\n"). */
   protected final def maybeNewline(sb: StringBuilder): Unit =
     if (sb.nonEmpty && !(sb.length > 1 && sb.charAt(sb.length - 2) != '\n' && sb.charAt(sb.length - 1) != '\n'))
       sb.append('\n')

@@ -24,19 +24,24 @@ import org.apache.spark.sql.functions._
   */
 object ExtractPipeline {
 
-  /** Pure per-row extraction — also usable outside Spark. `captureLines`
-    * adds each PDF span's 1-based source line (TextStore semantics) at the
-    * cost of one extra pass over the document bytes; off in the bulk path. */
+  /** Pure per-row extraction — also usable outside Spark; the ONE place
+    * payload routing and error capture live (the full-text and metrics-only
+    * paths both call it, so they cannot diverge). `captureLines` adds each
+    * PDF span's 1-based source line (TextStore semantics) at the cost of one
+    * extra pass over the document bytes; off in the bulk path.
+    * `captureText = false` skips the PDF path's full-document text copy and
+    * empties `text` (n_chars still reports the assembled length). */
   def extractOne(url: String, payload: Array[Byte], lang: String,
       delimiter: String, buffers: WorkBuffers,
-      captureLines: Boolean = false): ExtractedDoc = {
+      captureLines: Boolean = false, captureText: Boolean = true): ExtractedDoc = {
     val nBytes = if (payload == null) 0L else payload.length.toLong
     if (payload == null || payload.isEmpty) {
       ExtractedDoc(url, "empty", "", "", Nil, 0, 0, 1, "empty payload", lang, nBytes)
     } else if (PdfExtract.isPdf(payload)) {
       // fragments are a debugging surface; the bulk pipeline skips the copy
       val r = PdfExtract.extract(payload, contentDelimiter = delimiter,
-        buffers = buffers, captureFragments = false, captureLines = captureLines)
+        buffers = buffers, captureFragments = false, captureLines = captureLines,
+        captureText = captureText)
       ExtractedDoc(url, "pdf", r.text, "",
         r.spans.map(s => SpanRow(s.start, s.end, s.srcOffset, s.kind, s.srcLine)),
         r.pages, r.nChars, r.decodeFailures, r.error.getOrElse(""), lang, nBytes)
@@ -45,7 +50,7 @@ object ExtractPipeline {
         val html = Boilerplate.decode(payload)
         val r = Boilerplate.extract(html)
         val nls = if (captureLines) Boilerplate.newlinePositions(html) else null
-        ExtractedDoc(url, "html", r.text, r.title,
+        ExtractedDoc(url, "html", if (captureText) r.text else "", r.title,
           r.spans.map(s => SpanRow(s.start, s.end, s.srcOffset, s.kind,
             if (nls != null) Boilerplate.lineOf(nls, s.srcOffset) else -1)),
           1, r.text.length, 0, "", lang, nBytes)
@@ -89,21 +94,9 @@ object ExtractPipeline {
       .mapPartitions { it =>
         val buffers = new WorkBuffers()
         it.map { r =>
-          val nBytes = if (r.html == null) 0L else r.html.length.toLong
-          if (r.html == null || r.html.isEmpty)
-            ExtractMetricsRow(r.url, "empty", 0, 0, 1, r.lang, nBytes)
-          else if (PdfExtract.isPdf(r.html)) {
-            val d = PdfExtract.extract(r.html, contentDelimiter = delimiter,
-              buffers = buffers, captureFragments = false, captureText = false)
-            ExtractMetricsRow(r.url, "pdf", d.pages, d.nChars, d.decodeFailures, r.lang, nBytes)
-          } else {
-            try {
-              val d = Boilerplate.extract(Boilerplate.decode(r.html))
-              ExtractMetricsRow(r.url, "html", 1, d.text.length, 0, r.lang, nBytes)
-            } catch {
-              case _: Exception => ExtractMetricsRow(r.url, "html", 1, 0, 1, r.lang, nBytes)
-            }
-          }
+          // the SAME routing/error capture as run() — see extractOne
+          val d = extractOne(r.url, r.html, r.lang, delimiter, buffers, captureText = false)
+          ExtractMetricsRow(d.url, d.kind, d.pages, d.n_chars, d.decode_failures, d.lang, d.html_bytes)
         }
       }
   }
