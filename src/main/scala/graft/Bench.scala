@@ -64,9 +64,10 @@ object Bench {
     * the production shape; an in-memory cache is NOT used — it measured
     * BlockManager behavior instead of the pipeline). */
   private def corpusDir(spark: SparkSession, sfDir: String, repl: Int, textRep: Int): String = {
-    // cache key carries the generator version — a corpus cached by an older
-    // payload generator must never be reused
-    val dir = s"${sys.props("java.io.tmpdir")}/graft_bench_${Integer.toHexString(Seq(Corpus.GeneratorVersion, sfDir, repl, textRep).mkString("|").hashCode)}"
+    // cache key carries the generator version AND the digest of the
+    // generator's compiled classfiles — a corpus cached by an older payload
+    // generator must never be reused, even if the version bump was forgotten
+    val dir = s"${sys.props("java.io.tmpdir")}/graft_bench_${Integer.toHexString(Seq(Corpus.GeneratorVersion, Corpus.generatorFingerprint, sfDir, repl, textRep).mkString("|").hashCode)}"
     val marker = new java.io.File(s"$dir/_SUCCESS")
     if (!marker.exists()) {
       import spark.implicits._
@@ -267,6 +268,13 @@ object Bench {
       }
       def floorsConsistent: Boolean =
         math.max(scanLo, scanHi) / math.max(1e-3, math.min(scanLo, scanHi)) <= 2.0
+      // efficiency > 1 is physically impossible for this job (4x the cores
+      // cannot be less than 1x as fast per-core on shared hardware) — such a
+      // round measured a degraded lo tier (cold JIT/page cache, throttled VM
+      // phase), not the pipeline. 1.05 allows measurement noise.
+      //   (BENCH_r03 round 0 recorded an accepted eff 1.377 from exactly
+      //    this: its t_lo was 2.3 s vs ~0.95 s in every later round.)
+      def physicallyPossible: Boolean = eff <= 1.05
     }
     def measureTier(cores: Int): (Double, Double) = {
       preReadCorpus(dir)
@@ -282,13 +290,18 @@ object Bench {
     val maxAttempts = 6
     val accepted = scala.collection.mutable.ArrayBuffer.empty[Round]
     val rejected = scala.collection.mutable.ArrayBuffer.empty[Round]
+    // one full DISCARDED warm-up pair before any accepted round: the first
+    // lo-tier session of the process pays residual JIT/page-cache warm-up
+    // that the rejection predicates can't always see (it degrades both tiers
+    // proportionally often enough to pass the floor check)
+    measureTier(loCores); measureTier(cpus)
     var attempt = 0
     while (accepted.size < targetRounds && attempt < maxAttempts) {
       attempt += 1
       val (tLo, scanLo) = measureTier(loCores)
       val (tHi, scanHi) = measureTier(cpus)
       val r = Round(tLo, tHi, scanLo, scanHi)
-      if (r.floorsConsistent) accepted += r else rejected += r
+      if (r.floorsConsistent && r.physicallyPossible) accepted += r else rejected += r
     }
     val pool = if (accepted.nonEmpty) accepted.toSeq else rejected.toSeq
     val median = pool.sortBy(_.eff).apply(pool.size / 2)

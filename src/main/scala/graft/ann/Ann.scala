@@ -105,9 +105,10 @@ object Ann {
       .select(row_number().over(Window.orderBy(col("id"))).cast("long").as("id"),
         col("embedding"))
     var centroids = seed
+    var prevCache: DataFrame = null
     for (_ <- 1 to iters) {
       val assigned = assign(corpus, centroids)
-      centroids = assigned
+      val next = assigned
         .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy("cid", "pos")
         .agg(avg(col("v").cast("double")).as("m"))
@@ -115,7 +116,20 @@ object Ann {
         .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
         .select(col("id"),
           transform(col("pairs"), p => p.getField("m").cast("float")).as("embedding"))
+        // materialize each round (k rows — tiny): without the persist,
+        // round i's plan NESTS rounds 1..i-1, so a realistic quantizer
+        // build (iters 10-25) hands Catalyst an exponentially growing tree
+        // and re-executes every prior round per action. Same persist/release
+        // discipline as the CC loop (Dedup.connectedComponents).
+        .persist()
+      next.count()
+      if (prevCache != null) prevCache.unpersist()
+      prevCache = next
+      centroids = next
     }
+    // the final round's cache backs the returned frame; register it with the
+    // operator-cache lifecycle so Dedup.clearCaches() releases it
+    if (prevCache != null) graft.dedup.Dedup.registerCache(prevCache)
     centroids
   }
 

@@ -78,6 +78,13 @@ object Dedup {
 
   private val liveCaches = mutable.ArrayBuffer.empty[DataFrame]
 
+  /** Register an already-persisted frame with the operator-cache lifecycle so
+    * [[clearCaches]] releases it (used by the operators here and by
+    * `Ann.kmeansCentroids`, whose per-round centroid caches follow the same
+    * discipline). */
+  private[graft] def registerCache(df: DataFrame): Unit =
+    liveCaches.synchronized { liveCaches += df }
+
   /** Test hook: the currently-registered operator caches (see the cache
     * lifecycle note in the object doc). */
   private[graft] def liveCacheSnapshot: Seq[DataFrame] =
@@ -228,8 +235,12 @@ object Dedup {
     h
   }
 
-  /** (id, band, bucket) rows: LSH band keys of the MinHash signature. */
-  def minhashBands(docs: DataFrame, idCol: String, textCol: String, k: Int): DataFrame =
+  /** (id, band, bucket) rows: LSH band keys of the MinHash signature. Null
+    * text is dropped up front so BOTH branches agree: without the filter the
+    * k=3 native expression (nullSafeEval) silently emits no rows while the
+    * typed flatMap would NPE the task inside [[shingleHashes]]. */
+  def minhashBands(docs0: DataFrame, idCol: String, textCol: String, k: Int): DataFrame = {
+    val docs = docs0.where(col(textCol).isNotNull)
     if (k == DefaultShingleK) {
       // the default shingle size runs through the native codegen expression
       // (graft.functions.MinhashBandsExpr): scan → signature → posexplode,
@@ -254,6 +265,7 @@ object Dedup {
         }
         .toDF("id", "band", "bucket")
     }
+  }
 
   /** Candidate pairs from LSH buckets (distinct, a<b). Buckets with more
     * than `maxBucket` members are dropped first: a degenerate bucket (10^6
@@ -288,9 +300,16 @@ object Dedup {
     * (`StreamMinhash.batchParityPairs`). Uses the SAME hot-shingle cap as
     * [[ngramJaccardPairs]] so all paths agree on the (stop-shingle-free)
     * Jaccard value. */
+  /** Per-doc shingle-SET size above which [[verifyCandidatesExact]] falls
+    * back from the collect_set formulation to the narrow-row inverted-index
+    * one for pairs touching that doc: a 100k-shingle set materialized as one
+    * array row and duplicated across every candidate pair it appears in is a
+    * memory/skew hazard the row form does not have. */
+  final val MaxSetSize = 100000
+
   def verifyCandidatesExact(docs: DataFrame, idCol: String, textCol: String,
       candidates: DataFrame, k: Int = 3, threshold: Double = 0.8,
-      maxBucket: Int = MaxBucket): DataFrame = {
+      maxBucket: Int = MaxBucket, maxSetSize: Int = MaxSetSize): DataFrame = {
     // normalize the candidate set up front: orientation a<b, self-pairs
     // dropped, duplicates collapsed — the verify is documented as
     // idempotent (StreamMinhash feeds it a per-band stream where the same
@@ -319,13 +338,42 @@ object Dedup {
     // corpus can make candidates arbitrarily large — AQE picks broadcast
     // when the runtime size allows
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+    // the candidate-doc slice of the inverted index feeds every downstream
+    // branch (set build, size count, big-pair row join) — pin it once
+    val shCand = sh.join(candIds, Seq("id"), "left_semi").persist()
+    liveCaches.synchronized { liveCaches += shCand }
+    // OVERSIZED-DOC fallback: a doc whose (hot-capped) shingle set exceeds
+    // maxSetSize would be duplicated as one giant array row per candidate
+    // pair it appears in across both equi-join sides — correct but a
+    // memory/skew hazard at web scale. Pairs touching such a doc instead run
+    // through the narrow-row inverted-index formulation (same exact Jaccard,
+    // rows stay one-shingle wide). The split costs one small count job over
+    // the already-persisted slice; with no oversized docs (the common case)
+    // the plan is exactly the collect_set one.
+    val bigIds = shCand.groupBy("id").agg(count(lit(1)).as("n_sh"))
+      .where(col("n_sh") > maxSetSize)
+      .select(col("id"))
+    val nBig = bigIds.count()
+    if (nBig > 0)
+      org.slf4j.LoggerFactory.getLogger("graft.dedup")
+        .warn(s"verifyCandidatesExact: $nBig candidate doc(s) exceed maxSetSize=$maxSetSize shingles; " +
+          "their pairs verify via the narrow-row inverted-index path")
+    val (candSmall, candBig) =
+      if (nBig == 0) (cand, null)
+      else {
+        val flagged = cand
+          .join(bigIds.select(col("id").as("id_a"), lit(true).as("big_a")), Seq("id_a"), "left")
+          .join(bigIds.select(col("id").as("id_b"), lit(true).as("big_b")), Seq("id_b"), "left")
+        (flagged.where(col("big_a").isNull && col("big_b").isNull).select(col("id_a"), col("id_b")),
+          flagged.where(col("big_a").isNotNull || col("big_b").isNotNull).select(col("id_a"), col("id_b")))
+      }
     // persisted: shSets feeds BOTH pair-join sides — without the pin the
-    // semi-join + collect_set (the expensive stage) would run twice
-    val shSets = sh.join(candIds, Seq("id"), "left_semi")
+    // collect_set (the expensive stage) would run twice
+    val shSets = shCand
       .groupBy("id").agg(collect_set(col("sh")).as("shs"))
       .persist()
     liveCaches.synchronized { liveCaches += shSets }
-    cand
+    val smallPairs = candSmall
       .join(shSets.select(col("id").as("id_a"), col("shs").as("sa")), Seq("id_a"))
       .join(shSets.select(col("id").as("id_b"), col("shs").as("sb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
@@ -335,6 +383,25 @@ object Dedup {
       // thresholds: a pair must share at least one shingle to be emitted
       .where(col("i") > 0 && col("i") / (col("na") + col("nb") - col("i")) >= threshold)
       .select(col("id_a"), col("id_b"))
+    if (candBig == null) smallPairs
+    else {
+      // narrow-row path: shingle equi-join restricted to docs of big pairs,
+      // intersection via groupBy-count, |A∪B| from the per-doc counts —
+      // the ngramJaccardPairs shape, gated to the candidate set
+      val bigDocIds = candBig.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
+      val shBig = shCand.join(bigDocIds, Seq("id"), "left_semi")
+      val cntBig = shBig.groupBy("id").agg(count(lit(1)).as("n"))
+      val bigPairs = shBig.as("a").join(shBig.as("b"),
+          col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))
+        .groupBy(col("a.id").as("id_a"), col("b.id").as("id_b"))
+        .agg(count(lit(1)).as("i"))
+        .join(candBig, Seq("id_a", "id_b"), "left_semi")
+        .join(cntBig.select(col("id").as("id_a"), col("n").as("na")), Seq("id_a"))
+        .join(cntBig.select(col("id").as("id_b"), col("n").as("nb")), Seq("id_b"))
+        .where(col("i").cast("double") / (col("na") + col("nb") - col("i")) >= threshold)
+        .select(col("id_a"), col("id_b"))
+      smallPairs.union(bigPairs)
+    }
   }
 
   // ------------------------------------------------- decontamination
@@ -389,8 +456,14 @@ object Dedup {
     * each round is one shuffle join; rounds = graph diameter, which for
     * near-dup graphs is tiny). Returns (doc_id, cluster_rep = min id of the
     * component), one row per doc that appears in some pair. Keeping
-    * `cluster_rep` and dropping the rest is the dedup policy. */
-  def connectedComponents(pairs: DataFrame): DataFrame = {
+    * `cluster_rep` and dropping the rest is the dedup policy.
+    *
+    * Throws `IllegalStateException` if the labels have not converged within
+    * `maxRounds` propagation rounds (graph diameter exceeds the bound): a
+    * silently-partial clustering is the worst failure mode — a 50+-diameter
+    * component is implausible for near-dup graphs, so hitting the bound means
+    * either pathological input or a bug, and both must surface. */
+  def connectedComponents(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     // symmetrize in ONE scan of `pairs` (explode of the two directions):
     // a unionAll of two selects over the same subtree computes the whole
     // upstream pair pipeline TWICE at materialization — no CSE across
@@ -400,9 +473,20 @@ object Dedup {
         struct(col("id_b").as("u"), col("id_a").as("v")))).as("e"))
       .select(col("e.u").as("u"), col("e.v").as("v"))
       .persist()
+    // Each round's labels are localCheckpoint'ed (eager), which BOTH caches
+    // them and TRUNCATES the logical lineage. The truncation is not optional:
+    // `next` references `labels` twice (the neighbor join and the left join),
+    // so with persist() alone the analyzed plan DOUBLES per round — 2^r nodes
+    // by round r; analysis/explain cost explodes around round ~15, far below
+    // the 50-round bound (found by this round's long-chain convergence test:
+    // a 12-round graph OOM'd an 8 GB driver in plan rendering). With the
+    // lineage cut every round plans against a constant-size LogicalRDD.
+    // At cluster scale note localCheckpoint trades fault-tolerance for speed
+    // (blocks die with an executor); a 10^12-row run would point
+    // spark.checkpoint.dir at reliable storage and use checkpoint() instead.
     var labels = edges.select(col("u").as("id")).distinct()
       .withColumn("label", col("id"))
-      .persist()
+      .localCheckpoint()
     // convergence detection: labels are non-negative and MONOTONICALLY
     // non-increasing (least of own and neighbors' min), so the label SUM
     // strictly decreases iff any label changed — one cheap aggregate on the
@@ -411,7 +495,7 @@ object Dedup {
     var prevSum = Long.MinValue
     var changed = true
     var rounds = 0
-    while (changed && rounds < 50) {
+    while (changed && rounds < maxRounds) {
       val viaNeighbors = edges
         .join(labels.withColumnRenamed("id", "v").withColumnRenamed("label", "nlabel"), Seq("v"))
         .groupBy(col("u").as("id"))
@@ -424,19 +508,27 @@ object Dedup {
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("label"), coalesce(col("minNeighbor"), col("label"))).as("label"))
-        .persist()
+        .localCheckpoint() // eager: materialize + cut lineage (see above)
       val s = next.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
       changed = s != prevSum
       prevSum = s
-      labels.unpersist()
+      // previous rounds' checkpoint blocks are released by the
+      // ContextCleaner once the old frame is unreachable (label frames are
+      // one narrow row per distinct doc — tiny next to the edge set)
       labels = next
       rounds += 1
     }
     edges.unpersist()
-    // the converged labels stay persisted for the caller (they back the
-    // returned frame); register them so clearCaches() releases the round's
-    // last cache too
-    liveCaches.synchronized { liveCaches += labels }
+    if (changed) {
+      // fail LOUDLY: returning the current labels would be a silent wrong
+      // answer (docs of one component split across clusters)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge within $maxRounds rounds — " +
+          "graph diameter exceeds the bound; raise maxRounds (near-dup graphs " +
+          "are cliquey with diameter 2-3, so this usually means pathological input)")
+    }
+    // the converged labels are already materialized checkpoint blocks backing
+    // the returned frame; the ContextCleaner reclaims them when unreachable
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
 

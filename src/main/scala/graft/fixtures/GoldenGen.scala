@@ -11,7 +11,9 @@ import scala.collection.mutable
   * (reference: PdfParserTest/PdfParserTest.cs:68-89 — object-append +
   * classic-xref writer; XRefUpdater/SampleToPdf.cs:23-59 — named objects with
   * auto-computed /Length) but generalised: FlateDecode streams, xref streams
-  * (W [1 3 1], optional Predictor-12), compressed object streams, RC4
+  * (the hand-packed [[xrefStreamPdf]] fixture uses W [1 3 1]; the generalized
+  * [[finishXrefStream]] builder uses W [1 3 2] — 2-byte ObjStm member index —
+  * both with optional Predictor-12), compressed object streams, RC4
   * encryption, malformed-file variants, and seeded multi-page documents for
   * the bench corpus. No external data; everything derives from the seed.
   */

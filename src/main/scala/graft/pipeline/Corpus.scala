@@ -28,8 +28,36 @@ object Corpus {
 
   /** Bump on ANY change to payload generation: cached synthesized corpora
     * (graft.Bench's on-disk table) key on this, so a stale cache can never
-    * be mistaken for the current generator's output. */
-  val GeneratorVersion = "r3b"
+    * be mistaken for the current generator's output. Belt-and-braces with
+    * [[generatorFingerprint]], which catches a forgotten bump. */
+  val GeneratorVersion = "r4a"
+
+  /** SHA-256 digest of the input byte streams, hex. */
+  private[graft] def digestOf(parts: Iterator[Array[Byte]]): String = {
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    parts.foreach(md.update)
+    md.digest().map(b => f"${b & 0xff}%02x").mkString
+  }
+
+  /** Fingerprint of the payload generator's COMPILED CODE: SHA-256 over the
+    * classfiles of every class payload generation flows through. A byte-level
+    * generator change therefore misses the corpus cache even when
+    * [[GeneratorVersion]] was not bumped (a stale cached corpus silently
+    * served under a fresh generator was the failure mode — round-3 VERDICT
+    * finding 4). Lambdas/inner methods of these objects compile into the same
+    * classfiles (Scala 2.13 uses invokedynamic), so edits inside them change
+    * the digest too. */
+  lazy val generatorFingerprint: String = {
+    val classes: Seq[Class[_]] = Seq(
+      Corpus.getClass, GoldenGen.getClass, PdfCrypto.getClass,
+      graft.pdf.ExtraFilters.getClass)
+    digestOf(classes.iterator.map { c =>
+      val res = "/" + c.getName.replace('.', '/') + ".class"
+      val in = c.getResourceAsStream(res)
+      require(in != null, s"classfile resource $res not found")
+      try in.readAllBytes() finally in.close()
+    }).take(16)
+  }
 
   /** PDF payload whose extraction (with contentDelimiter="") equals `text`
     * byte-for-byte: the text is sliced into 64-char chunks (8 chunks per

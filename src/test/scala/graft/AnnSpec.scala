@@ -54,6 +54,23 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.5, s"recall $recall") // 4/8 cells probed on clustered data
   }
 
+  test("kmeansCentroids: plan depth is constant in iters (per-round persist, no nested lineage)") {
+    // each Lloyd round is materialized and cached, so the frame returned for
+    // iters=5 must not nest the plans of rounds 1-4 — pre-fix the optimized
+    // plan grew (roughly exponentially) with iters and re-executed every
+    // prior round per action
+    def planSize(iters: Int): Int = {
+      val c = Ann.kmeansCentroids(emb, k = 4, iters = iters)
+      c.count() // materialize so the cache substitutes into the plan
+      val n = c.queryExecution.optimizedPlan.collect { case p => p }.size
+      n
+    }
+    val n1 = planSize(1)
+    val n5 = planSize(5)
+    graft.dedup.Dedup.clearCaches() // each build registers its final cache
+    assert(n5 == n1, s"plan grew with iters: $n1 nodes at iters=1 vs $n5 at iters=5")
+  }
+
   test("cosineDupPairsIvf finds planted duplicates only") {
     val withCopies = emb.unionAll(
       emb.where(col("id") < 5).select((col("id") + 9000L).as("id"), col("embedding")))

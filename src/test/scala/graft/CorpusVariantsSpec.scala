@@ -164,8 +164,20 @@ class CorpusVariantsSpec extends AnyFunSuite {
     assert(errorRows > 0, "mutations never produced an error row — fuzz too weak")
   }
 
-  test("variant spread: even doc_ids cycle through all 8 builders") {
-    assert((0L until 16L by 2).map(Corpus.pdfVariant).toSet == (0 until 8).toSet)
+  test("variant spread: even doc_ids cycle through all builders") {
+    val n = Corpus.NumPdfVariants
+    assert((0L until 2L * n by 2).map(Corpus.pdfVariant).toSet == (0 until n).toSet)
+  }
+
+  test("generatorFingerprint: deterministic, classfile-derived; digestOf separates byte changes") {
+    val f1 = Corpus.generatorFingerprint
+    assert(f1.length == 16 && f1.matches("[0-9a-f]+"), s"fingerprint: $f1")
+    assert(f1 == Corpus.generatorFingerprint) // stable across calls
+    // the underlying digest is byte-sensitive: any classfile change moves it
+    assert(Corpus.digestOf(Iterator(Array[Byte](1, 2, 3))) !=
+      Corpus.digestOf(Iterator(Array[Byte](1, 2, 4))))
+    assert(Corpus.digestOf(Iterator(Array[Byte](1), Array[Byte](2))) ==
+      Corpus.digestOf(Iterator(Array[Byte](1, 2)))) // stream-order digest, chunking-invariant
   }
 
   test("variant 6: the original section alone yields the stale page (the update is live)") {

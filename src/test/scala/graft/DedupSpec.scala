@@ -155,6 +155,60 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       "clearCaches() must unpersist every registered cache")
   }
 
+  test("connectedComponents fails loudly when the diameter exceeds maxRounds") {
+    import spark.implicits._
+    // a 12-node chain has diameter 11: min-label propagation needs 11 rounds
+    // plus one confirming round, so maxRounds = 3 cannot converge
+    val chain = (1L to 11L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxRounds = 3).count()
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with the default bound the same chain converges to one component
+    val labels = Dedup.connectedComponents(chain).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(labels.values.toSet === Set(1L), s"got $labels")
+    assert(labels.keySet === (1L to 12L).toSet)
+    Dedup.clearCaches()
+  }
+
+  test("minhashBands: k=3 (native expr) and k!=3 (typed flatMap) agree on null text") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, null.asInstanceOf[String]),
+      (3L, "alpha beta gamma delta epsilon zeta"))
+      .toDF("doc_id", "text")
+    val ids3 = Dedup.minhashBands(docs, "doc_id", "text", k = 3)
+      .select("id").distinct().as[Long].collect().toSet
+    val ids4 = Dedup.minhashBands(docs, "doc_id", "text", k = 4)
+      .select("id").distinct().as[Long].collect().toSet
+    assert(ids3 === Set(1L, 3L))
+    assert(ids4 === Set(1L, 3L)) // pre-fix this path NPE'd the task
+  }
+
+  test("verifyCandidatesExact: the oversized-doc fallback path is result-identical") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "zebra quagga okapi tapir bongo eland kudu nyala oryx addax saiga ibex markhor urial addra"),
+      (2L, "zebra quagga okapi tapir bongo eland kudu nyala oryx addax saiga ibex markhor urial gerenuk"),
+      (3L, "short doc with its own words"),
+      (4L, "short doc with its own words too"))
+      .toDF("doc_id", "text")
+    val cand = Seq((1L, 2L), (3L, 4L), (1L, 3L)).toDF("id_a", "id_b")
+    val expected = Dedup.verifyCandidatesExact(docs, "doc_id", "text", cand, k = 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    Dedup.clearCaches()
+    // maxSetSize = 5: docs 1/2 (13 shingles) count as oversized and verify
+    // via the narrow-row path; docs 3/4 stay on the collect_set path
+    val viaFallback = Dedup.verifyCandidatesExact(docs, "doc_id", "text", cand,
+        k = 3, threshold = 0.5, maxSetSize = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaFallback === expected, s"fallback $viaFallback vs direct $expected")
+    assert(expected.contains((1L, 2L)) && expected.contains((3L, 4L)))
+    Dedup.clearCaches()
+  }
+
   test("cosineDupPairsIvf is a cell-local equi-join: finds planted dups, no BroadcastNestedLoopJoin") {
     import spark.implicits._
     val rnd = new java.util.Random(42)
