@@ -324,8 +324,8 @@ object Bench {
       val words = Array("key", "agg", "row", "scan", "slow", "fast", "table", "value", "part", "hash")
       Array.tabulate(30000) { i =>
         val t = Array.fill(300 + rnd.nextInt(200))(words(rnd.nextInt(words.length))).mkString(" ")
-        // even i -> PDF routed through all 8 corpus variants (encryption,
-        // xref streams, encoded fonts included), odd i -> HTML
+        // even i -> PDF routed through all 9 corpus variants (encryption,
+        // xref streams, encoded fonts, linearized included), odd i -> HTML
         if (i % 2 == 0) (true, Corpus.pdfForDoc(i.toLong, t)) else (false, Corpus.htmlFromText(t, i))
       }
     }

@@ -282,6 +282,48 @@ object SparkEntry {
         }.toDF("doc_id", "text", "failures")
         .orderBy("doc_id")
     }),
+    "pdf_extract_extended_aes" -> ((s, dir) => {
+      // REAL AES-128-CBC decryption (V4/R4 AESV2 crypt filter) under the
+      // opt-in extended mode — the one beyond-reference PDF capability that
+      // previously had only fixture tests; same chunk contract as variant 0,
+      // so the oracle is the raw text (reference throw surface for V>2:
+      // Tokeniser.cs:635-645 — default mode replicates it, unit-tested)
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .filter(_._1 % 2 == 0)
+        .mapPartitions { it =>
+          val buffers = new graft.pdf.WorkBuffers()
+          it.map { case (id, t) =>
+            val r = graft.pdf.PdfExtract.extract(Corpus.pdfAesForDoc(id, t),
+              contentDelimiter = "", buffers = buffers, captureFragments = false,
+              extendedFilters = true)
+            (id, r.text, r.decodeFailures.toLong)
+          }
+        }.toDF("doc_id", "text", "failures")
+        .orderBy("doc_id")
+    }),
+    "pdf_owner_password_error" -> ((s, dir) => {
+      // owner-password-only documents: user auth fails with the empty
+      // password, the reader reaches the reference's unimplemented
+      // owner-authentication path (NotImplementedException,
+      // Tokeniser.cs:810-840) — replicated as a STRUCTURED error row whose
+      // exact shape (message, failure count, empty text, zero pages) the
+      // oracle asserts verbatim
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .filter(_._1 % 2 == 0)
+        .mapPartitions { it =>
+          val buffers = new graft.pdf.WorkBuffers()
+          it.map { case (id, t) =>
+            val r = graft.pdf.PdfExtract.extract(Corpus.pdfOwnerOnlyFromText(t),
+              contentDelimiter = "", buffers = buffers, captureFragments = false)
+            (id, r.error.getOrElse(""), r.decodeFailures.toLong, r.text, r.pages.toLong)
+          }
+        }.toDF("doc_id", "error", "failures", "text", "n_pages")
+        .orderBy("doc_id")
+    }),
     "sql_pdf_extract" -> ((s, dir) => {
       // SQL surface: the whole parse stack as a scalar Catalyst expression
       graft.functions.GraftFunctions.register(s)
@@ -391,16 +433,19 @@ object SparkEntry {
 
   /** DuckDB mirror of [[graft.pipeline.Corpus.pdfExpectedText]]: given list
     * column `ch` of shown chunks (64-char slices, each already carrying the
-    * content delimiter) and variant column `v` = (doc_id//2)%8, the expected
+    * content delimiter) and variant column `v` = (doc_id//2)%9, the expected
     * extraction. Variant 1 (Td/TD/T* before every chunk but the first)
-    * joins all chunks with newline; variant 5 (per-chunk Tm, per-content
-    * newline state) joins within each 8-chunk page only; every other
-    * variant concatenates — they vary the FILE layout (encryption, xref
-    * stream + ObjStm, /Prev chain, malformed tolerances, encoded fonts),
-    * not the operator stream. */
+    * joins all chunks with newline; variant 2 (encoded font) writes the
+    * ligature marker 'e' as a CID whose ToUnicode bfchar target <00660066>
+    * the engine packs to ﬀ = chr(64256) (reference: Tokeniser.cs:2616-2644);
+    * variant 5 (per-chunk Tm, per-content newline state) joins within each
+    * 8-chunk page only; every other variant concatenates — they vary the
+    * FILE layout (encryption, xref stream + ObjStm, /Prev chain, malformed
+    * tolerances, linearized front-xref), not the operator stream. */
   private val pdfExpectedSql: String =
     """CASE
          WHEN v = 1 THEN array_to_string(ch, chr(10))
+         WHEN v = 2 THEN replace(array_to_string(ch, ''), 'e', chr(64256))
          WHEN v = 5 THEN array_to_string(list_transform(
              generate_series(1, CAST(ceil(len(ch) / 8.0) AS BIGINT)),
              p -> array_to_string(ch[(p-1)*8+1 : p*8], chr(10))), '')
@@ -413,22 +458,22 @@ object SparkEntry {
   private val pdfExtraCharsSql: String =
     // greatest(..., 0): an empty text has 0 chunks, and chunks-1 must not
     // go negative (the Scala twin yields "" there)
-    """CASE WHEN doc_id % 2 = 0 AND (doc_id // 2) % 8 = 1
+    """CASE WHEN doc_id % 2 = 0 AND (doc_id // 2) % 9 = 1
              THEN greatest((length(text) + 63) // 64 - 1, 0)
-           WHEN doc_id % 2 = 0 AND (doc_id // 2) % 8 = 5
+           WHEN doc_id % 2 = 0 AND (doc_id // 2) % 9 = 5
              THEN (length(text) + 63) // 64 - ((length(text) + 63) // 64 + 7) // 8
            ELSE 0 END"""
 
   def oracleSql: Map[String, String] = Map(
     "pdf_extract_roundtrip" ->
-      s"""WITH d AS (SELECT doc_id, text, (doc_id // 2) % 8 AS v,
+      s"""WITH d AS (SELECT doc_id, text, (doc_id // 2) % 9 AS v,
                             regexp_extract_all(text, '.{1,64}') AS ch
                      FROM documents WHERE doc_id % 2 = 0)
           SELECT doc_id, $pdfExpectedSql AS text FROM d ORDER BY doc_id""",
     "html_extract_roundtrip" ->
       "SELECT doc_id, 'doc ' || doc_id AS title, text FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id",
     "pdf_extract_delim_roundtrip" ->
-      s"""WITH d AS (SELECT doc_id, text, (doc_id // 2) % 8 AS v,
+      s"""WITH d AS (SELECT doc_id, text, (doc_id // 2) % 9 AS v,
                             list_transform(regexp_extract_all(text, '.{1,64}'), c -> c || '|') AS ch
                      FROM documents WHERE doc_id % 2 = 0)
           SELECT doc_id, $pdfExpectedSql AS text FROM d ORDER BY doc_id""",
@@ -456,7 +501,7 @@ object SparkEntry {
     // depending on its chunk remainder; every other variant has one
     // content per page.
     "extract_pipeline_mixed" ->
-      s"""WITH d AS (SELECT doc_id, text, lang, (doc_id // 2) % 8 AS v,
+      s"""WITH d AS (SELECT doc_id, text, lang, (doc_id // 2) % 9 AS v,
                 (length(text) + 63) // 64 AS chunks,
                 ((length(text) + 63) // 64 + 7) // 8 AS pages
               FROM documents)
@@ -643,8 +688,8 @@ object SparkEntry {
     // file key derives from it), every other variant's is the 32-digit
     // zero-padded hex of the text length
     "pdf_metadata" ->
-      """WITH d AS (SELECT doc_id, text, (doc_id // 2) % 8 AS v,
-              CASE WHEN (doc_id // 2) % 8 = 3 THEN '0123456789abcdef0123456789abcdef'
+      """WITH d AS (SELECT doc_id, text, (doc_id // 2) % 9 AS v,
+              CASE WHEN (doc_id // 2) % 9 = 3 THEN '0123456789abcdef0123456789abcdef'
                    ELSE printf('%032x', length(text)) END AS h
             FROM documents WHERE doc_id % 2 = 0)
          SELECT doc_id,
@@ -655,7 +700,7 @@ object SparkEntry {
          '"<' || h || '>"; "<' || h || '>"; ' AS document_id
          FROM d ORDER BY doc_id""",
     "sql_pdf_extract" ->
-      s"""WITH d AS (SELECT doc_id, text, (doc_id // 2) % 8 AS v,
+      s"""WITH d AS (SELECT doc_id, text, (doc_id // 2) % 9 AS v,
                             regexp_extract_all(text, '.{1,64}') AS ch
                      FROM documents)
           SELECT doc_id,
@@ -664,6 +709,14 @@ object SparkEntry {
           FROM d ORDER BY doc_id""",
     "pdf_extract_extended" ->
       """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
+         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "pdf_extract_extended_aes" ->
+      """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
+         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "pdf_owner_password_error" ->
+      """SELECT doc_id,
+           'UnsupportedOperationException: owner-password authentication is not implemented' AS error,
+           CAST(1 AS BIGINT) AS failures, '' AS text, CAST(0 AS BIGINT) AS n_pages
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     // mirrors Urls.canonicalUrl step by step (all regexes RE2-safe)
     "url_canonical" ->

@@ -150,21 +150,24 @@ object Corpus {
 
   // ------------------------------------------------------------------
   // PDF file-layout / operator variants. Even doc_ids are PDFs; each PDF
-  // doc is routed by (doc_id/2) % 8 to one of eight deterministic builders
+  // doc is routed by (doc_id/2) % 9 to one of nine deterministic builders
   // so the driver's DuckDB gate — not just unit fixtures — exercises the
   // hard fidelity surface: Td/TD/T* and Tm newline semantics
   // (reference: PdfContent.cs:144-163), /Differences + ToUnicode font
-  // decode (PdfFont.cs:62-99), RC4 string+stream decryption
+  // decode incl. ligature CMap packing (PdfFont.cs:62-99,
+  // Tokeniser.cs:2616-2644), RC4 string+stream decryption
   // (Tokeniser.cs:627-690), xref streams + object streams + PNG-Up
   // predictor (Tokeniser.cs:285-400), incremental-update /Prev chains
-  // (Tokeniser.cs:404-491), and the malformed-file tolerances
-  // (junk prefix / wrong /Length / CR-only EOL / trailing NULs).
+  // (Tokeniser.cs:404-491), the malformed-file tolerances
+  // (junk prefix / wrong /Length / CR-only EOL / trailing NULs), and the
+  // linearized-file xref fallback (EOF mark missing → forward scan from
+  // the /Linearized first object, Tokeniser.cs:262-326).
   // Every variant's expected extraction is a pure SQL expression over
   // `documents.text` — see [[pdfExpectedText]] and the oracle in
   // SparkEntry.
   // ------------------------------------------------------------------
 
-  val NumPdfVariants = 8
+  val NumPdfVariants = 9
 
   def pdfVariant(docId: Long): Int = ((docId / 2) % NumPdfVariants).toInt
 
@@ -176,7 +179,8 @@ object Corpus {
     case 4 => pdfXrefStreamFromText(text)
     case 5 => pdfTmFromText(text)
     case 6 => pdfIncrementalFromText(text)
-    case _ => pdfMalformedFromText(text)
+    case 7 => pdfMalformedFromText(text)
+    case _ => pdfLinearizedFromText(text)
   }
 
   /** Scala twin of the DuckDB oracle: the reference-semantics extraction of
@@ -195,6 +199,10 @@ object Corpus {
     val shown = text.grouped(64).map(_ + delimiter).toIndexedSeq
     pdfVariant(docId) match {
       case 1 => shown.mkString("\n")
+      // variant 2 writes LigatureMarker as a CID whose ToUnicode bfchar
+      // destination is <00660066> — the reference PACKS multi-code targets
+      // back to the single ligature codepoint (ﬀ, Tokeniser.cs:2616-2644)
+      case 2 => shown.mkString.replace(LigatureMarker, 'ﬀ')
       case 5 => shown.grouped(8).map(_.mkString("\n")).mkString
       case _ => shown.mkString
     }
@@ -232,12 +240,22 @@ object Corpus {
     finishClassic(b, contentIds, text)
   }
 
+  /** The source character variant 2 writes as CID 0x01, whose ToUnicode
+    * bfchar destination <00660066> ("ff" in UTF-16 codes) the reference
+    * PACKS to the single ligature ﬀ (U+FB00) — so the expected extraction
+    * replaces every LigatureMarker with ﬀ (1 char → 1 char; all length
+    * oracles unchanged). 'e' because it is the most frequent English letter:
+    * essentially every gate document exercises the packing. */
+  final val LigatureMarker = 'e'
+
   /** Variant 2: encoded-font decode. The written bytes are ROT13-scrambled
-    * for ASCII letters; a Type1 font recovers the original text through the
-    * /Differences overlay (uppercase codes → rot13 glyph names) and a
-    * ToUnicode CMap (lowercase bfranges + bfchar fixes for the Standard
-    * table's 0x27→quoteright and 0x60→quoteleft quirks). A decode bug in
-    * any of S16-S18 breaks byte identity. */
+    * for ASCII letters — except [[LigatureMarker]], written as CID 0x01; a
+    * Type1 font recovers the text through the /Differences overlay
+    * (uppercase codes → rot13 glyph names) and a ToUnicode CMap (lowercase
+    * bfranges + bfchar fixes for the Standard table's 0x27→quoteright and
+    * 0x60→quoteleft quirks + the <01>→<00660066> ligature bfchar, which the
+    * reference packs to ﬀ — Tokeniser.cs:2616-2644). A decode bug in any of
+    * S16-S18 breaks byte identity. */
   def pdfEncodedFontFromText(text: String): Array[Byte] = {
     val b = new GoldenGen.PdfBuilder()
     val cmap =
@@ -250,7 +268,8 @@ object Corpus {
         |1 begincodespacerange
         |<00> <FF>
         |endcodespacerange
-        |2 beginbfchar
+        |3 beginbfchar
+        |<01> <00660066>
         |<27> <0027>
         |<60> <0060>
         |endbfchar
@@ -282,7 +301,7 @@ object Corpus {
       ops.append("ET")
       b.addStream("", ops.toString.getBytes(ISO_8859_1), deflate = true)
     }
-    val pageContents = rot13(text).grouped(64).toIndexedSeq.grouped(8).map { pageChunks =>
+    val pageContents = encodeV2(text).grouped(64).toIndexedSeq.grouped(8).map { pageChunks =>
       if (pageChunks.length > 4) Seq(contentOf(pageChunks.take(4)), contentOf(pageChunks.drop(4)))
       else Seq(contentOf(pageChunks))
     }.toSeq
@@ -291,7 +310,10 @@ object Corpus {
         metadataId = mid))
   }
 
-  private def rot13(s: String): String = s.map {
+  /** Variant 2's written form: ROT13 for letters, CID 0x01 for the ligature
+    * marker (1:1 in chars, so chunk boundaries stay aligned to the source). */
+  private def encodeV2(s: String): String = s.map {
+    case LigatureMarker => '\u0001'
     case c if c >= 'a' && c <= 'z' => ('a' + (c - 'a' + 13) % 26).toChar
     case c if c >= 'A' && c <= 'Z' => ('A' + (c - 'A' + 13) % 26).toChar
     case c => c
@@ -419,12 +441,131 @@ object Corpus {
     val junk = "q 119.06 0 0 48.93 51.02 41.78 cm /I1 Do Q\nBT 231.57 45.49 Td (stray preamble) Tj ET\n"
     val b = new GoldenGen.PdfBuilder(prefix = junk)
     val contentIds = rotatingOpsPerPage(text).zipWithIndex.map { case (ops, i) =>
-      // first content: broken /Length + CR-only EOL (rescan path); rest clean
+      // first content: broken /Length + CR-only EOL (rescan path); rest
+      // clean. The override must be 2, NOT a value that can land the cut
+      // inside text bytes: the wrong-length check runs skipWhiteSpace()
+      // before looking for `endstream`, and PDF whitespace skipping eats
+      // %-comments (reference: Tokeniser.cs:1538-1560 — replicated), so a
+      // '%' in the text right after the cut would comment-skip the rest of
+      // the line, "validate" the wrong length and truncate the content (in
+      // BOTH engines — faithful, but unusable in a byte-identity corpus).
+      // Offset 2 always lands on the ' ' of the fixed "BT (" prefix, where
+      // the next byte is '(' and the rescan is guaranteed to engage.
       b.addStream("", ops.getBytes(ISO_8859_1),
-        lengthOverride = if (i == 0) 5 else -1, crOnlyEol = i == 0)
+        lengthOverride = if (i == 0) 2 else -1, crOnlyEol = i == 0)
     }
     finishClassicWith(b, text, trailingNuls = 7)(mid =>
       GoldenGen.catalogFor(b, contentIds, metadataId = mid))
+  }
+
+  /** Variant 8: LINEARIZED layout found by the xref FALLBACK. The file's
+    * first object is a /Linearized dictionary and the classic xref table for
+    * ALL objects sits right after it (the real linearized shape: first-page
+    * xref at the front); the file ends after the last object with NO
+    * startxref/%%EOF tail, so the EOF backscan fails and the reader must
+    * take the forward-scan fallback from the linearization dictionary
+    * (reference: Tokeniser.cs:262-326). Operator stream = variant 0's, so
+    * expected extraction is plain concatenation.
+    *
+    * Built in three passes because the front table carries offsets of
+    * objects written after it: pass A (no table) learns the object count and
+    * the catalog/info ids; pass B (zero offsets) learns the real offsets —
+    * the table's byte size depends only on the object count, rows being
+    * fixed-width 20-byte entries; pass C writes the real offsets. */
+  def pdfLinearizedFromText(text: String): Array[Byte] = {
+    def build(spec: Option[(Int, Int, Int, Int => Int)]): (GoldenGen.PdfBuilder, Int, Int) = {
+      val b = new GoldenGen.PdfBuilder()
+      val lin = b.addObject("<</Linearized 1/L 0/O 2/T 0>>")
+      require(lin == 1, s"linearization dict must be object 1, got $lin")
+      spec.foreach { case (n, catalogId, infoId, off) =>
+        b.raw("xref\n")
+        b.raw(s"0 ${n + 1}\n")
+        b.raw("0000000000 65535 f \n")
+        (1 to n).foreach(i => b.raw(f"${off(i)}%010d 00000 n \n"))
+        b.raw(s"trailer<</Size ${n + 1}/Root $catalogId 0 R/Info $infoId 0 R" +
+          s"/ID[<${docIdHex(text)}><${docIdHex(text)}>]>>\n")
+      }
+      val contentIds = rotatingShowContents(b, text)
+      val metaId = addMetadata(b, text)
+      val catalog = GoldenGen.catalogFor(b, contentIds, metadataId = Some(metaId))
+      val info = b.addObject(infoContent(text))
+      (b, catalog, info)
+    }
+    val (bA, catA, infoA) = build(None)
+    val n = bA.nextObjectNumber - 1
+    val (bB, catB, infoB) = build(Some((n, catA, infoA, _ => 0)))
+    require(bB.nextObjectNumber - 1 == n && catB == catA && infoB == infoA,
+      "pass B diverged from pass A")
+    val (bC, catC, _) = build(Some((n, catB, infoB, bB.objectOffset)))
+    require(catC == catB, "pass C diverged from pass B")
+    (1 to n).foreach(i => require(bC.objectOffset(i) == bB.objectOffset(i),
+      s"offset of object $i unstable between passes"))
+    bC.currentBytes // no startxref / %%EOF: forces the linearized fallback
+  }
+
+  private def hexOf(bs: Array[Byte]): String = bs.map(x => f"${x & 0xff}%02x").mkString
+
+  // Deterministic AESV2 (V4/R4) document key, empty passwords — extended
+  // mode only (the reference throws on V 4: Tokeniser.cs:635-645).
+  private val AesDocIdHex = "fedcba9876543210fedcba9876543210"
+  private lazy val aesOKeyU: (Array[Byte], Array[Byte], Array[Byte]) = {
+    val docId = AesDocIdHex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    val o = PdfCrypto.computeOwnerO("", "", 16)
+    val key = PdfCrypto.computeEncryptionKey(PdfCrypto.pad(""), o, EncPermission, docId, 16)
+    val u = PdfCrypto.computeEncryptU(PdfCrypto.pad(""), docId, key)
+    (o, key, u)
+  }
+
+  /** AES corpus (gate for the beyond-reference AESV2 capability): variant
+    * 0's chunk/page contract with every content stream AES-128-CBC-encrypted
+    * under the V4/R4 AESV2 crypt filter (deterministic per-object IVs). No
+    * /Info and no /Metadata: /StrF//StmF make every string/stream encrypted,
+    * and the gate wants the cipher path, not hex-string escaping games.
+    * Expected extraction under `extendedFilters = true` is plain `text`;
+    * default mode replicates the reference's throw surface (error row). */
+  def pdfAesForDoc(docId: Long, text: String): Array[Byte] = {
+    val (o, key, u) = aesOKeyU
+    val b = new GoldenGen.PdfBuilder()
+    val contentIds = rotatingOpsPerPage(text).map { ops =>
+      val id = b.registerObject()
+      val iv = Array.tabulate[Byte](16)(i =>
+        ((docId * 131 + id * 31 + i * 7 + text.length) & 0xff).toByte)
+      val payload = PdfCrypto.aesEncrypt(
+        PdfCrypto.objectKeyAes(key, ObjectId(id, 0)), iv, ops.getBytes(ISO_8859_1))
+      b.raw(s"$id 0 obj\n<</Length ${payload.length}>>stream\n")
+      b.raw(payload)
+      b.raw("\nendstream\nendobj\n")
+      id
+    }
+    val catalog = GoldenGen.catalogFor(b, contentIds)
+    val encId = b.addObject(
+      s"<</Filter/Standard/V 4/R 4/P $EncPermission/Length 128" +
+        "/CF<</StdCF<</CFM/AESV2/AuthEvent/DocOpen/Length 16>>>>" +
+        "/StmF/StdCF/StrF/StdCF" +
+        s"/O <${hexOf(o)}>/U <${hexOf(u)}>>>")
+    b.finish(s"/Root $catalog 0 R/Encrypt $encId 0 R/ID[<$AesDocIdHex><$AesDocIdHex>]")
+  }
+
+  /** Owner-password-only document: /U derives from a NON-empty user password
+    * ("graftuser"), so opening with the empty password fails user
+    * authentication and the reader reaches the reference's UNIMPLEMENTED
+    * owner-password path (NotImplementedException, Tokeniser.cs:810-840) —
+    * replicated as `UnsupportedOperationException`, surfaced by the pipeline
+    * as a structured error row the gate oracles verbatim. Content streams
+    * are genuinely encrypted, so a future owner-auth implementation flips
+    * the gate (a conscious behavior change, not a silent one). */
+  def pdfOwnerOnlyFromText(text: String): Array[Byte] = {
+    val docId = EncDocIdHex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    val ownerHash = PdfCrypto.md5(PdfCrypto.pad("graftowner"))
+    val o = PdfCrypto.rc4(java.util.Arrays.copyOf(ownerHash, 5), PdfCrypto.pad("graftuser"))
+    val key = PdfCrypto.computeEncryptionKey(PdfCrypto.pad("graftuser"), o, EncPermission, docId, 5)
+    val u = PdfCrypto.computeEncryptU(PdfCrypto.pad("graftuser"), docId, key)
+    val b = new GoldenGen.PdfBuilder()
+    val contentIds = rotatingShowContents(b, text, encryptKey = key)
+    val catalog = GoldenGen.catalogFor(b, contentIds)
+    val encId = b.addObject(
+      s"<</Filter/Standard/V 1/R 2/P $EncPermission/O <${hexOf(o)}>/U <${hexOf(u)}>>>")
+    b.finish(s"/Root $catalog 0 R/Encrypt $encId 0 R/ID[<$EncDocIdHex><$EncDocIdHex>]")
   }
 
   /** EXTENDED-mode corpus: the exact chunk/page contract of variant 0, but

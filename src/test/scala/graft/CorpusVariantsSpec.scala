@@ -62,7 +62,7 @@ class CorpusVariantsSpec extends AnyFunSuite {
     assert(r.text == Corpus.pdfExpectedText(id, t))
   }
 
-  test("variant 2 uses the /Contents ARRAY form: two spans per full page, text unchanged") {
+  test("variant 2 uses the /Contents ARRAY form: two spans per full page, ligature packed") {
     val t = texts(3) // 2 pages: 8 + remainder chunks
     val chunks = (t.length + 63) / 64
     val pages = (chunks + 7) / 8
@@ -72,9 +72,55 @@ class CorpusVariantsSpec extends AnyFunSuite {
     val wantSpans = 2 * (pages - 1) + (if (lastR > 4) 2 else 1)
     assert(r.spans.length == wantSpans, s"spans=${r.spans.length} want=$wantSpans")
     assert(r.pages == pages)
-    assert(r.text == t)
+    // every LigatureMarker decodes through the <01> → <00660066> bfchar,
+    // which the engine packs to the single ﬀ codepoint (1 char : 1 char)
+    val want = t.replace(Corpus.LigatureMarker, 'ﬀ')
+    assert(t.contains(Corpus.LigatureMarker), "test text must exercise the ligature path")
+    assert(r.text == want)
+    assert(r.text.contains('ﬀ') && !r.text.contains(Corpus.LigatureMarker))
+    assert(r.text.length == t.length)
     // spans tile the text in array order
-    assert(r.spans.map(s => r.text.substring(s.start, s.end)).mkString == t)
+    assert(r.spans.map(s => r.text.substring(s.start, s.end)).mkString == want)
+  }
+
+  test("variant 8 linearized: no EOF mark, front xref table, fallback parse round-trips") {
+    val t = texts(3)
+    val payload = Corpus.pdfLinearizedFromText(t)
+    val hay = new String(payload.map(b => (b & 0xff).toChar))
+    assert(!hay.contains("%%EOF"), "variant 8 must not carry the EOF mark (fallback trigger)")
+    assert(!hay.contains("startxref"))
+    assert(hay.contains("/Linearized"))
+    // the front table precedes every content object
+    assert(hay.indexOf("xref") < hay.indexOf("2 0 obj"))
+    val r = PdfExtract.extract(payload, contentDelimiter = "", captureFragments = false)
+    assert(r.decodeFailures == 0, r.error)
+    assert(r.text == t)
+    assert(r.pages == Corpus.pdfPageCount(t))
+    assert(r.documentId.contains(s""""<${Corpus.docIdHex(t)}>"; "<${Corpus.docIdHex(t)}>"; """))
+  }
+
+  test("AES corpus: V4/R4 AESV2 round-trips under extendedFilters; default mode = error row") {
+    for (t <- Seq(texts(0), texts(3))) {
+      val payload = Corpus.pdfAesForDoc(6L, t)
+      val ext = PdfExtract.extract(payload, contentDelimiter = "",
+        captureFragments = false, extendedFilters = true)
+      assert(ext.decodeFailures == 0, s"${ext.error}")
+      assert(ext.text == t)
+      // the reference supports only the RC4 standard handler and throws on
+      // V 4 (Tokeniser.cs:635-645) — default mode replicates that surface
+      val default = PdfExtract.extract(payload, contentDelimiter = "", captureFragments = false)
+      assert(default.decodeFailures > 0 && default.error.isDefined)
+    }
+  }
+
+  test("owner-password-only doc: structured error row, no text, zero pages") {
+    val t = texts(2)
+    val r = PdfExtract.extract(Corpus.pdfOwnerOnlyFromText(t),
+      contentDelimiter = "", captureFragments = false)
+    assert(r.error.contains(
+      "UnsupportedOperationException: owner-password authentication is not implemented"),
+      s"error=${r.error}")
+    assert(r.decodeFailures == 1 && r.text == "" && r.pages == 0)
   }
 
   test("extended-filter corpus: all 4 encodings round-trip under extendedFilters; default mode errors") {
@@ -162,6 +208,25 @@ class CorpusVariantsSpec extends AnyFunSuite {
       PdfExtract.extract(java.util.Arrays.copyOf(base, cut), captureFragments = false)
     }
     assert(errorRows > 0, "mutations never produced an error row — fuzz too weak")
+  }
+
+  test("fidelity: wrong /Length whose cut lands before '%' truncates (comment-skip validates it)") {
+    // PDF whitespace skipping eats %-comments; the wrong-length check runs
+    // skipWhiteSpace() before testing for `endstream`
+    // (reference: Tokeniser.cs:1538-1560 + 1655), so a file cut at "BT (x"
+    // with "%) Tj ET\n" following comment-skips straight onto `endstream`
+    // and accepts the bogus length — the content loses its ET in BOTH
+    // engines. Replicated behavior; the corpus generator must (and does)
+    // avoid planting such cuts.
+    import graft.fixtures.GoldenGen
+    val b = new GoldenGen.PdfBuilder()
+    val content = b.addStream("", "BT (x%) Tj ET".getBytes("ISO-8859-1"), lengthOverride = 5)
+    val catalog = GoldenGen.catalogFor(b, Seq(content))
+    val r = PdfExtract.extract(b.finish(s"/Root $catalog 0 R"), captureFragments = false)
+    // the truncation surfaces on the captured per-content error channel (the
+    // reference records it the same way) and the shown string is lost
+    assert(r.error.exists(_.contains("'ET' still missing")), s"error=${r.error}")
+    assert(!r.text.contains("x%"), s"text=<${r.text}>")
   }
 
   test("variant spread: even doc_ids cycle through all builders") {
