@@ -35,8 +35,10 @@ import org.apache.spark.sql.functions._
   */
 object Bench {
 
-  private def session(cores: Int): SparkSession = {
-    val s = SparkSession.builder()
+  /** `maxPartitionBytes` > 0 forces finer scan splits (the task-fan-out
+    * probe in [[ScalingProbe]]); -1 keeps Spark's default (128 MB). */
+  private[graft] def session(cores: Int, maxPartitionBytes: Long = -1): SparkSession = {
+    val b0 = SparkSession.builder()
       .master(s"local[$cores]")
       .appName(s"graft-bench-$cores")
       .config("spark.sql.shuffle.partitions", cores)
@@ -53,7 +55,9 @@ object Bench {
       // without also churning reader buffers through the heap)
       .config("spark.sql.columnVector.offheap.enabled", "true")
       .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val b = if (maxPartitionBytes > 0)
+      b0.config("spark.sql.files.maxPartitionBytes", maxPartitionBytes) else b0
+    val s = b.getOrCreate()
     s.sparkContext.setLogLevel("ERROR")
     s
   }
@@ -63,7 +67,7 @@ object Bench {
     * once as a 64-file parquet table (the timed job is scan→extract→agg,
     * the production shape; an in-memory cache is NOT used — it measured
     * BlockManager behavior instead of the pipeline). */
-  private def corpusDir(spark: SparkSession, sfDir: String, repl: Int, textRep: Int): String = {
+  private[graft] def corpusDir(spark: SparkSession, sfDir: String, repl: Int, textRep: Int): String = {
     // cache key carries the generator version AND the digest of the
     // generator's compiled classfiles — a corpus cached by an older payload
     // generator must never be reused, even if the version bump was forgotten
@@ -83,7 +87,7 @@ object Bench {
     dir
   }
 
-  private def pagesOf(spark: SparkSession, dir: String): Dataset[PageRow] =
+  private[graft] def pagesOf(spark: SparkSession, dir: String): Dataset[PageRow] =
     spark.read.parquet(dir).as[PageRow](org.apache.spark.sql.Encoders.product[PageRow])
 
   /** Best of `reps` runs (first runs fold in codegen + JIT warm-up, which a
@@ -107,7 +111,7 @@ object Bench {
     * column serialized into the agg that immediately drops it. This is the
     * honest shape of a counting/profiling run; the full-text job stays the
     * headline `extract_pipeline` entry. */
-  private def runMetricsJob(pages: Dataset[PageRow]): Unit = {
+  private[graft] def runMetricsJob(pages: Dataset[PageRow]): Unit = {
     ExtractPipeline.runMetrics(pages)
       .groupBy("kind")
       .agg(count(lit(1)), sum("n_chars"), sum("decode_failures"))
@@ -119,7 +123,7 @@ object Bench {
     * cold-read I/O (a cold tier's "scan floor" measures the disk, not the
     * pipeline — the r2 artifact recorded a physically impossible 2.16
     * efficiency from exactly that asymmetry). */
-  private def preReadCorpus(dir: String): Long = {
+  private[graft] def preReadCorpus(dir: String): Long = {
     var sum = 0L
     val files = new java.io.File(dir).listFiles()
     if (files != null) files.filter(_.isFile).foreach { f =>
@@ -134,7 +138,7 @@ object Bench {
   }
 
   /** Pure parse-stack throughput (docs/sec) at `threads`, no Spark. */
-  private def pureParse(payloads: Array[(Boolean, Array[Byte])], threads: Int): Double = {
+  private[graft] def pureParse(payloads: Array[(Boolean, Array[Byte])], threads: Int): Double = {
     val idx = new AtomicInteger(0)
     val t0 = System.nanoTime()
     val ts = Array.fill(threads)(new Thread(() => {
@@ -154,7 +158,7 @@ object Bench {
   }
 
   /** Pure-ALU scaling ceiling of the hardware (turbo-clock effect). */
-  private def cpuCeiling(threads: Int): Double = {
+  private[graft] def cpuCeiling(threads: Int): Double = {
     val iters = 4_000_000_000L / threads
     val t0 = System.nanoTime()
     val ts = Array.fill(threads)(new Thread(() => {
