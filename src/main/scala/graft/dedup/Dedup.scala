@@ -294,12 +294,6 @@ object Dedup {
       minhashCandidates(minhashBands(docs, idCol, textCol, k), maxBucket),
       k, threshold, maxBucket)
 
-  /** The exact-Jaccard verification stage over an arbitrary candidate-pair
-    * set `(id_a, id_b)` — shared by [[minhashDedupPairs]] and the streaming
-    * banding's batch-parity gate query
-    * (`StreamMinhash.batchParityPairs`). Uses the SAME hot-shingle cap as
-    * [[ngramJaccardPairs]] so all paths agree on the (stop-shingle-free)
-    * Jaccard value. */
   /** Per-doc shingle-SET size above which [[verifyCandidatesExact]] falls
     * back from the collect_set formulation to the narrow-row inverted-index
     * one for pairs touching that doc: a 100k-shingle set materialized as one
@@ -307,6 +301,13 @@ object Dedup {
     * memory/skew hazard the row form does not have. */
   final val MaxSetSize = 100000
 
+  /** The exact-Jaccard verification stage over an arbitrary candidate-pair
+    * set `(id_a, id_b)` — shared by [[minhashDedupPairs]] and the streaming
+    * banding's batch-parity gate query
+    * (`StreamMinhash.batchParityPairs`). Uses the SAME hot-shingle cap as
+    * [[ngramJaccardPairs]] so all paths agree on the (stop-shingle-free)
+    * Jaccard value. Docs whose shingle set exceeds `maxSetSize` take the
+    * narrow-row fallback (see [[MaxSetSize]]). */
   def verifyCandidatesExact(docs: DataFrame, idCol: String, textCol: String,
       candidates: DataFrame, k: Int = 3, threshold: Double = 0.8,
       maxBucket: Int = MaxBucket, maxSetSize: Int = MaxSetSize): DataFrame = {
@@ -338,21 +339,26 @@ object Dedup {
     // corpus can make candidates arbitrarily large — AQE picks broadcast
     // when the runtime size allows
     val candIds = cand.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-    // the candidate-doc slice of the inverted index feeds every downstream
-    // branch (set build, size count, big-pair row join) — pin it once
-    val shCand = sh.join(candIds, Seq("id"), "left_semi").persist()
-    liveCaches.synchronized { liveCaches += shCand }
+    // persisted: shSets feeds BOTH pair-join sides (and the oversized-doc
+    // split below) — without the pin the semi-join + collect_set (the
+    // expensive stage) would run once per consumer
+    val shSets = sh.join(candIds, Seq("id"), "left_semi")
+      .groupBy("id").agg(collect_set(col("sh")).as("shs"))
+      .persist()
+    liveCaches.synchronized { liveCaches += shSets }
     // OVERSIZED-DOC fallback: a doc whose (hot-capped) shingle set exceeds
     // maxSetSize would be duplicated as one giant array row per candidate
     // pair it appears in across both equi-join sides — correct but a
     // memory/skew hazard at web scale. Pairs touching such a doc instead run
     // through the narrow-row inverted-index formulation (same exact Jaccard,
-    // rows stay one-shingle wide). The split costs one small count job over
-    // the already-persisted slice; with no oversized docs (the common case)
-    // the plan is exactly the collect_set one.
-    val bigIds = shCand.groupBy("id").agg(count(lit(1)).as("n_sh"))
-      .where(col("n_sh") > maxSetSize)
-      .select(col("id"))
+    // rows stay one-shingle wide; each big set is still built ONCE in
+    // shSets, which is fine — the hazard is per-pair duplication). The split
+    // is read off the cached shSets (size(shs)), so detecting it costs one
+    // count over the small per-candidate-doc aggregate — which also eagerly
+    // materializes the cache both pair-join sides are about to read; with no
+    // oversized docs (the common case) the pair plan is exactly the
+    // collect_set one.
+    val bigIds = shSets.where(size(col("shs")) > maxSetSize).select(col("id"))
     val nBig = bigIds.count()
     if (nBig > 0)
       org.slf4j.LoggerFactory.getLogger("graft.dedup")
@@ -367,12 +373,6 @@ object Dedup {
         (flagged.where(col("big_a").isNull && col("big_b").isNull).select(col("id_a"), col("id_b")),
           flagged.where(col("big_a").isNotNull || col("big_b").isNotNull).select(col("id_a"), col("id_b")))
       }
-    // persisted: shSets feeds BOTH pair-join sides — without the pin the
-    // collect_set (the expensive stage) would run twice
-    val shSets = shCand
-      .groupBy("id").agg(collect_set(col("sh")).as("shs"))
-      .persist()
-    liveCaches.synchronized { liveCaches += shSets }
     val smallPairs = candSmall
       .join(shSets.select(col("id").as("id_a"), col("shs").as("sa")), Seq("id_a"))
       .join(shSets.select(col("id").as("id_b"), col("shs").as("sb")), Seq("id_b"))
@@ -387,9 +387,12 @@ object Dedup {
     else {
       // narrow-row path: shingle equi-join restricted to docs of big pairs,
       // intersection via groupBy-count, |A∪B| from the per-doc counts —
-      // the ngramJaccardPairs shape, gated to the candidate set
+      // the ngramJaccardPairs shape, gated to the candidate set. Rows come
+      // from exploding the cached shSets (one wide row per doc unpacked to
+      // narrow rows), not from re-scanning the raw inverted index.
       val bigDocIds = candBig.select(explode(array(col("id_a"), col("id_b"))).as("id")).distinct()
-      val shBig = shCand.join(bigDocIds, Seq("id"), "left_semi")
+      val shBig = shSets.join(bigDocIds, Seq("id"), "left_semi")
+        .select(col("id"), explode(col("shs")).as("sh"))
       val cntBig = shBig.groupBy("id").agg(count(lit(1)).as("n"))
       val bigPairs = shBig.as("a").join(shBig.as("b"),
           col("a.sh") === col("b.sh") && col("a.id") < col("b.id"))

@@ -554,12 +554,19 @@ object Corpus {
     * as a structured error row the gate oracles verbatim. Content streams
     * are genuinely encrypted, so a future owner-auth implementation flips
     * the gate (a conscious behavior change, not a silent one). */
-  def pdfOwnerOnlyFromText(text: String): Array[Byte] = {
+  // fixed passwords -> one key chain for every owner-only doc (51 MD5 + 19
+  // RC4 rounds amortized across the corpus, like encOKey/aesOKeyU)
+  private lazy val ownerOnlyOKeyU: (Array[Byte], Array[Byte], Array[Byte]) = {
     val docId = EncDocIdHex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
     val ownerHash = PdfCrypto.md5(PdfCrypto.pad("graftowner"))
     val o = PdfCrypto.rc4(java.util.Arrays.copyOf(ownerHash, 5), PdfCrypto.pad("graftuser"))
     val key = PdfCrypto.computeEncryptionKey(PdfCrypto.pad("graftuser"), o, EncPermission, docId, 5)
     val u = PdfCrypto.computeEncryptU(PdfCrypto.pad("graftuser"), docId, key)
+    (o, key, u)
+  }
+
+  def pdfOwnerOnlyFromText(text: String): Array[Byte] = {
+    val (o, key, u) = ownerOnlyOKeyU
     val b = new GoldenGen.PdfBuilder()
     val contentIds = rotatingShowContents(b, text, encryptKey = key)
     val catalog = GoldenGen.catalogFor(b, contentIds)

@@ -4,7 +4,7 @@ import graft.pdf.PdfExtract
 import graft.pipeline.Corpus
 import org.scalatest.funsuite.AnyFunSuite
 
-/** Pure-JVM (no Spark) golden tests for the 8 PDF corpus variants: every
+/** Pure-JVM (no Spark) golden tests for the 9 PDF corpus variants: every
   * variant × several text shapes × both content delimiters must extract to
   * exactly [[Corpus.pdfExpectedText]] — the Scala twin of the driver gate's
   * DuckDB oracle. This is the local proof that the oracle formulas and the
@@ -18,7 +18,7 @@ class CorpusVariantsSpec extends AnyFunSuite {
     ("lorem ipsum dolor sit amet consectetur adipiscing elit sed do " * 10).trim, // 2 pages
     ("All Work And No Play 0123456789 MAKES a Dull Page; " * 30).trim) // 3 pages, mixed case
 
-  private def docIdFor(variant: Int): Long = variant.toLong * 2 // (id/2)%8 = variant
+  private def docIdFor(variant: Int): Long = variant.toLong * 2 // (id/2)%9 = variant
 
   for (variant <- 0 until Corpus.NumPdfVariants; (t, ti) <- texts.zipWithIndex) {
     test(s"variant $variant text#$ti round-trips byte-identically (delim '' and '|')") {
