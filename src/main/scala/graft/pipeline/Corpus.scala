@@ -505,26 +505,44 @@ object Corpus {
 
   private def hexOf(bs: Array[Byte]): String = bs.map(x => f"${x & 0xff}%02x").mkString
 
-  // Deterministic AESV2 (V4/R4) document key, empty passwords — extended
+  // Deterministic AESV2 (V4/R4) document keys, empty passwords — extended
   // mode only (the reference throws on V 4: Tokeniser.cs:635-645).
+  // Two cached chains: /EncryptMetadata false appends 0xFFFFFFFF to the
+  // Algorithm-2 hash input (ISO 32000-1 step f), so its file key differs.
   private val AesDocIdHex = "fedcba9876543210fedcba9876543210"
-  private lazy val aesOKeyU: (Array[Byte], Array[Byte], Array[Byte]) = {
+  private def aesChain(encryptMetadata: Boolean): (Array[Byte], Array[Byte], Array[Byte]) = {
     val docId = AesDocIdHex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
     val o = PdfCrypto.computeOwnerO("", "", 16)
-    val key = PdfCrypto.computeEncryptionKey(PdfCrypto.pad(""), o, EncPermission, docId, 16)
+    val key = PdfCrypto.computeEncryptionKey(PdfCrypto.pad(""), o, EncPermission, docId, 16,
+      encryptMetadata)
     val u = PdfCrypto.computeEncryptU(PdfCrypto.pad(""), docId, key)
     (o, key, u)
   }
+  private lazy val aesOKeyU = aesChain(encryptMetadata = true)
+  private lazy val aesOKeyUNoMeta = aesChain(encryptMetadata = false)
 
   /** AES corpus (gate for the beyond-reference AESV2 capability): variant
     * 0's chunk/page contract with every content stream AES-128-CBC-encrypted
     * under the V4/R4 AESV2 crypt filter (deterministic per-object IVs). No
     * /Info and no /Metadata: /StrF//StmF make every string/stream encrypted,
     * and the gate wants the cipher path, not hex-string escaping games.
-    * Expected extraction under `extendedFilters = true` is plain `text`;
-    * default mode replicates the reference's throw surface (error row). */
+    *
+    * `(docId/2) % 3` routes each doc through one of the three real-world
+    * AESV2 encryption-dictionary DIALECTS (all seen in the wild; GoldenGen's
+    * fixtures parameterize the same three):
+    *  - 0: top-level `/Length 128` (bits) + `/CF/StdCF/Length 16` (spec says
+    *       BYTES there);
+    *  - 1: `/EncryptMetadata false` — the file key itself changes
+    *       (Algorithm 2 step f appends FFFFFFFF); no top-level /Length, so
+    *       the reader takes the CF-Length path with the bytes convention;
+    *  - 2: `/CF/StdCF/Length 128` — the BITS convention some writers use
+    *       (the pdfbox ≤40⇒bytes heuristic must classify it as bits).
+    * Expected extraction under `extendedFilters = true` is plain `text` for
+    * every dialect; default mode replicates the reference's throw surface
+    * (error row). */
   def pdfAesForDoc(docId: Long, text: String): Array[Byte] = {
-    val (o, key, u) = aesOKeyU
+    val dialect = ((docId / 2) % 3).toInt
+    val (o, key, u) = if (dialect == 1) aesOKeyUNoMeta else aesOKeyU
     val b = new GoldenGen.PdfBuilder()
     val contentIds = rotatingOpsPerPage(text).map { ops =>
       val id = b.registerObject()
@@ -539,9 +557,11 @@ object Corpus {
     }
     val catalog = GoldenGen.catalogFor(b, contentIds)
     val encId = b.addObject(
-      s"<</Filter/Standard/V 4/R 4/P $EncPermission/Length 128" +
-        "/CF<</StdCF<</CFM/AESV2/AuthEvent/DocOpen/Length 16>>>>" +
+      s"<</Filter/Standard/V 4/R 4/P $EncPermission" +
+        (if (dialect == 0) "/Length 128" else "") +
+        s"/CF<</StdCF<</CFM/AESV2/AuthEvent/DocOpen/Length ${if (dialect == 2) 128 else 16}>>>>" +
         "/StmF/StdCF/StrF/StdCF" +
+        (if (dialect == 1) "/EncryptMetadata false" else "") +
         s"/O <${hexOf(o)}>/U <${hexOf(u)}>>>")
     b.finish(s"/Root $catalog 0 R/Encrypt $encId 0 R/ID[<$AesDocIdHex><$AesDocIdHex>]")
   }

@@ -99,18 +99,36 @@ class CorpusVariantsSpec extends AnyFunSuite {
     assert(r.documentId.contains(s""""<${Corpus.docIdHex(t)}>"; "<${Corpus.docIdHex(t)}>"; """))
   }
 
-  test("AES corpus: V4/R4 AESV2 round-trips under extendedFilters; default mode = error row") {
-    for (t <- Seq(texts(0), texts(3))) {
-      val payload = Corpus.pdfAesForDoc(6L, t)
+  test("AES corpus: all 3 AESV2 dialects round-trip under extendedFilters; default mode = error row") {
+    // dialect routing: (docId/2)%3 — 0: top-level /Length 128 + CF bytes,
+    // 1: /EncryptMetadata false (different file key), 2: CF Length in bits
+    for (dialect <- 0 until 3; t <- Seq(texts(0), texts(3))) {
+      val docId = dialect.toLong * 2
+      val payload = Corpus.pdfAesForDoc(docId, t)
+      val hay = new String(payload.map(b => (b & 0xff).toChar))
+      dialect match {
+        case 0 => assert(hay.contains("/Length 128/CF") && !hay.contains("EncryptMetadata"))
+        case 1 => assert(hay.contains("/EncryptMetadata false") && !hay.contains("/Length 128"))
+        case _ => assert(hay.contains("/Length 128>>") && !hay.contains("EncryptMetadata"))
+      }
       val ext = PdfExtract.extract(payload, contentDelimiter = "",
         captureFragments = false, extendedFilters = true)
-      assert(ext.decodeFailures == 0, s"${ext.error}")
-      assert(ext.text == t)
+      assert(ext.decodeFailures == 0, s"dialect $dialect: ${ext.error}")
+      assert(ext.text == t, s"dialect $dialect")
       // the reference supports only the RC4 standard handler and throws on
       // V 4 (Tokeniser.cs:635-645) — default mode replicates that surface
       val default = PdfExtract.extract(payload, contentDelimiter = "", captureFragments = false)
       assert(default.decodeFailures > 0 && default.error.isDefined)
     }
+    // the EncryptMetadata-false chain really derives a DIFFERENT key: its
+    // payload must NOT decrypt under the default-dialect document key
+    val p1 = Corpus.pdfAesForDoc(2L, texts(3)) // dialect 1
+    val forged = new String(p1.map(b => (b & 0xff).toChar))
+      .replace("/EncryptMetadata false", "/Length 128           ") // same byte length: offsets stay valid
+    val wrongKey = PdfExtract.extract(forged.map(_.toByte).toArray,
+      contentDelimiter = "", captureFragments = false, extendedFilters = true)
+    assert(wrongKey.decodeFailures > 0 || wrongKey.text != texts(3),
+      "EncryptMetadata=false must change the file key")
   }
 
   test("owner-password-only doc: structured error row, no text, zero pages") {
