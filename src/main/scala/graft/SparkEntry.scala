@@ -194,6 +194,20 @@ object SparkEntry {
           .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
       Dedup.duplicateChunks(corpus, "doc_id", "text").orderBy("fp")
     }),
+    "dedup_keep_best" -> ((s, dir) =>
+      // canonical-URL dedup keeping the BEST fetch per page: key = the
+      // canonicalized form of a deterministically-synthesized messy URL
+      // (35 groups), score = text length, kept_id = argmax score with
+      // min-id tie-break — one map-side-combined aggregation, no window
+      Dedup.keepBestPerKey(
+          docs(s, dir).select(col("doc_id"),
+            graft.functions.Urls.canonicalUrl(concat(
+              lit("HTTPS://Example"), col("doc_id") % 7,
+              lit(".COM:443/p"), col("doc_id") % 5,
+              lit("?utm_source=a&gclid=z#frag"))).as("curl"),
+            TextStats.nChars(col("text")).as("score")),
+          "curl", "doc_id", "score")
+        .orderBy("key")),
     "text_repetition" -> ((s, dir) =>
       TextStats.repetitionSignals(docs(s, dir), "doc_id", "text")
         .orderBy("doc_id")),
@@ -210,6 +224,13 @@ object SparkEntry {
       val e = embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
       Ann.ivfTopK(e, e.where(col("id") < 10), e.where(col("id") % 50 === 0),
           nprobe = 3, k = 5)
+        .orderBy("query_id", "rank")
+    }),
+    "ann_quantized_rerank" -> ((s, dir) => {
+      // SQ8 search: integer-exact coarse top-25 over int8-quantized vectors,
+      // exact-cosine re-rank to top-5 — the compressed-index scale path
+      val e = embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
+      Ann.quantizedRerankTopK(e, e.where(col("id") < 10), k = 5, pool = 25)
         .orderBy("query_id", "rank")
     }),
     // --------------------------------------------------------- text analysis
@@ -393,6 +414,11 @@ object SparkEntry {
         .groupBy("lang")
         .agg(countDistinct(col("term")).as("vocab"))
         .orderBy("lang")),
+    "tfidf_top_terms" -> ((s, dir) =>
+      // per-document top-5 distinctive terms by tf·idf with an exact
+      // integer-scaled idf (no ln() — engine-portable BIGINT score)
+      TextStats.tfidfTopTerms(docs(s, dir), "doc_id", "text", topN = 5)
+        .orderBy("doc_id", "rank")),
     "vocab_bigrams_by_lang" -> ((s, dir) => {
       // per-language top-5 bigrams (training-mix phrase profile): one
       // explode -> map-side-combined groupBy -> per-lang WindowGroupLimit;
@@ -637,6 +663,62 @@ object SparkEntry {
                ORDER BY list_cosine_similarity(CAST(p.qemb AS DOUBLE[]), CAST(a.embedding AS DOUBLE[])) DESC, a.vec_id) AS rank
            FROM probes p JOIN assigned a ON a.cid = p.cid AND a.vec_id <> p.query_id)
          WHERE rank <= 5 ORDER BY query_id, rank""",
+    // two-stage SQ8 search mirrored stage by stage: the coarse score is the
+    // integer dot product of the quantized vectors (same quantization
+    // arithmetic as embedding_quantize — exact in both engines), the pool
+    // boundary is deterministic on (idot DESC, id), and the re-rank is the
+    // same double cosine as ann_topk_bruteforce
+    "ann_quantized_rerank" ->
+      """WITH e AS (SELECT vec_id AS id, embedding,
+             list_max(list_transform(embedding, v -> abs(CAST(v AS DOUBLE)))) AS maxabs
+           FROM embeddings),
+         qz AS (SELECT id, embedding,
+             list_transform(embedding, v -> CASE WHEN maxabs = 0 THEN CAST(0 AS BIGINT)
+                 ELSE CAST(floor((CAST(v AS DOUBLE) * 127.0) / maxabs + 0.5) AS BIGINT) END) AS qvec
+           FROM e),
+         q AS (SELECT id AS query_id, embedding AS qemb, qvec AS qq FROM qz WHERE id < 10),
+         coarse AS (SELECT q.query_id, q.qemb, c.id,
+             list_dot_product(q.qq, c.qvec) AS idot
+           FROM qz c JOIN q ON q.query_id <> c.id),
+         pool AS (SELECT query_id, qemb, id FROM (
+             SELECT query_id, qemb, id,
+               row_number() OVER (PARTITION BY query_id ORDER BY idot DESC, id) AS rn
+             FROM coarse) WHERE rn <= 25),
+         rr AS (SELECT p.query_id, f.id AS neighbor_id,
+             list_cosine_similarity(CAST(p.qemb AS DOUBLE[]), CAST(f.embedding AS DOUBLE[])) AS cos
+           FROM pool p JOIN qz f ON f.id = p.id)
+         SELECT query_id, rank, neighbor_id FROM (
+           SELECT query_id, neighbor_id,
+             row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rank
+           FROM rr) WHERE rank <= 5 ORDER BY query_id, rank""",
+    // key = the canonical form of the synthesized messy URL (url_canonical
+    // oracles the canonicalization itself step by step; here the oracle
+    // asserts the END RESULT — a broken canonicalizer shifts keys and fails
+    // the hash); argmax(score) with min-id tie-break as a window
+    "dedup_keep_best" ->
+      """WITH u AS (SELECT doc_id,
+             'https://example' || (doc_id % 7) || '.com/p' || (doc_id % 5) AS key,
+             CAST(length(text) AS BIGINT) AS score
+           FROM documents),
+         r AS (SELECT key, doc_id,
+             count(*) OVER (PARTITION BY key) AS n_docs,
+             row_number() OVER (PARTITION BY key ORDER BY score DESC, doc_id) AS rn
+           FROM u)
+         SELECT key, doc_id AS kept_id, CAST(n_docs AS BIGINT) AS n_docs
+         FROM r WHERE rn = 1 ORDER BY key""",
+    "tfidf_top_terms" ->
+      """WITH w AS (SELECT doc_id, unnest(string_split(trim(text), ' ')) AS term FROM documents),
+         tf AS (SELECT doc_id, term, count(*) AS tf FROM w GROUP BY 1, 2),
+         df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+         n AS (SELECT count(*) AS n_docs FROM documents),
+         scored AS (SELECT doc_id, tf.term AS term, tf.tf AS tf, df.df AS df,
+             tf.tf * ((1000 * n_docs) // df.df) AS score
+           FROM tf JOIN df ON df.term = tf.term CROSS JOIN n),
+         r AS (SELECT doc_id, term, tf, df, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rank
+           FROM scored)
+         SELECT doc_id, rank, term, tf, df, score
+         FROM r WHERE rank <= 5 ORDER BY doc_id, rank""",
     "text_tokens" ->
       """SELECT doc_id,
          CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS ws_tokens,

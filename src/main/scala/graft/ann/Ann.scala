@@ -152,6 +152,55 @@ object Ann {
           .otherwise(floor(col("x").cast("double") * 127.0 / col("maxabs") + 0.5).cast("long"))
           .as("qval"))
 
+  /** SQ8 two-stage search: coarse candidate generation over int8-quantized
+    * vectors, exact-cosine re-rank of the per-query `pool` to the final
+    * top-`k`. This is the 100 TB search shape: the coarse scan reads only
+    * the quantized table (4× smaller, integer MACs the JIT vectorizes),
+    * and the full-precision floats are fetched by equi-join for at most
+    * pool·|queries| rows — the big float table is never broadcast or
+    * re-scored in full.
+    *
+    * The coarse score is the RAW quantized dot product — deliberately
+    * unnormalized: the per-vector scale (maxabs/127) and norm are positive
+    * constants that the exact re-rank applies anyway, and leaving them out
+    * keeps the coarse stage in exact integer arithmetic, so the candidate
+    * set is bit-reproducible across engines (no float ulp at the pool
+    * boundary; the only cross-engine doubles are in the re-rank cosine).
+    * Recall vs exact top-k is an empirical property ([[graft.AnnSpec]]);
+    * with pool ≥ |corpus| the result equals [[bruteForceTopK]] by
+    * construction. Quantization arithmetic is the same fixed-order IEEE
+    * chain as [[quantizeInt8]]. */
+  def quantizedRerankTopK(corpus: DataFrame, queries: DataFrame,
+      k: Int, pool: Int): DataFrame = {
+    require(pool >= k, s"pool $pool must be >= k $k")
+    def quantized(df: DataFrame): DataFrame =
+      df.select(col("id"), col("embedding"),
+          aggregate(col("embedding"), lit(0.0),
+            (acc, x) => greatest(acc, abs(x.cast("double")))).as("maxabs"))
+        .select(col("id"), col("embedding"),
+          transform(col("embedding"), x =>
+            when(col("maxabs") === 0.0, lit(0L))
+              .otherwise(floor(x.cast("double") * 127.0 / col("maxabs") + 0.5)))
+            .as("qvec"))
+    val c = quantized(corpus).select(col("id"), col("qvec"))
+    val q = quantized(queries).select(col("id").as("query_id"),
+      col("embedding").as("qemb"), col("qvec").as("qq"))
+    val idot = aggregate(zip_with(col("qq"), col("qvec"), (a, b) => a * b),
+      lit(0L), (acc, x) => acc + x)
+    val wCoarse = Window.partitionBy("query_id").orderBy(col("idot").desc, col("id"))
+    val cand = c.join(broadcast(q), col("query_id") =!= col("id"))
+      .select(col("query_id"), col("qemb"), col("id"), idot.as("idot"))
+      .withColumn("rn", row_number().over(wCoarse)).where(col("rn") <= pool)
+      .select(col("query_id"), col("qemb"), col("id"))
+    val rerank = cand.join(corpus.select(col("id"), col("embedding")), Seq("id"))
+      .select(col("query_id"), col("id").as("neighbor_id"),
+        cosine(col("qemb"), col("embedding")).as("cos"))
+    val wExact = Window.partitionBy("query_id").orderBy(col("cos").desc, col("neighbor_id"))
+    rerank.withColumn("rank", row_number().over(wExact).cast("long"))
+      .where(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"))
+  }
+
   // ------------------------------------------- random-hyperplane (cosine) LSH
 
   private def mix64(z0: Long): Long = {

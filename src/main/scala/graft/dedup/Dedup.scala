@@ -111,6 +111,23 @@ object Dedup {
     docs.groupBy(graft.functions.TextStats.fingerprint(col(textCol)).as("fp"))
       .agg(count(lit(1)).as("n_docs"), min(col(idCol)).as("keep_id"))
 
+  /** Key-level dedup with a quality-ranked representative: one row per
+    * `keyCol` group carrying the kept id (max `scoreCol`, ties to the
+    * smallest id — deterministic) and the group size. The canonical-URL
+    * dedup step of a web corpus (key = canonicalized URL, score = text
+    * length or a quality score): unlike [[exactGroups]] the content may
+    * differ across fetches of the same page, so the group keeps the BEST
+    * row, not an arbitrary one. Pure aggregation — the argmax rides the
+    * struct ordering of min(struct(-score, id)), so there is exactly one
+    * map-side-combined shuffle on the key and no window (a window would
+    * still need the whole group in one task; the agg combines partials). */
+  def keepBestPerKey(df: DataFrame, keyCol: String, idCol: String,
+      scoreCol: String): DataFrame =
+    df.groupBy(col(keyCol).as("key"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(struct((-col(scoreCol)).as("neg_score"), col(idCol).as("id"))).as("best"))
+      .select(col("key"), col("best.id").as("kept_id"), col("n_docs"))
+
   // ------------------------------------------------------------- shingles
 
   /** Word k-shingles from a words-ARRAY column (codegen'd array

@@ -104,6 +104,36 @@ object TextStats {
         expr("(100 * char_sum) div n_words").as("mean_word_len_centi"))
   }
 
+  /** Per-document top-`topN` distinctive terms by tf·idf with the idf as an
+    * exact scaled integer — idf_milli = (1000·N) div df — so the score is a
+    * BIGINT any engine reproduces bit-exactly (no ln(), whose libm rounding
+    * is engine-specific; the monotone 1/df surrogate ranks identically for
+    * a fixed N). The topic/domain profiling primitive of a training-data
+    * mix. Shape: one explode → two map-side-combined groupBys → one
+    * equi-join on the term (both sides shuffled on the term key — the df
+    * side is |vocab| rows, the tf side |doc,term| rows; no broadcast needed
+    * and no skew beyond the vocabulary's natural Zipf, which the groupBy
+    * already absorbed) → per-doc row_number that Spark plans with a partial
+    * WindowGroupLimit. N joins in as a broadcast single-row aggregate,
+    * never a driver-side collect. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      topN: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(split(trim(col(textCol)), "\\s+")).as("term"))
+    val tf = words.groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val scored = tf.join(df, "term").join(broadcast(n))
+      .select(col("doc_id"), col("term"), col("tf"), col("df"),
+        (col("tf") * expr("(1000 * n_docs) div df")).as("score"))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .where(col("rank") <= topN)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"),
+        col("score"))
+  }
+
   def langId(text: Column): Column = {
     // score per language, pick argmax with lexicographic tie-break
     val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>

@@ -137,4 +137,30 @@ class AnnSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(recall >= 0.97, s"IVF boundary recall $recall < 0.97 — raise nprobe")
     corpus.unpersist()
   }
+
+  test("quantizedRerankTopK with pool >= |corpus| equals bruteForceTopK exactly") {
+    // the coarse stage only bounds the candidate set; with an unbounded pool
+    // the exact-cosine re-rank sees every non-self candidate, so the result
+    // must be identical to the brute-force baseline row for row
+    val queries = emb.where(col("id") < 10)
+    val n = emb.count().toInt
+    val exact = Ann.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val sq8 = Ann.quantizedRerankTopK(emb, queries, k = 5, pool = n)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(sq8 === exact)
+  }
+
+  test("quantizedRerankTopK recall property: SQ8 coarse top-25 keeps the exact top-5") {
+    // int8 quantization of 64-dim floats preserves cosine order well past a
+    // 5x pool margin; this is the empirical floor the operator ships with
+    val queries = emb.where(col("id") < 20)
+    val exact = Ann.bruteForceTopK(emb, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq8 = Ann.quantizedRerankTopK(emb, queries, k = 5, pool = 25)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val recall = (exact & sq8).size.toDouble / exact.size
+    info(s"SQ8 pool=25 recall=$recall")
+    assert(recall >= 0.95, s"SQ8 recall $recall < 0.95 — quantizer lost order")
+  }
 }

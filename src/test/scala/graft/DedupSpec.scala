@@ -233,4 +233,20 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val want = base.map(_._1).filter(_ % 10 == 0).map(i => (i, i + 100000L)).toSet
     assert(got === want)
   }
+
+  test("keepBestPerKey: argmax score per key, min-id tie-break, pure aggregation") {
+    import spark.implicits._
+    val rows = Seq(
+      ("u1", 1L, 10L), ("u1", 2L, 30L), ("u1", 3L, 30L), // tie at 30 -> id 2
+      ("u2", 4L, 5L),                                     // singleton
+      ("u3", 6L, 7L), ("u3", 5L, 7L)                      // tie -> id 5
+    ).toDF("curl", "doc_id", "score")
+    val got = Dedup.keepBestPerKey(rows, "curl", "doc_id", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("u1", 2L, 3L), ("u2", 4L, 1L), ("u3", 5L, 2L)))
+    // scale shape: a single hash aggregate (partial + final), no window/sort
+    val plan = Dedup.keepBestPerKey(rows, "curl", "doc_id", "score")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "keepBestPerKey must not use a window")
+  }
 }

@@ -1,0 +1,49 @@
+package graft
+
+import graft.functions.TextStats
+import org.apache.spark.sql.SparkSession
+import org.scalatest.BeforeAndAfterAll
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Unit twin for the TextStats operators that carry nontrivial arithmetic
+  * (the simple counting Columns are exercised end-to-end by the oracle
+  * gate — text_tokens/text_quality/etc.). */
+class TextStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
+
+  private lazy val spark: SparkSession = {
+    val s = SparkSession.builder()
+      .appName("graft-textstats-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .master("local[4]")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
+
+  test("tfidfTopTerms: integer idf surrogate ranks rare terms above common ones") {
+    import spark.implicits._
+    // 4 docs; "shared" appears in all (df=4, idf_milli=1000), "alpha"/"rare"
+    // only in doc 1 (df=1, idf_milli=4000). Doc 1 repeats "shared" 3x
+    // (score 3000) but its single df=1 terms (score 4000) still outrank it,
+    // and the 4000-score tie breaks lexicographically: alpha before rare.
+    val docs = Seq(
+      (1L, "rare shared shared shared alpha"),
+      (2L, "shared beta beta"),
+      (3L, "shared gamma"),
+      (4L, "shared delta")
+    ).toDF("doc_id", "text")
+    val got = TextStats.tfidfTopTerms(docs, "doc_id", "text", topN = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(5)))
+      .sortBy(t => (t._1, t._2))
+    val doc1 = got.filter(_._1 == 1L)
+    assert(doc1.map(t => (t._3, t._4)).toSeq ===
+      Seq(("alpha", 4000L), ("rare", 4000L)))
+    // every doc gets exactly topN rows (ties broken by term asc)
+    assert(got.groupBy(_._1).values.forall(_.length == 2))
+    // doc 2: "beta" tf=2 df=1 -> 8000 beats "shared" 1000
+    assert(got.filter(_._1 == 2L).head._3 === "beta")
+  }
+}
