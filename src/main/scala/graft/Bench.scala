@@ -123,6 +123,15 @@ object Bench {
     * cold-read I/O (a cold tier's "scan floor" measures the disk, not the
     * pipeline — the r2 artifact recorded a physically impossible 2.16
     * efficiency from exactly that asymmetry). */
+  /** Mean of three back-to-back runs — the ONE timing estimator for bench
+    * tiers, scan floors, and every ScalingProbe experiment (single ~1 s
+    * windows swing ±25% under VM jitter; sharing the estimator keeps the
+    * probe's decomposition terms comparable to the bench's numbers). */
+  private[graft] def meanOf3(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; f; f
+    (System.nanoTime() - t0) / 3e9
+  }
+
   private[graft] def preReadCorpus(dir: String): Long = {
     var sum = 0L
     val files = new java.io.File(dir).listFiles()
@@ -259,10 +268,8 @@ object Bench {
     // Each tier's wall time is a mean of 3 back-to-back runs after a warm-up
     // run (single ~1 s windows swing ±25% under VM jitter); the scan floor
     // uses the SAME estimator so the subtracted compute term is unbiased.
-    def meanOf3(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; f; f
-      (System.nanoTime() - t0) / 3e9
-    }
+    // (meanOf3 is the object-level helper, shared with ScalingProbe so the
+    // probe's decomposition uses the bench's exact timing discipline.)
     final case class Round(tLo: Double, tHi: Double, scanLo: Double, scanHi: Double) {
       def eff: Double = (tLo / tHi) / (cpus.toDouble / loCores)
       def computeEff: Double = {

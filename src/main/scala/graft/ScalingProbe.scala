@@ -42,10 +42,9 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   */
 object ScalingProbe {
 
-  private def meanOf3(f: => Unit): Double = {
-    val t0 = System.nanoTime(); f; f; f
-    (System.nanoTime() - t0) / 3e9
-  }
+  // timing estimator shared with Bench (Bench.meanOf3): the probe's whole
+  // point is decomposing the bench's number, so the discipline must match
+  private def meanOf3(f: => Unit): Double = Bench.meanOf3(f)
 
   private final case class Pair(tLo: Double, tHi: Double, ratio: Double) {
     def eff: Double = (tLo / tHi) / ratio
@@ -72,14 +71,31 @@ object ScalingProbe {
     val totalBytes = payloads.iterator.map(_._2.length.toLong).sum
     boot.stop()
 
-    // ---- tmpfs copy (ramdisk: no storage I/O in the scan path)
+    // ---- tmpfs copy (ramdisk: no storage I/O in the scan path). Guarded by
+    // a _PROBE_COMPLETE marker, written only after a staging-dir copy is
+    // atomically renamed into place: a probe killed mid-copy must not leave
+    // a partial directory that later runs silently measure as the corpus
+    // (a subset corpus skews every spark_* attribution term while
+    // parse_nospark still sees all docs).
     val tmpfsBase = Paths.get("/dev/shm")
     val tmpfsDir = tmpfsBase.resolve(s"graft_probe_${Integer.toHexString(diskDir.hashCode)}")
-    if (!Files.exists(tmpfsDir)) {
-      Files.createDirectories(tmpfsDir)
-      Files.list(Paths.get(diskDir)).forEach { f =>
-        Files.copy(f, tmpfsDir.resolve(f.getFileName.toString), StandardCopyOption.REPLACE_EXISTING)
-      }
+    def deleteTree(p: java.nio.file.Path): Unit = if (Files.exists(p)) {
+      val walk = Files.walk(p)
+      try walk.sorted(java.util.Comparator.reverseOrder[java.nio.file.Path]())
+        .forEach(Files.delete(_))
+      finally walk.close()
+    }
+    if (!Files.exists(tmpfsDir.resolve("_PROBE_COMPLETE"))) {
+      deleteTree(tmpfsDir) // partial dir from a killed run
+      val staging = tmpfsBase.resolve(tmpfsDir.getFileName.toString + ".staging")
+      deleteTree(staging)
+      Files.createDirectories(staging)
+      val files = Files.list(Paths.get(diskDir))
+      try files.forEach { f =>
+        Files.copy(f, staging.resolve(f.getFileName.toString), StandardCopyOption.REPLACE_EXISTING)
+      } finally files.close()
+      Files.createFile(staging.resolve("_PROBE_COMPLETE"))
+      Files.move(staging, tmpfsDir, StandardCopyOption.ATOMIC_MOVE)
     }
 
     val ratio = cpus.toDouble / loCores
@@ -117,7 +133,16 @@ object ScalingProbe {
       Bench.preReadCorpus(dir)
       Pair(scanTier(dir, loCores), scanTier(dir, cpus), ratio)
     }
-    val fanBytes = math.max(1L << 20, totalBytes / (4L * cpus))
+    // fan-out split size from the ON-DISK (compressed) parquet bytes:
+    // maxPartitionBytes splits by file size, so deriving it from the
+    // uncompressed payload total would under-deliver tasks by the
+    // compression factor (~3x here) and the fanout experiment would run
+    // nearly the default configuration while claiming >=4 tasks/core
+    val diskBytes = {
+      val fs = new java.io.File(diskDir).listFiles()
+      if (fs == null) 0L else fs.filter(_.isFile).map(_.length).sum
+    }
+    val fanBytes = math.max(1L << 20, diskBytes / (4L * cpus))
 
     // warm everything once (JIT of the parse stack over all variants,
     // codegen, tmpfs page entries) before any accepted round
@@ -173,7 +198,7 @@ object ScalingProbe {
     def term(num: String, den: String): Double =
       median(used.map(r => r(num).eff / r(den).eff))
     println(
-      s"""{"metric":"scaling_decomposition","sf":"$sfDir","docs":$nDocs,"bytes":$totalBytes,""" +
+      s"""{"metric":"scaling_decomposition","sf":"$sfDir","docs":$nDocs,"bytes":$totalBytes,"disk_bytes":$diskBytes,""" +
         s""""cores_lo":$loCores,"cores_hi":$cpus,"fanout_split_bytes":$fanBytes,""" +
         s""""rounds_total":${roundsData.size},"rounds_accepted":${accepted.size},""" +
         names.map(expJson).mkString(",") + "," +

@@ -106,29 +106,46 @@ object Ann {
         col("embedding"))
     var centroids = seed
     var prevCache: DataFrame = null
-    for (_ <- 1 to iters) {
-      val assigned = assign(corpus, centroids)
-      val next = assigned
-        .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
-        .groupBy("cid", "pos")
-        .agg(avg(col("v").cast("double")).as("m"))
-        .groupBy(col("cid").as("id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
-        .select(col("id"),
-          transform(col("pairs"), p => p.getField("m").cast("float")).as("embedding"))
-        // materialize each round (k rows — tiny): without the persist,
-        // round i's plan NESTS rounds 1..i-1, so a realistic quantizer
-        // build (iters 10-25) hands Catalyst an exponentially growing tree
-        // and re-executes every prior round per action. Same persist/release
-        // discipline as the CC loop (Dedup.connectedComponents).
-        .persist()
-      next.count()
-      if (prevCache != null) prevCache.unpersist()
-      prevCache = next
-      centroids = next
+    try {
+      for (_ <- 1 to iters) {
+        val assigned = assign(corpus, centroids)
+        val next = assigned
+          .select(col("cid"), posexplode(col("embedding")).as(Seq("pos", "v")))
+          .groupBy("cid", "pos")
+          .agg(avg(col("v").cast("double")).as("m"))
+          .groupBy(col("cid").as("id"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pairs"))
+          .select(col("id"),
+            transform(col("pairs"), p => p.getField("m").cast("float")).as("embedding"))
+          // materialize each round (k rows — tiny): without the persist,
+          // round i's plan NESTS rounds 1..i-1, so a realistic quantizer
+          // build (iters 10-25) hands Catalyst an exponentially growing tree
+          // and re-executes every prior round per action. Same persist/release
+          // discipline as the CC loop (Dedup.connectedComponents).
+          .persist()
+        try next.count()
+        catch { case t: Throwable =>
+          try next.unpersist() catch { case _: Exception => () }
+          throw t
+        }
+        if (prevCache != null) prevCache.unpersist()
+        prevCache = next
+        centroids = next
+      }
+    } catch {
+      // a failed round (executor loss, OOM) must not leak the in-flight
+      // caches: they are not yet registered with the lifecycle
+      case t: Throwable =>
+        if (prevCache != null) {
+          try prevCache.unpersist() catch { case _: Exception => () }
+        }
+        throw t
     }
-    // the final round's cache backs the returned frame; register it with the
-    // operator-cache lifecycle so Dedup.clearCaches() releases it
+    // the final round's cache (k rows) backs the returned frame; register it
+    // with the operator-cache lifecycle so Dedup.clearCaches() releases it.
+    // Callers looping over many quantizer builds in one session should
+    // clearCaches() between jobs — each build retains one k-row cache until
+    // then (registration is what makes the release possible at all).
     if (prevCache != null) graft.dedup.Dedup.registerCache(prevCache)
     centroids
   }

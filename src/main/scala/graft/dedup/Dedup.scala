@@ -120,12 +120,20 @@ object Dedup {
     * row, not an arbitrary one. Pure aggregation — the argmax rides the
     * struct ordering of min(struct(-score, id)), so there is exactly one
     * map-side-combined shuffle on the key and no window (a window would
-    * still need the whole group in one task; the agg combines partials). */
+    * still need the whole group in one task; the agg combines partials).
+    *
+    * A null score ranks WORST (coalesced to Long.MaxValue in the negated
+    * ordering): Spark's raw struct min would sort the null field FIRST and
+    * crown the null-score row, while SQL window engines default to
+    * nulls-last under DESC — coalescing pins both engines to the same
+    * answer, and an all-null group still keeps its min-id row. */
   def keepBestPerKey(df: DataFrame, keyCol: String, idCol: String,
       scoreCol: String): DataFrame =
     df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n_docs"),
-        min(struct((-col(scoreCol)).as("neg_score"), col(idCol).as("id"))).as("best"))
+        min(struct(
+          coalesce((-col(scoreCol)).cast("long"), lit(Long.MaxValue)).as("neg_score"),
+          col(idCol).as("id"))).as("best"))
       .select(col("key"), col("best.id").as("kept_id"), col("n_docs"))
 
   // ------------------------------------------------------------- shingles
@@ -532,9 +540,13 @@ object Dedup {
       val s = next.agg(coalesce(sum(col("label")), lit(0L))).head.getLong(0)
       changed = s != prevSum
       prevSum = s
-      // previous rounds' checkpoint blocks are released by the
-      // ContextCleaner once the old frame is unreachable (label frames are
-      // one narrow row per distinct doc — tiny next to the edge set)
+      // drop the PREVIOUS round's checkpoint blocks NOW: localCheckpoint
+      // persistence is RDD-level (not CacheManager), so it is reclaimed only
+      // when the driver GCs the frame and the ContextCleaner notices —
+      // under low driver allocation pressure that can be the whole loop, by
+      // which point maxRounds full label-table copies sit in block storage
+      // evicting the edges cache (at 10^8+ distinct docs each copy is GBs)
+      releaseLocalCheckpoint(labels)
       labels = next
       rounds += 1
     }
@@ -551,6 +563,18 @@ object Dedup {
     // the returned frame; the ContextCleaner reclaims them when unreachable
     labels.select(col("id").as("doc_id"), col("label").as("cluster_rep"))
   }
+
+  /** Unpersist the RDD blocks behind a `localCheckpoint()`ed frame.
+    * `df.unpersist()` is a no-op there (the blocks live at the RDD layer,
+    * not in the CacheManager), so the checkpointed RDD is reached through
+    * the frame's `LogicalRDD` leaf. Non-blocking; a frame of any other
+    * shape is left alone. */
+  private def releaseLocalCheckpoint(df: DataFrame): Unit =
+    df.queryExecution.logical match {
+      case lr: org.apache.spark.sql.execution.LogicalRDD =>
+        lr.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   // ------------------------------------------------- chunk-level exact dedup
 

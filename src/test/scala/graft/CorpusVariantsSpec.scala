@@ -261,6 +261,15 @@ class CorpusVariantsSpec extends AnyFunSuite {
       Corpus.digestOf(Iterator(Array[Byte](1, 2, 4))))
     assert(Corpus.digestOf(Iterator(Array[Byte](1), Array[Byte](2))) ==
       Corpus.digestOf(Iterator(Array[Byte](1, 2)))) // stream-order digest, chunking-invariant
+    // NESTED classes must be digested: the actual PDF byte writer is
+    // GoldenGen$PdfBuilder.class, a SEPARATE classfile from GoldenGen$.class
+    // — a fingerprint that missed it would serve a stale cached corpus after
+    // a PdfBuilder edit, the exact failure the mechanism exists to stop
+    val names = Corpus.generatorClassfiles.map(_._1)
+    assert(names.contains("graft.fixtures.GoldenGen$PdfBuilder"), names.mkString(", "))
+    assert(names.contains("graft.pipeline.Corpus$"), names.mkString(", "))
+    assert(names.exists(_.startsWith("graft.pdf.ExtraFilters")), names.mkString(", "))
+    assert(names == names.sorted && names.distinct == names) // deterministic digest input
   }
 
   test("variant 6: the original section alone yields the stale page (the update is live)") {

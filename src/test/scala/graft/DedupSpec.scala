@@ -249,4 +249,34 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "keepBestPerKey must not use a window")
   }
+
+  test("keepBestPerKey: null scores rank WORST (SQL nulls-last-under-DESC semantics)") {
+    import spark.implicits._
+    // Spark's raw struct-min would sort a null field FIRST and crown the
+    // null-score row — the null-content fetch — while the DuckDB window
+    // oracle (ORDER BY score DESC, nulls last) keeps the scored row
+    val rows = Seq[(String, Long, Option[Long])](
+      ("u1", 1L, Some(10L)), ("u1", 2L, None),  // scored row wins over null
+      ("u2", 3L, None), ("u2", 4L, None)        // all-null group -> min id
+    ).toDF("curl", "doc_id", "score")
+    val got = Dedup.keepBestPerKey(rows, "curl", "doc_id", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("u1", 1L, 2L), ("u2", 3L, 2L)))
+  }
+
+  test("connectedComponents releases each round's checkpoint blocks (bounded storage)") {
+    import spark.implicits._
+    // an 11-round chain: without the per-round release, every round's label
+    // table stays in block storage until the driver GCs — here that would be
+    // ~11 persisted RDDs; with the release at most the final labels + edges
+    // survive the call
+    val n = 12
+    val pairs = (0L until n - 1L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val cc = Dedup.connectedComponents(pairs, maxRounds = 20)
+    assert(cc.collect().forall(_.getLong(1) == 0L)) // one component, rep 0
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(after - before <= 2,
+      s"persistent RDDs grew $before -> $after: rounds are leaking checkpoint blocks")
+  }
 }

@@ -42,7 +42,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
-  test("pdf+html round-trip: plain, specials, long, short, all 8 pdf variants") {
+  test("pdf+html round-trip: plain, specials, long, short, all 9 pdf variants") {
     val long = ("the quick brown fox jumps over seventeen lazy dogs daily " * 12).trim
     val texts = Seq[(Long, String)](
       0L -> "hello world",
@@ -57,9 +57,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       10L -> long, // variant 5: Tm newlines
       12L -> long, // variant 6: incremental update
       14L -> long, // variant 7: malformed tolerances
-      16L -> "It's quoted: 'single' and `backtick` and \"double\"", // variant 0
-      18L -> long, // variant 1 again
-      20L -> "MiXeD CaSe RoT13 text With Digits 0123456789 and UPPER lower") // variant 2
+      // NumPdfVariants is 9, so the variant of doc id is (id/2) % 9:
+      16L -> "It's quoted: 'single' and `backtick` and \"double\"", // variant 8: linearized front-xref
+      18L -> long, // variant 0 on a multi-page doc
+      22L -> "MiXeD CaSe RoT13 text With Digits 0123456789 and UPPER lower") // variant 2: rot13 font is case-sensitive
     roundTrip(texts)
   }
 
