@@ -30,7 +30,7 @@ object Corpus {
     * (graft.Bench's on-disk table) key on this, so a stale cache can never
     * be mistaken for the current generator's output. Belt-and-braces with
     * [[generatorFingerprint]], which catches a forgotten bump. */
-  val GeneratorVersion = "r4a"
+  val GeneratorVersion = "r4b"
 
   private[graft] def hexOf(bs: Array[Byte]): String =
     bs.map(x => f"${x & 0xff}%02x").mkString
@@ -248,10 +248,12 @@ object Corpus {
     val shown = text.grouped(64).map(_ + delimiter).toIndexedSeq
     pdfVariant(docId) match {
       case 1 => shown.mkString("\n")
-      // variant 2 writes LigatureMarker as a CID whose ToUnicode bfchar
-      // destination is <00660066> — the reference PACKS multi-code targets
-      // back to the single ligature codepoint (ﬀ, Tokeniser.cs:2616-2644)
-      case 2 => shown.mkString.replace(LigatureMarker, 'ﬀ')
+      // variant 2 writes the LigatureMarkers as CIDs whose ToUnicode bfchar
+      // destinations are <00660066> / <006600660069> — the reference PACKS
+      // multi-code targets back to the single ligature codepoint
+      // (ﬀ via the 8-digit branch, ﬃ via the separate 12-digit lookahead;
+      // Tokeniser.cs:2616-2644)
+      case 2 => shown.mkString.replace(LigatureMarker, 'ﬀ').replace(LigatureMarker3, 'ﬃ')
       case 5 => shown.grouped(8).map(_.mkString("\n")).mkString
       case _ => shown.mkString
     }
@@ -297,6 +299,15 @@ object Corpus {
     * essentially every gate document exercises the packing. */
   final val LigatureMarker = 'e'
 
+  /** The source character variant 2 writes as CID 0x02, whose ToUnicode
+    * bfchar destination is the THREE-code <006600660069> ("ffi") — the
+    * reference's packer has a separate lookahead branch for the 12-digit
+    * targets (ﬃ/ﬄ, Tokeniser.cs:2625-2641) that the 8-digit ﬀ branch never
+    * reaches, so [[LigatureMarker]] alone leaves it gate-invisible. Packs to
+    * ﬃ (U+FB03); 1 char → 1 char, all length oracles unchanged. 't' because
+    * it is the second most frequent English letter. */
+  final val LigatureMarker3 = 't'
+
   /** Variant 2: encoded-font decode. The written bytes are ROT13-scrambled
     * for ASCII letters — except [[LigatureMarker]], written as CID 0x01; a
     * Type1 font recovers the text through the /Differences overlay
@@ -317,8 +328,9 @@ object Corpus {
         |1 begincodespacerange
         |<00> <FF>
         |endcodespacerange
-        |3 beginbfchar
+        |4 beginbfchar
         |<01> <00660066>
+        |<02> <006600660069>
         |<27> <0027>
         |<60> <0060>
         |endbfchar
@@ -359,10 +371,12 @@ object Corpus {
         metadataId = mid))
   }
 
-  /** Variant 2's written form: ROT13 for letters, CID 0x01 for the ligature
-    * marker (1:1 in chars, so chunk boundaries stay aligned to the source). */
+  /** Variant 2's written form: ROT13 for letters, CIDs 0x01 / 0x02 for the
+    * ligature markers (1:1 in chars, so chunk boundaries stay aligned to the
+    * source). */
   private def encodeV2(s: String): String = s.map {
     case LigatureMarker => '\u0001'
+    case LigatureMarker3 => '\u0002'
     case c if c >= 'a' && c <= 'z' => ('a' + (c - 'a' + 13) % 26).toChar
     case c if c >= 'A' && c <= 'Z' => ('A' + (c - 'A' + 13) % 26).toChar
     case c => c
@@ -438,15 +452,22 @@ object Corpus {
       metadataId = Some(metaId), trailerId = Some(docIdHex(text)))
   }
 
-  /** Variant 6: incremental update. The ORIGINAL section's object 1 (the
-    * first page's content stream) holds stale text; the appended update
-    * section rewrites object 1 at a new offset and chains the xref tables
-    * via /Prev. A reader that fails the Prev-chain walk or the
-    * newest-section-first object precedence extracts the stale page text —
-    * caught byte-for-byte by the roundtrip gate. (The trailer values are
-    * identical in both sections: the reference THROWS on conflicting
+  /** Variant 6: TWO incremental updates (a three-section /Prev chain). The
+    * ORIGINAL section's object 1 (the first page's content stream) holds
+    * stale text; update section A rewrites it with SECOND-revision stale
+    * text; update section B rewrites it with the real first-page ops. The
+    * xref tables chain B → A → original via /Prev — note A's /Prev points
+    * at another UPDATE section's table, not the original's, so a walk that
+    * special-cases only one hop breaks. Newest-section-first precedence
+    * must hold across all three (first-seen-wins from B): stopping after
+    * one /Prev hop loses the catalog (only the original section has it),
+    * oldest-first precedence extracts "stale first page", and applying A
+    * over B extracts "stale second revision" — each caught byte-for-byte
+    * by the roundtrip gate. (The Root/Info/Size trailer values are
+    * identical in all sections — the reference THROWS on conflicting
     * trailer entries across the chain, so an /Info swap is not
-    * representable — replicated behavior, Tokeniser.cs:404-491.) */
+    * representable; /Prev itself is per-section bookkeeping, excluded from
+    * the conflict check. Replicated behavior, Tokeniser.cs:404-491,519.) */
   def pdfIncrementalFromText(text: String): Array[Byte] = {
     val b = new GoldenGen.PdfBuilder()
     val pageOps = {
@@ -464,19 +485,26 @@ object Corpus {
     val info = b.addObject(infoContent(text))
     val xref1 = b.size
     b.finish(s"/Root $catalog 0 R/Info $info 0 R/ID[<${docIdHex(text)}><${docIdHex(text)}>]")
-    // update section: replacement object 1 with the REAL first-page ops
-    val newOff = b.size
-    val body = GoldenGen.zlib(pageOps.head.getBytes(ISO_8859_1))
-    b.raw(s"1 0 obj\n<</Length ${body.length}/Filter/FlateDecode>>stream\n")
-    b.raw(body)
-    b.raw("\nendstream\nendobj\n")
-    val xref2 = b.size
-    b.raw("xref\n")
-    b.raw("0 1\n0000000000 65535 f \n")
-    b.raw("1 1\n")
-    b.raw(f"$newOff%010d 00000 n \n")
-    b.raw(s"trailer<</Size ${info + 1}/Prev $xref1/Root $catalog 0 R/Info $info 0 R>>\n")
-    b.raw(s"startxref\n$xref2\n%%EOF\n")
+    // update sections: A replaces object 1 with second-revision stale ops,
+    // B replaces it again with the REAL first-page ops; each section's xref
+    // lists only its rewritten object and /Prev-chains to the section below
+    def updateSection(ops: String, prevXref: Int): Int = {
+      val newOff = b.size
+      val body = GoldenGen.zlib(ops.getBytes(ISO_8859_1))
+      b.raw(s"1 0 obj\n<</Length ${body.length}/Filter/FlateDecode>>stream\n")
+      b.raw(body)
+      b.raw("\nendstream\nendobj\n")
+      val xref = b.size
+      b.raw("xref\n")
+      b.raw("0 1\n0000000000 65535 f \n")
+      b.raw("1 1\n")
+      b.raw(f"$newOff%010d 00000 n \n")
+      b.raw(s"trailer<</Size ${info + 1}/Prev $prevXref/Root $catalog 0 R/Info $info 0 R>>\n")
+      b.raw(s"startxref\n$xref\n%%EOF\n")
+      xref
+    }
+    val xref2 = updateSection("BT (stale second revision) Tj ET", xref1)
+    updateSection(pageOps.head, xref2)
     b.currentBytes
   }
 

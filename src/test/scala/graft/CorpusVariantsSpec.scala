@@ -72,12 +72,16 @@ class CorpusVariantsSpec extends AnyFunSuite {
     val wantSpans = 2 * (pages - 1) + (if (lastR > 4) 2 else 1)
     assert(r.spans.length == wantSpans, s"spans=${r.spans.length} want=$wantSpans")
     assert(r.pages == pages)
-    // every LigatureMarker decodes through the <01> → <00660066> bfchar,
-    // which the engine packs to the single ﬀ codepoint (1 char : 1 char)
-    val want = t.replace(Corpus.LigatureMarker, 'ﬀ')
+    // every LigatureMarker decodes through the <01> → <00660066> bfchar and
+    // every LigatureMarker3 through <02> → <006600660069>, which the engine
+    // packs to the single ﬀ / ﬃ codepoints (1 char : 1 char); ﬃ takes the
+    // 12-digit lookahead branch the ﬀ path never reaches
+    val want = t.replace(Corpus.LigatureMarker, 'ﬀ').replace(Corpus.LigatureMarker3, 'ﬃ')
     assert(t.contains(Corpus.LigatureMarker), "test text must exercise the ligature path")
+    assert(t.contains(Corpus.LigatureMarker3), "test text must exercise the 3-code ligature path")
     assert(r.text == want)
     assert(r.text.contains('ﬀ') && !r.text.contains(Corpus.LigatureMarker))
+    assert(r.text.contains('ﬃ') && !r.text.contains(Corpus.LigatureMarker3))
     assert(r.text.length == t.length)
     // spans tile the text in array order
     assert(r.spans.map(s => r.text.substring(s.start, s.end)).mkString == want)
@@ -272,18 +276,27 @@ class CorpusVariantsSpec extends AnyFunSuite {
     assert(names == names.sorted && names.distinct == names) // deterministic digest input
   }
 
-  test("variant 6: the original section alone yields the stale page (the update is live)") {
-    // sanity that the incremental fixture actually tests something: parsing
-    // only up to the FIRST %%EOF (i.e. ignoring the update section) must
-    // extract the stale object-1 content; the full file must not
+  test("variant 6: each truncation of the 3-section chain yields its section's page") {
+    // sanity that the incremental fixture actually tests something: the full
+    // file (three xref sections, /Prev-chained B -> A -> original) extracts
+    // the real text; truncating after the SECOND %%EOF (dropping update B)
+    // yields the second-revision stale page; truncating after the FIRST
+    // %%EOF (original section only) yields the first stale page
     val t = texts(2)
     val full = Corpus.pdfIncrementalFromText(t)
     val r = PdfExtract.extract(full, contentDelimiter = "", captureFragments = false)
     assert(!r.text.contains("stale"), r.text.take(120))
+    assert(r.text == Corpus.pdfExpectedText(docIdFor(6), t))
     val hay = new String(full.map(b => (b & 0xff).toChar))
-    val cut = hay.indexOf("%%EOF") + "%%EOF\n".length
-    val truncated = java.util.Arrays.copyOf(full, cut)
-    val r0 = PdfExtract.extract(truncated, contentDelimiter = "", captureFragments = false)
-    assert(r0.text.contains("stale first page content"), r0.text.take(120))
+    val cut1 = hay.indexOf("%%EOF") + "%%EOF\n".length
+    val cut2 = hay.indexOf("%%EOF", cut1) + "%%EOF\n".length
+    assert(hay.indexOf("%%EOF", cut2) >= 0, "expected a third %%EOF (three sections)")
+    val r1 = PdfExtract.extract(java.util.Arrays.copyOf(full, cut1),
+      contentDelimiter = "", captureFragments = false)
+    assert(r1.text.contains("stale first page content"), r1.text.take(120))
+    val r2 = PdfExtract.extract(java.util.Arrays.copyOf(full, cut2),
+      contentDelimiter = "", captureFragments = false)
+    assert(r2.text.contains("stale second revision"), r2.text.take(120))
+    assert(!r2.text.contains("stale first page content"), r2.text.take(120))
   }
 }
