@@ -165,9 +165,11 @@ object GoldenGen {
         |1 begincodespacerange
         |<00> <FF>
         |endcodespacerange
-        |2 beginbfchar
+        |4 beginbfchar
         |<41> <0042>
         |<66> <00660066>
+        |<67> <006600660069>
+        |<68> <00660066006C>
         |endbfchar
         |1 beginbfrange
         |<61> <63> <0078>
@@ -179,7 +181,45 @@ object GoldenGen {
     val cmapId = b.addStream("", cmap.getBytes(ISO_8859_1), deflate = true)
     val fontId = b.addObject(
       s"<</Type/Font/Subtype/Type1/BaseFont/GraftSans/Encoding<</Type/Encoding/Differences[68 /B 100 /uni0058]>>/ToUnicode $cmapId 0 R>>")
-    val content = b.addStream("", "BT /F1 10 Tf (AafbCDd) Tj ET".getBytes(ISO_8859_1), deflate = true)
+    val content = b.addStream("", "BT /F1 10 Tf (AafbCDdgh) Tj ET".getBytes(ISO_8859_1), deflate = true)
+    val catalog = catalogFor(b, Seq(content), fontObj = Some(("F1", fontId)))
+    b.finish(s"/Root $catalog 0 R")
+  }
+
+  /** [[fontsPdf]] with one bfchar destination replaced by `dest` — for the
+    * reference's ligature-lookahead quirks (e.g. `<00660066006c>` with a
+    * LOWERCASE c throws "should have only 4 hex digits": the 12-digit
+    * lookahead matches the ffl tail byte-for-byte against uppercase 'C'
+    * only, Tokeniser.cs:2634-2641). */
+  def fontsPdfWithDest(dest: String): Array[Byte] = {
+    val b = new PdfBuilder()
+    val cmap =
+      s"""/CIDInit /ProcSet findresource begin
+         |11 dict begin
+         |begincmap
+         |/CIDSystemInfo << /Registry(graft) /Ordering(UCS) /Supplement 0 >> def
+         |/CMapName /graft-UCS def
+         |/CMapType 2 def
+         |1 begincodespacerange
+         |<00> <FF>
+         |endcodespacerange
+         |4 beginbfchar
+         |<41> <0042>
+         |<66> <00660066>
+         |<67> <006600660069>
+         |<68> $dest
+         |endbfchar
+         |1 beginbfrange
+         |<61> <63> <0078>
+         |endbfrange
+         |endcmap
+         |CMapName currentdict /CMap defineresource pop
+         |end
+         |end""".stripMargin
+    val cmapId = b.addStream("", cmap.getBytes(ISO_8859_1), deflate = true)
+    val fontId = b.addObject(
+      s"<</Type/Font/Subtype/Type1/BaseFont/GraftSans/Encoding<</Type/Encoding/Differences[68 /B 100 /uni0058]>>/ToUnicode $cmapId 0 R>>")
+    val content = b.addStream("", "BT /F1 10 Tf (AafbCDdgh) Tj ET".getBytes(ISO_8859_1), deflate = true)
     val catalog = catalogFor(b, Seq(content), fontObj = Some(("F1", fontId)))
     b.finish(s"/Root $catalog 0 R")
   }

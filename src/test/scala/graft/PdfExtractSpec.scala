@@ -48,9 +48,26 @@ class PdfExtractSpec extends AnyFunSuite {
 
   test("fonts: Differences overlay + ToUnicode bfchar/bfrange + ligature packing") {
     val r = PdfExtract.extract(GoldenGen.fontsPdf())
-    // base Standard; Differences: 'D'→B, 'd'→X; ToUnicode: 'A'→B, 'f'→ﬀ, 'a'..'c'→x..z
-    assert(r.text == "Bxﬀy" + "CBX" + "|")
+    // base Standard; Differences: 'D'→B, 'd'→X; ToUnicode: 'A'→B, 'f'→ﬀ,
+    // 'a'..'c'→x..z, 'g'→ﬃ (12-digit …69 tail), 'h'→ﬄ (12-digit …6C tail)
+    assert(r.text == "Bxﬀy" + "CBX" + "ﬃﬄ" + "|")
     assert(r.error.isEmpty, r.error.getOrElse(""))
+  }
+
+  test("ligature lookahead quirk: lowercase <…006c> tail fails the font like the reference") {
+    // the 12-digit ffl lookahead matches 'C' only (Tokeniser.cs:2634-2641);
+    // a lowercase hex tail falls through to the too-many-digits throw even
+    // though the hex value is identical. Both engines capture the throw in
+    // the FONT's exception field (PdfFont.cs:122-124): the document shows a
+    // decode failure and extracts with the PARTIAL overlay — bfchars parsed
+    // before the throw apply (A→B, f→ﬀ, g→ﬃ), the failing <68> and the
+    // never-reached bfrange ('a'..'c'→x..z) do not
+    val bad = PdfExtract.extract(GoldenGen.fontsPdfWithDest("<00660066006c>"))
+    assert(bad.decodeFailures == 1, s"failures=${bad.decodeFailures} err=${bad.error}")
+    assert(bad.text == "Baﬀb" + "CBX" + "ﬃh" + "|", bad.text)
+    // sanity: the same fixture with the uppercase tail is the happy path
+    val good = PdfExtract.extract(GoldenGen.fontsPdfWithDest("<00660066006C>"))
+    assert(good.decodeFailures == 0 && good.text == "Bxﬀy" + "CBX" + "ﬃﬄ" + "|")
   }
 
   test("MacRoman vs WinAnsi high-byte decoding") {
