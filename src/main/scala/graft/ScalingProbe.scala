@@ -27,10 +27,13 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *  - `spark_tmpfs`    — the metrics-rollup Spark job with the corpus on
   *                        tmpfs (/dev/shm): adds Spark scan + scheduling,
   *                        REMOVES storage I/O entirely.
-  *  - `spark_tmpfs_fanout` — same, with spark.sql.files.maxPartitionBytes
-  *                        forced so the scan yields ≥ 4 tasks/core: isolates
-  *                        task-granularity effects (stragglers at the
-  *                        default 128 MB splits).
+  *  - `spark_tmpfs_fanout` — same job over a REWRITTEN copy of the corpus
+  *                        with 4·cores files (the bench corpus is 64
+  *                        single-row-group files, so no maxPartitionBytes
+  *                        value can yield more than 64 real tasks — splits
+  *                        past a row-group boundary are empty): isolates
+  *                        task-granularity effects with a true ≥4 tasks/core
+  *                        at the hi tier.
   *  - `spark_disk`     — the standard Bench tier (disk parquet, page-cache
   *                        pre-read): adds the OS file path back.
   *
@@ -133,16 +136,29 @@ object ScalingProbe {
       Bench.preReadCorpus(dir)
       Pair(scanTier(dir, loCores), scanTier(dir, cpus), ratio)
     }
-    // fan-out split size from the ON-DISK (compressed) parquet bytes:
-    // maxPartitionBytes splits by file size, so deriving it from the
-    // uncompressed payload total would under-deliver tasks by the
-    // compression factor (~3x here) and the fanout experiment would run
-    // nearly the default configuration while claiming >=4 tasks/core
     val diskBytes = {
       val fs = new java.io.File(diskDir).listFiles()
       if (fs == null) 0L else fs.filter(_.isFile).map(_.length).sum
     }
-    val fanBytes = math.max(1L << 20, diskBytes / (4L * cpus))
+    // fan-out corpus: the same rows REWRITTEN as 4·cores files on tmpfs.
+    // maxPartitionBytes cannot deliver the claimed >=4 tasks/core here —
+    // the bench corpus is 64 files of ONE row group each, and a split that
+    // contains no row-group midpoint is an empty task — so task granularity
+    // must come from the file count. Same staging-marker discipline as the
+    // corpus copy above.
+    val fanFiles = 4 * cpus
+    val fanDir = tmpfsBase.resolve(tmpfsDir.getFileName.toString + "_fan")
+    if (!Files.exists(fanDir.resolve("_PROBE_COMPLETE"))) {
+      deleteTree(fanDir)
+      val staging = tmpfsBase.resolve(fanDir.getFileName.toString + ".staging")
+      deleteTree(staging)
+      val s = Bench.session(cpus)
+      s.read.parquet(tmpfsDir.toString).repartition(fanFiles)
+        .write.mode("overwrite").parquet(staging.toString)
+      s.stop()
+      Files.createFile(staging.resolve("_PROBE_COMPLETE"))
+      Files.move(staging, fanDir, StandardCopyOption.ATOMIC_MOVE)
+    }
 
     // warm everything once (JIT of the parse stack over all variants,
     // codegen, tmpfs page entries) before any accepted round
@@ -165,7 +181,7 @@ object ScalingProbe {
           meanOf3(Bench.pureParse(payloads, cpus)), ratio),
         "spark_scan_tmpfs" -> scanPair(tmpfsDir.toString),
         "spark_tmpfs" -> sparkPair(tmpfsDir.toString),
-        "spark_tmpfs_fanout" -> sparkPair(tmpfsDir.toString, fanBytes),
+        "spark_tmpfs_fanout" -> sparkPair(fanDir.toString),
         "spark_disk" -> sparkPair(diskDir))
     }
     def median(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
@@ -199,7 +215,7 @@ object ScalingProbe {
       median(used.map(r => r(num).eff / r(den).eff))
     println(
       s"""{"metric":"scaling_decomposition","sf":"$sfDir","docs":$nDocs,"bytes":$totalBytes,"disk_bytes":$diskBytes,""" +
-        s""""cores_lo":$loCores,"cores_hi":$cpus,"fanout_split_bytes":$fanBytes,""" +
+        s""""cores_lo":$loCores,"cores_hi":$cpus,"fanout_files":$fanFiles,""" +
         s""""rounds_total":${roundsData.size},"rounds_accepted":${accepted.size},""" +
         names.map(expJson).mkString(",") + "," +
         s""""attribution":{"turbo_ceiling":${fmt(median(used.map(_("cpu_alu").eff)))},""" +
