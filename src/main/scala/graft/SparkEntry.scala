@@ -194,6 +194,12 @@ object SparkEntry {
           .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
       Dedup.duplicateChunks(corpus, "doc_id", "text").orderBy("fp")
     }),
+    "dedup_drop_common_chunks" -> ((s, dir) =>
+      // C4-style boilerplate removal: drop every 5-word window occurring in
+      // >= 3 distinct documents, reassemble the survivors in order (docs
+      // reduced to nothing stay as empty rows)
+      Dedup.dropCommonChunks(docs(s, dir).select("doc_id", "text"),
+        "doc_id", "text").orderBy("doc_id")),
     "dedup_keep_best" -> ((s, dir) =>
       // canonical-URL dedup keeping the BEST fetch per page: key = the
       // canonicalized form of a deterministically-synthesized messy URL
@@ -603,6 +609,19 @@ object SparkEntry {
          SELECT md5(chunk) AS fp, count(*) AS n,
                 min(doc_id) AS first_doc, CAST(min(pos) AS BIGINT) AS min_pos
          FROM ch GROUP BY 1 HAVING count(*) >= 2 ORDER BY fp""",
+    "dedup_drop_common_chunks" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
+         ch AS (SELECT doc_id, i AS pos, array_to_string(ws[i*5+1 : i*5+5], ' ') AS chunk
+                FROM (SELECT doc_id, ws, unnest(generate_series(0, (len(ws)-1)//5)) AS i FROM d)),
+         common AS (SELECT chunk FROM (SELECT chunk, count(DISTINCT doc_id) AS df
+                                       FROM ch GROUP BY 1) WHERE df >= 3),
+         kept AS (SELECT doc_id, pos, chunk FROM ch ANTI JOIN common USING (chunk)),
+         agg AS (SELECT doc_id, string_agg(chunk, ' ' ORDER BY pos) AS text_clean,
+                        count(*) AS n_kept
+                 FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.text_clean, '') AS text_clean,
+                CAST(coalesce(a.n_kept, 0) AS BIGINT) AS n_kept
+         FROM d LEFT JOIN agg a USING (doc_id) ORDER BY doc_id""",
     "text_repetition" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
          wc AS (SELECT doc_id, w, count(*) AS c

@@ -602,6 +602,49 @@ object Dedup {
       .where(col("n") >= 2)
   }
 
+  /** C4-style boilerplate REMOVAL — the corpus-rewrite counterpart of
+    * [[duplicateChunks]]'s report (Raffel et al. 2020 removed any line
+    * occurring ≥3 times in the corpus; fixed word windows stand in for
+    * lines since this corpus has no line marks): split each document into
+    * consecutive non-overlapping `chunkWords`-word windows, drop every
+    * window whose exact text occurs in ≥ `minDocs` DISTINCT documents, and
+    * reassemble the survivors in order. Documents reduced to nothing stay in
+    * the output with empty text (a rewrite must not silently drop rows).
+    *
+    * Shuffle shape: one explode at WINDOW granularity (|words|/chunkWords
+    * rows — not per-word), one two-phase distinct-count agg on the window
+    * text, one left-anti equi-join (the common set is tiny — AQE broadcasts
+    * it), one per-doc reassembly agg, one equi-join back to the id spine.
+    * No window function, no cartesian; linear at 100 TB. A corpus-hot
+    * window (appearing everywhere) lands ONLY on the agg's map-side combine
+    * and the anti-join probe side — never materialized per pair. */
+  def dropCommonChunks(docs: DataFrame, idCol: String, textCol: String,
+      chunkWords: Int = 5, minDocs: Int = 3): DataFrame = {
+    val ws = col("ws")
+    val chunks = transform(
+      sequence(lit(0), ((size(ws) - 1) / chunkWords).cast("int")),
+      i => concat_ws(" ", slice(ws, i * chunkWords + 1, lit(chunkWords))))
+    val exploded = docs
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("ws"))
+      .select(col("doc_id"), posexplode(chunks).as(Seq("pos", "chunk")))
+    val common = exploded
+      .groupBy(col("chunk"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+      .where(col("df") >= minDocs)
+      .select(col("chunk"))
+    val rebuilt = exploded.join(common, Seq("chunk"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("chunk")))).as("kept"))
+      .select(col("doc_id"),
+        array_join(transform(col("kept"), k => k.getField("chunk")), " ").as("text_clean"),
+        size(col("kept")).cast("long").as("n_kept"))
+    docs.select(col(idCol).as("doc_id"))
+      .join(rebuilt, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word 4-shingles (Charikar 2002 / Manku et al. 2007):

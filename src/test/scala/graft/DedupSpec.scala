@@ -264,6 +264,28 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set(("u1", 1L, 2L), ("u2", 3L, 2L)))
   }
 
+  test("dropCommonChunks: removes corpus-common windows, keeps order, empty rows survive") {
+    import spark.implicits._
+    // "a b c d e" is a full 5-word window shared by docs 1,2,3 (df=3 >= 3):
+    // dropped everywhere. Doc 1 is ONLY that window -> stays as an empty
+    // row. Docs 2/3 keep their distinct tails in original order. The pair
+    // window shared by docs 4,5 (df=2) stays.
+    val rows = Seq(
+      (1L, "a b c d e"),
+      (2L, "a b c d e own tail two three four"),
+      (3L, "pre one two three four a b c d e"), // windows: [pre one two three four][a b c d e]
+      (4L, "shared pair block here now"),
+      (5L, "shared pair block here now unique1 unique2 unique3 unique4 unique5")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dropCommonChunks(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(got(1L) == ("", 0L))
+    assert(got(2L) == ("own tail two three four", 1L))
+    assert(got(3L) == ("pre one two three four", 1L))
+    assert(got(4L) == ("shared pair block here now", 1L))
+    assert(got(5L) == ("shared pair block here now unique1 unique2 unique3 unique4 unique5", 2L))
+  }
+
   test("connectedComponents releases each round's checkpoint blocks (bounded storage)") {
     import spark.implicits._
     // an 11-round chain: without the per-round release, every round's label
