@@ -194,6 +194,13 @@ object SparkEntry {
           .select((col("doc_id") + 4000000L).as("doc_id"), col("text")))
       Dedup.duplicateChunks(corpus, "doc_id", "text").orderBy("fp")
     }),
+    "pack_sequences" -> ((s, dir) =>
+      // greedy fixed-capacity sequence packing (pretraining batch
+      // construction) over 16 independent streams; the sequential
+      // recurrence runs per-stream inside one sorted mapPartitions pass
+      graft.pipeline.Packing.packSequences(
+        docs(s, dir).select("doc_id", "text"), "doc_id", "text")
+        .orderBy("doc_id")),
     "dedup_drop_common_chunks" -> ((s, dir) =>
       // C4-style boilerplate removal: drop every 5-word window occurring in
       // >= 3 distinct documents, reassemble the survivors in order (docs
@@ -609,6 +616,27 @@ object SparkEntry {
          SELECT md5(chunk) AS fp, count(*) AS n,
                 min(doc_id) AS first_doc, CAST(min(pos) AS BIGINT) AS min_pos
          FROM ch GROUP BY 1 HAVING count(*) >= 2 ORDER BY fp""",
+    // greedy packing is a per-stream recurrence -> recursive CTE stepping
+    // row_number within each stream, reproducing the exact mapPartitions
+    // scan (same overflow rule, same per-stream bin reset)
+    "pack_sequences" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, doc_id % 16 AS stream,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+                  row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+           FROM documents),
+         p AS (
+           SELECT doc_id, stream, n_tokens, rn,
+                  CAST(0 AS BIGINT) AS bin, n_tokens AS filled
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.doc_id, d.stream, d.n_tokens, d.rn,
+                  CASE WHEN p.filled + d.n_tokens > 2048 AND p.filled > 0
+                       THEN p.bin + 1 ELSE p.bin END AS bin,
+                  CASE WHEN p.filled + d.n_tokens > 2048 AND p.filled > 0
+                       THEN d.n_tokens ELSE p.filled + d.n_tokens END AS filled
+           FROM d JOIN p ON d.stream = p.stream AND d.rn = p.rn + 1)
+         SELECT doc_id, stream, bin, n_tokens FROM p ORDER BY doc_id""",
     "dedup_drop_common_chunks" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
          ch AS (SELECT doc_id, i AS pos, array_to_string(ws[i*5+1 : i*5+5], ' ') AS chunk

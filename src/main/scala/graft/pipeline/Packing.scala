@@ -1,0 +1,60 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextStats
+
+/** Deterministic sequence packing for pretraining batch construction:
+  * assign documents to fixed-capacity token bins so a trainer can
+  * concatenate each bin into one context window with minimal padding
+  * (the "example packing" step of GPT/T5-style pipelines — Raffel et al.
+  * 2020 §3.1.3 pack multiple short examples per sequence).
+  *
+  * Greedy first-fit in doc-id order is a SEQUENTIAL recurrence (bin
+  * boundaries depend on every prior document), so it cannot be a window
+  * function — `floor(cumsum/capacity)` is NOT greedy packing: capacity 10
+  * with sizes 6,6,6 packs greedily to bins 0,1,2 but cumulative-floor puts
+  * the third doc in bin 1 with 12 tokens. The scalable shape is
+  * `numStreams` INDEPENDENT packing streams (stream = doc_id % numStreams):
+  * repartition by stream, sort within partitions by (stream, doc_id), and
+  * run the greedy scan per stream in one `mapPartitions` pass — at web
+  * scale the stream count rises with the cluster and each task packs its
+  * streams sequentially with O(1) state. Bin ids are per-stream; (stream,
+  * bin) is the global bin key. A document larger than `capacity` gets a
+  * bin of its own (the trainer truncates it — packing must not).
+  *
+  * Tokens = [[TextStats.wsTokens]] (whitespace tokens), so the count is
+  * exactly reproducible by the SQL oracle; swap in a real tokenizer's
+  * length column at integration time.
+  */
+object Packing {
+
+  /** (doc_id, stream, bin, n_tokens) — greedy per-stream packing of `docs`
+    * in ascending doc-id order within each stream. */
+  def packSequences(docs: DataFrame, idCol: String, textCol: String,
+      capacity: Long = 2048L, numStreams: Int = 16): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        (col(idCol).cast("long") % numStreams).as("stream"),
+        TextStats.wsTokens(col(textCol)).as("n_tokens"))
+      .as[(Long, Long, Long)]
+      .repartition(numStreams, col("stream"))
+      .sortWithinPartitions("stream", "doc_id")
+      .mapPartitions { it =>
+        // several streams may land in one partition; the sort groups them,
+        // so a stream change resets the scan state
+        var curStream = Long.MinValue
+        var filled = 0L
+        var bin = 0L
+        it.map { case (id, stream, t) =>
+          if (stream != curStream) { curStream = stream; filled = 0L; bin = 0L }
+          else if (filled + t > capacity && filled > 0) { bin += 1L; filled = 0L }
+          filled += t
+          (id, stream, bin, t)
+        }
+      }
+      .toDF("doc_id", "stream", "bin", "n_tokens")
+  }
+}

@@ -472,4 +472,28 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       .orderBy("window_start", "event_type").collect()
     assert(streamed.toSeq == batch.toSeq)
   }
+
+  test("packSequences: greedy per-stream packing, not cumulative-floor binning") {
+    import spark.implicits._
+    def words(n: Int): String = (1 to n).map(i => "w" + i).mkString(" ")
+    // stream 0 (capacity 10): sizes 6,6,6 -> greedy bins 0,1,2; the
+    // cumulative-floor shortcut would put the third doc in bin 1 with 12
+    // tokens (> capacity) - this row is the discriminator. Then an
+    // oversized doc (15) gets a bin of its own and the next doc starts
+    // fresh. Stream 1: 3,3,3,3 packs 3 per bin.
+    val rows = Seq(
+      (0L, words(6)), (2L, words(6)), (4L, words(6)), (6L, words(15)), (8L, words(2)),
+      (1L, words(3)), (3L, words(3)), (5L, words(3)), (7L, words(3))
+    ).toDF("doc_id", "text")
+    val got = graft.pipeline.Packing.packSequences(rows, "doc_id", "text",
+        capacity = 10L, numStreams = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(0L) == ((0L, 0L, 6L)))
+    assert(got(2L) == ((0L, 1L, 6L)))
+    assert(got(4L) == ((0L, 2L, 6L)), s"floor-binning would give bin 1: ${got(4L)}")
+    assert(got(6L) == ((0L, 3L, 15L))) // oversized: bin of its own
+    assert(got(8L) == ((0L, 4L, 2L)))  // fresh bin after the oversized one
+    assert(got(1L) == ((1L, 0L, 3L)) && got(3L) == ((1L, 0L, 3L)) && got(5L) == ((1L, 0L, 3L)))
+    assert(got(7L) == ((1L, 1L, 3L))) // 3+3+3+3 > 10 -> fourth doc spills
+  }
 }
