@@ -268,6 +268,30 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
           TextStats.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+    "pii_scrub" -> ((s, dir) => {
+      // deterministic PII augmentation (doc_id mod 3/5/7 gets an email /
+      // dotted quad / phone) so both match and no-match paths are gated;
+      // counts follow the chain's intermediates (see Pii scaladoc)
+      import graft.functions.Pii
+      val aug = docs(s, dir).select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 3 === 0, concat(lit(" contact user"),
+          col("doc_id").cast("string"), lit("@example.com now")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, concat(lit(" from 10."),
+          (col("doc_id") % 200).cast("string"), lit(".3.4")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, concat(lit(" call +1 555-01"),
+          lpad((col("doc_id") % 100).cast("string"), 2, "0")))
+          .otherwise(lit(""))).as("text"))
+      aug.select(col("doc_id"),
+          Pii.nEmails(col("text")).as("n_emails"),
+          Pii.nIpv4(col("text")).as("n_ips"),
+          Pii.nPhones(col("text")).as("n_phones"),
+          md5(Pii.scrub(col("text")).cast("binary")).as("redacted_fp"),
+          length(Pii.scrub(col("text"))).cast("long").as("redacted_len"))
+        .orderBy("doc_id")
+    }),
     "text_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
           TextStats.langId(col("text")).as("pred_lang"))
@@ -784,6 +808,24 @@ object SparkEntry {
     "text_fingerprint" ->
       """SELECT doc_id, md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS fp
          FROM documents ORDER BY doc_id""",
+    "pii_scrub" ->
+      """WITH aug AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN ' from 10.' || CAST(doc_id % 200 AS VARCHAR) || '.3.4' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN ' call +1 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') ELSE '' END AS t
+           FROM documents),
+         st AS (SELECT doc_id, t,
+             regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM aug),
+         st2 AS (SELECT doc_id, t, t1,
+             regexp_replace(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b', '<IP>', 'g') AS t2 FROM st)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(t,  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t1, '\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b')) AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(t2, '\+[0-9][0-9 -]{6,}[0-9]')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(t2, '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g')) AS redacted_fp,
+           CAST(length(regexp_replace(t2, '\+[0-9][0-9 -]{6,}[0-9]', '<PHONE>', 'g')) AS BIGINT) AS redacted_len
+         FROM st2 ORDER BY doc_id""",
     "text_quality_filter" ->
       """SELECT doc_id, CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_words FROM documents
          WHERE len(string_split(trim(text), ' ')) BETWEEN 15 AND 100000
