@@ -201,6 +201,16 @@ object SparkEntry {
       graft.pipeline.Packing.packSequences(
         docs(s, dir).select("doc_id", "text"), "doc_id", "text")
         .orderBy("doc_id")),
+    "pack_bins" -> ((s, dir) =>
+      // trainer-ready assembly: completed bins emitted from the SAME
+      // single sorted pass (no second shuffle); fingerprint the packed
+      // text so the oracle checks byte-identical member order and joins
+      graft.pipeline.Packing.packedBins(
+        docs(s, dir).select("doc_id", "text"), "doc_id", "text")
+        .select(col("stream"), col("bin"), col("n_docs"), col("tot_tokens"),
+          md5(col("text").cast("binary")).as("packed_fp"),
+          length(col("text")).cast("long").as("packed_len"))
+        .orderBy("stream", "bin")),
     "dedup_drop_common_chunks" -> ((s, dir) =>
       // C4-style boilerplate removal: drop every 5-word window occurring in
       // >= 3 distinct documents, reassemble the survivors in order (docs
@@ -661,6 +671,29 @@ object SparkEntry {
                        THEN d.n_tokens ELSE p.filled + d.n_tokens END AS filled
            FROM d JOIN p ON d.stream = p.stream AND d.rn = p.rn + 1)
          SELECT doc_id, stream, bin, n_tokens FROM p ORDER BY doc_id""",
+    "pack_bins" ->
+      """WITH RECURSIVE d AS (
+           SELECT doc_id, doc_id % 16 AS stream,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+                  row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+           FROM documents),
+         p AS (
+           SELECT doc_id, stream, n_tokens, rn,
+                  CAST(0 AS BIGINT) AS bin, n_tokens AS filled
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.doc_id, d.stream, d.n_tokens, d.rn,
+                  CASE WHEN p.filled + d.n_tokens > 2048 AND p.filled > 0
+                       THEN p.bin + 1 ELSE p.bin END AS bin,
+                  CASE WHEN p.filled + d.n_tokens > 2048 AND p.filled > 0
+                       THEN d.n_tokens ELSE p.filled + d.n_tokens END AS filled
+           FROM d JOIN p ON d.stream = p.stream AND d.rn = p.rn + 1)
+         SELECT p.stream, p.bin, count(*) AS n_docs,
+                CAST(sum(p.n_tokens) AS BIGINT) AS tot_tokens,
+                md5(string_agg(doc.text, ' ' ORDER BY p.doc_id)) AS packed_fp,
+                CAST(length(string_agg(doc.text, ' ' ORDER BY p.doc_id)) AS BIGINT) AS packed_len
+         FROM p JOIN documents doc ON p.doc_id = doc.doc_id
+         GROUP BY p.stream, p.bin ORDER BY p.stream, p.bin""",
     "dedup_drop_common_chunks" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
          ch AS (SELECT doc_id, i AS pos, array_to_string(ws[i*5+1 : i*5+5], ' ') AS chunk

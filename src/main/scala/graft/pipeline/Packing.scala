@@ -57,4 +57,64 @@ object Packing {
       }
       .toDF("doc_id", "stream", "bin", "n_tokens")
   }
+
+  /** Trainer-ready bin assembly: the same greedy scan as [[packSequences]],
+    * but emitting one row per COMPLETED bin — (stream, bin, n_docs,
+    * tot_tokens, text) with the member texts joined by `sep` in doc-id
+    * order. Because the scan is already repartitioned by stream and sorted,
+    * bins are contiguous runs of the iterator: assembly happens inside the
+    * same single `mapPartitions` pass with O(capacity) state — no second
+    * shuffle, no per-bin collect_list. Per-bin memory is bounded by the
+    * capacity (each member has ≥1 token), which is what makes the group-by
+    * alternative unnecessary and this shape safe at any corpus size. */
+  def packedBins(docs: DataFrame, idCol: String, textCol: String,
+      capacity: Long = 2048L, numStreams: Int = 16,
+      sep: String = " "): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    docs
+      .select(col(idCol).cast("long").as("doc_id"),
+        (col(idCol).cast("long") % numStreams).as("stream"),
+        TextStats.wsTokens(col(textCol)).as("n_tokens"),
+        col(textCol).as("text"))
+      .as[(Long, Long, Long, String)]
+      .repartition(numStreams, col("stream"))
+      .sortWithinPartitions("stream", "doc_id")
+      .mapPartitions { it =>
+        new Iterator[(Long, Long, Long, Long, String)] {
+          private var curStream = Long.MinValue
+          private var bin = 0L
+          private var nDocs = 0L
+          private var tokens = 0L
+          private val sb = new StringBuilder
+          private var pending: Option[(Long, Long, Long, Long, String)] = None
+          private def flush(): Option[(Long, Long, Long, Long, String)] =
+            if (nDocs == 0) None
+            else {
+              val out = (curStream, bin, nDocs, tokens, sb.result())
+              nDocs = 0; tokens = 0; sb.clear()
+              Some(out)
+            }
+          private def advance(): Unit = {
+            while (pending.isEmpty && it.hasNext) {
+              val (_, stream, t, text) = it.next()
+              if (stream != curStream) {
+                pending = flush(); curStream = stream; bin = 0L
+              } else if (tokens + t > capacity && tokens > 0) {
+                pending = flush(); bin += 1L
+              }
+              if (nDocs > 0) sb.append(sep)
+              sb.append(text); nDocs += 1; tokens += t
+            }
+            if (pending.isEmpty && !it.hasNext) pending = flush()
+          }
+          def hasNext: Boolean = { if (pending.isEmpty) advance(); pending.nonEmpty }
+          def next(): (Long, Long, Long, Long, String) = {
+            if (!hasNext) throw new NoSuchElementException
+            val out = pending.get; pending = None; out
+          }
+        }
+      }
+      .toDF("stream", "bin", "n_docs", "tot_tokens", "text")
+  }
 }

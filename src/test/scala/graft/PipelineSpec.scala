@@ -496,4 +496,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(1L) == ((1L, 0L, 3L)) && got(3L) == ((1L, 0L, 3L)) && got(5L) == ((1L, 0L, 3L)))
     assert(got(7L) == ((1L, 1L, 3L))) // 3+3+3+3 > 10 -> fourth doc spills
   }
+
+  test("packedBins: assembly agrees with packSequences and joins in doc-id order") {
+    import spark.implicits._
+    def words(n: Int): String = (1 to n).map(i => "w" + i).mkString(" ")
+    val rows = Seq(
+      (0L, words(6)), (2L, words(6)), (4L, words(6)), (6L, words(15)), (8L, words(2)),
+      (1L, words(3)), (3L, words(3)), (5L, words(3)), (7L, words(3))
+    ).toDF("doc_id", "text")
+    val bins = graft.pipeline.Packing.packedBins(rows, "doc_id", "text",
+        capacity = 10L, numStreams = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getString(4)))).toMap
+    // every (stream, bin) from the assignment view appears exactly once
+    val assigned = graft.pipeline.Packing.packSequences(rows, "doc_id", "text",
+        capacity = 10L, numStreams = 2)
+      .collect().map(r => (r.getLong(1), r.getLong(2)) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toList).toMap
+    assert(bins.keySet == assigned.keySet)
+    assert(bins((0L, 3L)) == ((1L, 15L, words(15)))) // oversized doc alone
+    assert(bins((1L, 0L)) == ((3L, 9L, words(3) + " " + words(3) + " " + words(3))))
+    assert(bins((0L, 4L)) == ((1L, 2L, words(2))))
+    // n_docs matches the assignment cardinality everywhere
+    assert(bins.forall { case (k, (n, _, _)) => assigned(k).size == n })
+  }
 }
