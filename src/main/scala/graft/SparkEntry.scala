@@ -501,7 +501,20 @@ object SparkEntry {
         .orderBy("window_start", "event_type")),
     "events_sessions" -> ((s, dir) =>
       Events.userSessions(s.read.parquet(s"$dir/events.parquet"))
-        .orderBy("user_id", "session_start"))
+        .orderBy("user_id", "session_start")),
+    "events_asof" -> ((s, dir) => {
+      // as-of join: each purchase matched to the user's latest view at or
+      // before it (merge-scan shape; see Events.asofJoin scaladoc)
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      Events.asofJoin(
+          ev.where(col("event_type") === "purchase"),
+          ev.where(col("event_type") === "view"),
+          "user_id", "ts", "event_id")
+        .select(col("user_id"), col("left_id").as("purchase_id"),
+          col("ts").as("purchase_ts"), col("asof_id").as("view_id"),
+          col("asof_ts").as("view_ts"))
+        .orderBy("purchase_id")
+    })
   )
 
   /** DuckDB mirror of [[graft.pipeline.Corpus.pdfExpectedText]]: given list
@@ -873,6 +886,25 @@ object SparkEntry {
          s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM b)
          SELECT user_id, min(ts) AS session_start, count(*) AS n_events
          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+    // as-of join as the explicit ordered-scan it is: union both tagged
+    // sides, carry the last view forward per user; side orders a view at
+    // the same ts BEFORE the purchase (<= semantics), id breaks ts ties
+    "events_asof" ->
+      """WITH u AS (
+           SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'view'
+           UNION ALL
+           SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'purchase'),
+         w AS (
+           SELECT user_id, ts, event_id, side,
+             last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS UNBOUNDED PRECEDING) AS view_id,
+             last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS UNBOUNDED PRECEDING) AS view_ts
+           FROM u)
+         SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, view_id, view_ts
+         FROM w WHERE side = 1 ORDER BY purchase_id""",
     "text_langid" ->
       """WITH h AS (SELECT doc_id,
            len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('der','die','und','das','nicht','von','ist','mit','den','ein'))) AS h_de,

@@ -31,4 +31,55 @@ object Events {
       .select(
         col("window.start").as("window_start"),
         col("event_type"), col("n_events"), col("value_cents"))
+
+  /** As-of (temporal) join — an operator Spark has no native form of: for
+    * each left row, the right row with the greatest `ts` ≤ the left row's
+    * `ts` within the same key (left outer: no prior right row → nulls).
+    *
+    * NOT expressed as a `left.ts >= right.ts` range join: Catalyst plans
+    * that as a broadcast-nested-loop/sort-merge with a per-pair predicate —
+    * quadratic in events-per-key. The scalable shape is the classic merge
+    * scan: tag both sides, union, ONE shuffle on the key, external sort
+    * within partitions by (key, ts, side, id), and a single forward pass
+    * carrying O(1) state (the last-seen right row per key). A skewed key
+    * streams through one task with constant memory — only Spark's external
+    * sort touches disk, never the operator.
+    *
+    * Tie rules (fixed so any engine reproduces the result): a right row at
+    * exactly the left row's `ts` IS visible (≤ semantics; `side` orders
+    * right before left at equal ts), and of several right rows sharing the
+    * winning ts the largest id wins (sort order makes it the last seen).
+    *
+    * Output: (key, left_id, ts, asof_id, asof_ts), nullable asof columns.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame,
+      keyCol: String, tsCol: String, idCol: String,
+      numPartitions: Int = 32): DataFrame = {
+    val spark = left.sparkSession
+    import spark.implicits._
+    def side(df: DataFrame, tag: Int) =
+      df.select(col(keyCol).cast("long").as("k"),
+        col(tsCol).cast("timestamp").as("ts"),
+        col(idCol).cast("long").as("id"), lit(tag).as("side"))
+    side(right, 0).unionByName(side(left, 1))
+      .as[(Long, java.sql.Timestamp, Long, Int)]
+      .repartition(numPartitions, col("k"))
+      .sortWithinPartitions("k", "ts", "side", "id")
+      .mapPartitions { it =>
+        var curKey = Long.MinValue
+        var haveKey = false
+        var lastId: Option[Long] = None
+        var lastTs: Option[java.sql.Timestamp] = None
+        it.flatMap { case (k, ts, id, tag) =>
+          if (!haveKey || k != curKey) {
+            curKey = k; haveKey = true; lastId = None; lastTs = None
+          }
+          if (tag == 0) { lastId = Some(id); lastTs = Some(ts); Iterator.empty }
+          else Iterator.single((k, id, ts, lastId, lastTs))
+        }
+      }
+      .toDF("k", "left_id", "ts", "asof_id", "asof_ts")
+      .select(col("k").as(keyCol), col("left_id"), col("ts").as(tsCol),
+        col("asof_id"), col("asof_ts"))
+  }
 }

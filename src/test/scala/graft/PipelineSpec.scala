@@ -521,4 +521,29 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     // n_docs matches the assignment cardinality everywhere
     assert(bins.forall { case (k, (n, _, _)) => assigned(k).size == n })
   }
+
+  test("asofJoin: <= semantics, equal-ts tie rules, per-key state reset") {
+    import graft.streaming.Events
+    import java.sql.Timestamp
+    import spark.implicits._
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // user 1: views at 10, 20, 20 (ids 100, 101, 102 — equal-ts tie),
+    //   purchases at 5 (no prior), 20 (equal ts -> view visible, id 102
+    //   wins the tie), 30 (latest view still 20/102)
+    // user 2: no views at all -> both purchases null (state must reset)
+    val left = Seq((1L, t(5), 200L), (1L, t(20), 201L), (1L, t(30), 202L),
+      (2L, t(10), 203L), (2L, t(40), 204L)).toDF("user_id", "ts", "event_id")
+    val right = Seq((1L, t(10), 100L), (1L, t(20), 101L), (1L, t(20), 102L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Events.asofJoin(left, right, "user_id", "ts", "event_id",
+        numPartitions = 2)
+      .collect()
+      .map(r => r.getLong(1) -> ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+        Option(r.getTimestamp(4))))).toMap
+    assert(got(200L) == ((None, None)))
+    assert(got(201L) == ((Some(102L), Some(t(20)))))
+    assert(got(202L) == ((Some(102L), Some(t(20)))))
+    assert(got(203L) == ((None, None)))
+    assert(got(204L) == ((None, None)))
+  }
 }
