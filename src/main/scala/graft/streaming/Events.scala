@@ -51,6 +51,12 @@ object Events {
     * winning ts the largest id wins (sort order makes it the last seen).
     *
     * Output: (key, left_id, ts, asof_id, asof_ts), nullable asof columns.
+    *
+    * Null handling follows SQL join semantics (NULL equals nothing): a
+    * right row with a null key or ts can never match and is dropped; a
+    * LEFT row with a null key or ts still appears, with null asof columns.
+    * This cannot be left to the tuple encoder — a null key would silently
+    * decode to 0L and MERGE with the real key 0.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, idCol: String,
@@ -61,7 +67,13 @@ object Events {
       df.select(col(keyCol).cast("long").as("k"),
         col(tsCol).cast("timestamp").as("ts"),
         col(idCol).cast("long").as("id"), lit(tag).as("side"))
-    side(right, 0).unionByName(side(left, 1))
+    val nullable = col("k").isNull || col("ts").isNull
+    val leftNulls = side(left, 1).where(nullable)
+      .select(col("k"), col("id").as("left_id"), col("ts"),
+        lit(null).cast("long").as("asof_id"),
+        lit(null).cast("timestamp").as("asof_ts"))
+    val joined = side(right, 0).where(!nullable)
+      .unionByName(side(left, 1).where(!nullable))
       .as[(Long, java.sql.Timestamp, Long, Int)]
       .repartition(numPartitions, col("k"))
       .sortWithinPartitions("k", "ts", "side", "id")
@@ -79,6 +91,7 @@ object Events {
         }
       }
       .toDF("k", "left_id", "ts", "asof_id", "asof_ts")
+    joined.unionByName(leftNulls)
       .select(col("k").as(keyCol), col("left_id"), col("ts").as(tsCol),
         col("asof_id"), col("asof_ts"))
   }

@@ -531,10 +531,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     //   purchases at 5 (no prior), 20 (equal ts -> view visible, id 102
     //   wins the tie), 30 (latest view still 20/102)
     // user 2: no views at all -> both purchases null (state must reset)
+    // null-key left row must pass through with null asof columns (NOT
+    // silently merge with key 0 via encoder default); null-key right row
+    // can never match anyone
     val left = Seq((1L, t(5), 200L), (1L, t(20), 201L), (1L, t(30), 202L),
       (2L, t(10), 203L), (2L, t(40), 204L)).toDF("user_id", "ts", "event_id")
+      .union(spark.sql("SELECT CAST(NULL AS BIGINT), TIMESTAMP'2024-01-01', CAST(205 AS BIGINT)"))
     val right = Seq((1L, t(10), 100L), (1L, t(20), 101L), (1L, t(20), 102L))
       .toDF("user_id", "ts", "event_id")
+      .union(spark.sql("SELECT CAST(NULL AS BIGINT), TIMESTAMP'2020-01-01', CAST(103 AS BIGINT)"))
     val got = Events.asofJoin(left, right, "user_id", "ts", "event_id",
         numPartitions = 2)
       .collect()
@@ -545,5 +550,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(202L) == ((Some(102L), Some(t(20)))))
     assert(got(203L) == ((None, None)))
     assert(got(204L) == ((None, None)))
+    assert(got(205L) == ((None, None))) // null key: passes through unmatched
+    assert(got.size == 6)               // null-key right row matched nothing
   }
 }
