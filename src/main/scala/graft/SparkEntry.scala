@@ -414,6 +414,23 @@ object SparkEntry {
             lit("&gclid=z&q="), col("doc_id") % 3,
             lit("#frag"))).as("canon_url"))
         .orderBy("doc_id")),
+    "url_block_domains" -> ((s, dir) => {
+      // UT1-style domain blocklist filtering, subdomains included: hosts
+      // synthesized from doc_id (11 subdomains × 7 registrable domains);
+      // blocklist hits example3.com (plus all subdomains), the single
+      // host sub5.example2.com, and a domain absent from the corpus
+      import s.implicits._
+      val pages = docs(s, dir).select(col("doc_id"),
+        concat(lit("https://sub"), (col("doc_id") % 11).cast("string"),
+          lit(".example"), (col("doc_id") % 7).cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string")).as("url"))
+      val blocklist = Seq("example3.com", "sub5.example2.com", "absent.org")
+        .toDF("domain")
+      graft.functions.Urls.dropBlockedDomains(pages, "url", "doc_id", blocklist)
+        .select(col("doc_id"),
+          graft.functions.Urls.hostOf(col("url")).as("host"))
+        .orderBy("doc_id")
+    }),
     "split_assign" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
           graft.functions.Sampling.split(col("doc_id")).as("split"))
@@ -980,6 +997,17 @@ object SparkEntry {
                 ELSE host || (CASE WHEN path0 = '' THEN '/' ELSE path0 END)
                      || (CASE WHEN length(q) > 0 THEN '?' || q ELSE '' END) END AS canon_url
          FROM d JOIN c ON c.doc_id = d.doc_id JOIN u ON u.doc_id = d.doc_id
+         ORDER BY doc_id""",
+    // blocklist semantics spelled out per literal entry: host under domain
+    // means host = d OR host ends with '.' || d (subdomain inclusion)
+    "url_block_domains" ->
+      """WITH u AS (SELECT doc_id,
+             'sub' || (doc_id % 11) || '.example' || (doc_id % 7) || '.com' AS host
+           FROM documents)
+         SELECT doc_id, host FROM u
+         WHERE NOT (host = 'example3.com' OR host LIKE '%.example3.com'
+                 OR host = 'sub5.example2.com' OR host LIKE '%.sub5.example2.com'
+                 OR host = 'absent.org' OR host LIKE '%.absent.org')
          ORDER BY doc_id""",
     // ((id%P)*(K%P))%P == (id*K)%P mathematically, but stays exact in
     // 64-bit for every id (the direct product overflows at id >= ~3.5e9);

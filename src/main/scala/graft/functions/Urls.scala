@@ -1,6 +1,6 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Crawl-style URL canonicalization — the key derivation for URL-level
@@ -37,5 +37,43 @@ object Urls {
     when(schemeHost === "", url) // not a scheme://host url: pass through
       .otherwise(concat(host, path,
         when(length(keptQ) > 0, concat(lit("?"), keptQ)).otherwise(lit(""))))
+  }
+
+  /** Lowercased host of a scheme://host url, port dropped; empty string
+    * when the url has no scheme://host form. */
+  def hostOf(url: Column): Column =
+    lower(regexp_extract(url, "^[^:/?#]+://([^/:?#]*)", 1))
+
+  /** The dot-suffix chain of a host: a.b.example.com →
+    * [a.b.example.com, b.example.com, example.com, com] — the match keys
+    * for registrable-domain blocklists (array intrinsics, codegen'd;
+    * chain length = label count, bounded by real-world host depth). */
+  def domainSuffixes(host: Column): Column = {
+    val labels = split(host, "\\.")
+    transform(sequence(lit(1), size(labels)),
+      i => array_join(slice(labels, i, size(labels) - i + 1), "."))
+  }
+
+  /** Drop pages whose url host falls under any blocklisted domain,
+    * subdomains included (the UT1-blocklist filtering step of
+    * RefinedWeb-style pipelines — Penedo et al. 2023 §3.1; the list
+    * itself ships with the deployment, synthesized in tests).
+    *
+    * Shape for a 10^12-row page table and a ~10^6-row blocklist: explode
+    * each url's suffix chain (≤ host depth rows each), broadcast SEMI-join
+    * against the blocklist, `distinct` the surviving ids (a tiny set), and
+    * anti-join that back on the id — AQE broadcasts both join sides, so
+    * the page table is never shuffled. NOT a `like '%.domain'` scan per
+    * blocklist entry (quadratic) and NOT an `arrays_overlap` against a
+    * literal array (re-materialized per row). */
+  def dropBlockedDomains(pages: DataFrame, urlCol: String, idCol: String,
+      blocklist: DataFrame, domainCol: String = "domain"): DataFrame = {
+    val blockedIds = pages
+      .select(col(idCol).as("_bid"),
+        explode(domainSuffixes(hostOf(col(urlCol)))).as("_sfx"))
+      .join(broadcast(blocklist.select(lower(col(domainCol)).as("_sfx"))),
+        Seq("_sfx"), "left_semi")
+      .select(col("_bid")).distinct()
+    pages.join(blockedIds, col(idCol) === col("_bid"), "left_anti")
   }
 }

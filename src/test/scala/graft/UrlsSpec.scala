@@ -35,4 +35,21 @@ class UrlsSpec extends AnyFunSuite with BeforeAndAfterAll {
       "relative/path?x=1",
       "https://h.io/Case/Sensitive/Path"))
   }
+
+  test("dropBlockedDomains: subdomain inclusion, no substring false positives") {
+    import spark.implicits._
+    val pages = Seq(
+      (1L, "https://bad.com/x"),            // exact match -> blocked
+      (2L, "https://a.b.bad.com/y"),        // deep subdomain -> blocked
+      (3L, "https://notbad.com/z"),         // suffix STRING but not suffix DOMAIN -> kept
+      (4L, "https://bad.com.evil.org/w"),   // blocklisted name as a LEFT part -> kept
+      (5L, "https://BAD.COM:8080/p"),       // case + port insensitive -> blocked
+      (6L, "https://fine.net/q"),           // unrelated -> kept
+      (7L, "no-scheme-url")                 // hostless -> kept (nothing to match)
+    ).toDF("doc_id", "url")
+    val blocklist = Seq("bad.com").toDF("domain")
+    val kept = Urls.dropBlockedDomains(pages, "url", "doc_id", blocklist)
+      .select("doc_id").collect().map(_.getLong(0)).sorted.toSeq
+    assert(kept == Seq(3L, 4L, 6L, 7L))
+  }
 }
