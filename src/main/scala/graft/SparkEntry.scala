@@ -547,6 +547,28 @@ object SparkEntry {
     * 8-chunk page only; every other variant concatenates — they vary the
     * FILE layout (encryption, xref stream + ObjStm, /Prev chain, malformed
     * tolerances, linearized front-xref), not the operator stream. */
+  /** The greedy-packing recurrence as a recursive CTE (`p` = per-doc bin
+    * assignment), shared by the pack_sequences and pack_bins oracles so the
+    * overflow rule — the SQL twin of [[graft.pipeline.Packing.spills]] —
+    * exists in exactly one place on the SQL side too. */
+  private val packRecurrenceCte: String =
+    """WITH RECURSIVE d AS (
+           SELECT doc_id, doc_id % 16 AS stream,
+                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+                  row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
+           FROM documents),
+         p AS (
+           SELECT doc_id, stream, n_tokens, rn,
+                  CAST(0 AS BIGINT) AS bin, n_tokens AS filled
+           FROM d WHERE rn = 1
+           UNION ALL
+           SELECT d.doc_id, d.stream, d.n_tokens, d.rn,
+                  CASE WHEN p.filled + d.n_tokens > 2048 AND p.filled > 0
+                       THEN p.bin + 1 ELSE p.bin END AS bin,
+                  CASE WHEN p.filled + d.n_tokens > 2048 AND p.filled > 0
+                       THEN d.n_tokens ELSE p.filled + d.n_tokens END AS filled
+           FROM d JOIN p ON d.stream = p.stream AND d.rn = p.rn + 1)"""
+
   private val pdfExpectedSql: String =
     """CASE
          WHEN v = 1 THEN array_to_string(ch, chr(10))
@@ -682,48 +704,21 @@ object SparkEntry {
          FROM ch GROUP BY 1 HAVING count(*) >= 2 ORDER BY fp""",
     // greedy packing is a per-stream recurrence -> recursive CTE stepping
     // row_number within each stream, reproducing the exact mapPartitions
-    // scan (same overflow rule, same per-stream bin reset)
+    // scan (same overflow rule — Packing.spills — same per-stream bin
+    // reset); ONE copy of the recurrence feeds both packing oracles
     "pack_sequences" ->
-      """WITH RECURSIVE d AS (
-           SELECT doc_id, doc_id % 16 AS stream,
-                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
-                  row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
-           FROM documents),
-         p AS (
-           SELECT doc_id, stream, n_tokens, rn,
-                  CAST(0 AS BIGINT) AS bin, n_tokens AS filled
-           FROM d WHERE rn = 1
-           UNION ALL
-           SELECT d.doc_id, d.stream, d.n_tokens, d.rn,
-                  CASE WHEN p.filled + d.n_tokens > 2048 AND p.filled > 0
-                       THEN p.bin + 1 ELSE p.bin END AS bin,
-                  CASE WHEN p.filled + d.n_tokens > 2048 AND p.filled > 0
-                       THEN d.n_tokens ELSE p.filled + d.n_tokens END AS filled
-           FROM d JOIN p ON d.stream = p.stream AND d.rn = p.rn + 1)
-         SELECT doc_id, stream, bin, n_tokens FROM p ORDER BY doc_id""",
+      (packRecurrenceCte +
+      """
+         SELECT doc_id, stream, bin, n_tokens FROM p ORDER BY doc_id"""),
     "pack_bins" ->
-      """WITH RECURSIVE d AS (
-           SELECT doc_id, doc_id % 16 AS stream,
-                  CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
-                  row_number() OVER (PARTITION BY doc_id % 16 ORDER BY doc_id) AS rn
-           FROM documents),
-         p AS (
-           SELECT doc_id, stream, n_tokens, rn,
-                  CAST(0 AS BIGINT) AS bin, n_tokens AS filled
-           FROM d WHERE rn = 1
-           UNION ALL
-           SELECT d.doc_id, d.stream, d.n_tokens, d.rn,
-                  CASE WHEN p.filled + d.n_tokens > 2048 AND p.filled > 0
-                       THEN p.bin + 1 ELSE p.bin END AS bin,
-                  CASE WHEN p.filled + d.n_tokens > 2048 AND p.filled > 0
-                       THEN d.n_tokens ELSE p.filled + d.n_tokens END AS filled
-           FROM d JOIN p ON d.stream = p.stream AND d.rn = p.rn + 1)
+      (packRecurrenceCte +
+      """
          SELECT p.stream, p.bin, count(*) AS n_docs,
                 CAST(sum(p.n_tokens) AS BIGINT) AS tot_tokens,
                 md5(string_agg(doc.text, ' ' ORDER BY p.doc_id)) AS packed_fp,
                 CAST(length(string_agg(doc.text, ' ' ORDER BY p.doc_id)) AS BIGINT) AS packed_len
          FROM p JOIN documents doc ON p.doc_id = doc.doc_id
-         GROUP BY p.stream, p.bin ORDER BY p.stream, p.bin""",
+         GROUP BY p.stream, p.bin ORDER BY p.stream, p.bin"""),
     "dedup_drop_common_chunks" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
          ch AS (SELECT doc_id, i AS pos, array_to_string(ws[i*5+1 : i*5+5], ' ') AS chunk

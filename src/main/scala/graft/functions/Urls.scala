@@ -39,10 +39,18 @@ object Urls {
         when(length(keptQ) > 0, concat(lit("?"), keptQ)).otherwise(lit(""))))
   }
 
-  /** Lowercased host of a scheme://host url, port dropped; empty string
-    * when the url has no scheme://host form. */
+  /** Lowercased host of a scheme://host url — userinfo (`user:pass@`) and
+    * port stripped, trailing FQDN dots removed; empty string when the url
+    * has no scheme://host form. Userinfo and trailing-dot handling matter
+    * because this feeds a BLOCKLIST: `https://x@bad.com/` and
+    * `https://bad.com./` are classic filter-evasion forms that must still
+    * resolve to `bad.com`. */
   def hostOf(url: Column): Column =
-    lower(regexp_extract(url, "^[^:/?#]+://([^/:?#]*)", 1))
+    // userinfo greedily swallows up to the LAST '@' in the authority —
+    // browser semantics, so `trusted.com@evil.com` resolves to evil.com
+    regexp_replace(
+      lower(regexp_extract(url, "^[^:/?#]+://(?:[^/?#]*@)?([^/:?#@]*)", 1)),
+      "\\.+$", "")
 
   /** The dot-suffix chain of a host: a.b.example.com →
     * [a.b.example.com, b.example.com, example.com, com] — the match keys
@@ -61,11 +69,16 @@ object Urls {
     *
     * Shape for a 10^12-row page table and a ~10^6-row blocklist: explode
     * each url's suffix chain (≤ host depth rows each), broadcast SEMI-join
-    * against the blocklist, `distinct` the surviving ids (a tiny set), and
-    * anti-join that back on the id — AQE broadcasts both join sides, so
-    * the page table is never shuffled. NOT a `like '%.domain'` scan per
-    * blocklist entry (quadratic) and NOT an `arrays_overlap` against a
-    * literal array (re-materialized per row). */
+    * against the blocklist, `distinct` the surviving ids, and anti-join
+    * that back on the id. The page table avoids a shuffle as long as the
+    * BLOCKED-id set fits the broadcast threshold — true when the filter
+    * removes a small fraction, which is the operating point of a porn/spam
+    * blocklist; if a list ever matched billions of pages, AQE falls back
+    * to a sort-merge anti-join (correct, one shuffle) rather than failing.
+    * The `distinct` shuffles only the exploded MATCHES, not the corpus.
+    * NOT a `like '%.domain'` scan per blocklist entry (quadratic) and NOT
+    * an `arrays_overlap` against a literal array (re-materialized per
+    * row). */
   def dropBlockedDomains(pages: DataFrame, urlCol: String, idCol: String,
       blocklist: DataFrame, domainCol: String = "domain"): DataFrame = {
     val blockedIds = pages

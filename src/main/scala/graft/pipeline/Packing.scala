@@ -26,8 +26,30 @@ import graft.functions.TextStats
   * Tokens = [[TextStats.wsTokens]] (whitespace tokens), so the count is
   * exactly reproducible by the SQL oracle; swap in a real tokenizer's
   * length column at integration time.
+  *
+  * Null contract (a primitive-tuple encoder would otherwise silently
+  * decode nulls to 0): a null doc id has no stream assignment and no
+  * position in the doc-id order, so the row is dropped; null text counts
+  * as the empty string (1 whitespace token — wsTokens' convention).
   */
 object Packing {
+
+  /** The ONE greedy overflow rule, shared by assignment and assembly (and
+    * mirrored twice in SparkEntry's recursive-CTE oracles): a document
+    * spills to the next bin iff it does not fit AND the bin is non-empty —
+    * so an oversized document occupies a bin of its own, never truncated
+    * here (truncation is the trainer's decision, not packing's). */
+  @inline private[pipeline] def spills(filled: Long, t: Long, capacity: Long): Boolean =
+    filled + t > capacity && filled > 0
+
+  private def prepared(docs: DataFrame, idCol: String, textCol: String,
+      numStreams: Int) =
+    docs
+      .where(col(idCol).isNotNull)
+      .select(col(idCol).cast("long").as("doc_id"),
+        (col(idCol).cast("long") % numStreams).as("stream"),
+        TextStats.wsTokens(coalesce(col(textCol), lit(""))).as("n_tokens"),
+        coalesce(col(textCol), lit("")).as("text"))
 
   /** (doc_id, stream, bin, n_tokens) — greedy per-stream packing of `docs`
     * in ascending doc-id order within each stream. */
@@ -35,10 +57,8 @@ object Packing {
       capacity: Long = 2048L, numStreams: Int = 16): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        (col(idCol).cast("long") % numStreams).as("stream"),
-        TextStats.wsTokens(col(textCol)).as("n_tokens"))
+    prepared(docs, idCol, textCol, numStreams)
+      .select("doc_id", "stream", "n_tokens")
       .as[(Long, Long, Long)]
       .repartition(numStreams, col("stream"))
       .sortWithinPartitions("stream", "doc_id")
@@ -50,7 +70,7 @@ object Packing {
         var bin = 0L
         it.map { case (id, stream, t) =>
           if (stream != curStream) { curStream = stream; filled = 0L; bin = 0L }
-          else if (filled + t > capacity && filled > 0) { bin += 1L; filled = 0L }
+          else if (spills(filled, t, capacity)) { bin += 1L; filled = 0L }
           filled += t
           (id, stream, bin, t)
         }
@@ -63,20 +83,18 @@ object Packing {
     * tot_tokens, text) with the member texts joined by `sep` in doc-id
     * order. Because the scan is already repartitioned by stream and sorted,
     * bins are contiguous runs of the iterator: assembly happens inside the
-    * same single `mapPartitions` pass with O(capacity) state — no second
-    * shuffle, no per-bin collect_list. Per-bin memory is bounded by the
-    * capacity (each member has ≥1 token), which is what makes the group-by
-    * alternative unnecessary and this shape safe at any corpus size. */
+    * same single `mapPartitions` pass — no second shuffle, no per-bin
+    * collect_list. The builder's memory is one bin's TEXT: capacity bounds
+    * the member token count, so bin bytes ≈ capacity × the corpus's
+    * bytes-per-token (plus the full text of an oversized solo document) —
+    * the same order as the context window a trainer materializes anyway,
+    * and independent of corpus size; it is NOT a hard byte bound. */
   def packedBins(docs: DataFrame, idCol: String, textCol: String,
       capacity: Long = 2048L, numStreams: Int = 16,
       sep: String = " "): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
-    docs
-      .select(col(idCol).cast("long").as("doc_id"),
-        (col(idCol).cast("long") % numStreams).as("stream"),
-        TextStats.wsTokens(col(textCol)).as("n_tokens"),
-        col(textCol).as("text"))
+    prepared(docs, idCol, textCol, numStreams)
       .as[(Long, Long, Long, String)]
       .repartition(numStreams, col("stream"))
       .sortWithinPartitions("stream", "doc_id")
@@ -100,7 +118,7 @@ object Packing {
               val (_, stream, t, text) = it.next()
               if (stream != curStream) {
                 pending = flush(); curStream = stream; bin = 0L
-              } else if (tokens + t > capacity && tokens > 0) {
+              } else if (spills(tokens, t, capacity)) {
                 pending = flush(); bin += 1L
               }
               if (nDocs > 0) sb.append(sep)

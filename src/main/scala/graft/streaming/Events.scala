@@ -53,28 +53,38 @@ object Events {
     * Output: (key, left_id, ts, asof_id, asof_ts), nullable asof columns.
     *
     * Null handling follows SQL join semantics (NULL equals nothing): a
-    * right row with a null key or ts can never match and is dropped; a
-    * LEFT row with a null key or ts still appears, with null asof columns.
-    * This cannot be left to the tuple encoder — a null key would silently
-    * decode to 0L and MERGE with the real key 0.
+    * right row with a null key, ts or id can never be referenced as a
+    * match and is dropped; a LEFT row with a null key or ts still appears,
+    * with null asof columns (its id is payload, not a join field, so a
+    * null left id matches normally). Nulls ride THROUGH the merge scan as
+    * boxed values (one
+    * scan per input — not a separate null branch re-reading the left
+    * side); a primitive-tuple encoder would instead silently decode a
+    * null key to 0L and MERGE it with the real key 0.
+    *
+    * The key and id columns must already be integral (the cast to long
+    * must be lossless): a string or fractional key would cast to
+    * null/truncated and produce silently wrong matches, so that is
+    * rejected loudly here instead.
     */
   def asofJoin(left: DataFrame, right: DataFrame,
       keyCol: String, tsCol: String, idCol: String,
       numPartitions: Int = 32): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    for (df <- Seq(left, right); c <- Seq(keyCol, idCol)) {
+      val dt = df.schema(c).dataType
+      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+        s"asofJoin column '$c' must be integral, got $dt — a lossy cast " +
+          "to long would silently corrupt the join keys")
+    }
     def side(df: DataFrame, tag: Int) =
       df.select(col(keyCol).cast("long").as("k"),
         col(tsCol).cast("timestamp").as("ts"),
         col(idCol).cast("long").as("id"), lit(tag).as("side"))
-    val nullable = col("k").isNull || col("ts").isNull
-    val leftNulls = side(left, 1).where(nullable)
-      .select(col("k"), col("id").as("left_id"), col("ts"),
-        lit(null).cast("long").as("asof_id"),
-        lit(null).cast("timestamp").as("asof_ts"))
-    val joined = side(right, 0).where(!nullable)
-      .unionByName(side(left, 1).where(!nullable))
-      .as[(Long, java.sql.Timestamp, Long, Int)]
+    side(right, 0).unionByName(side(left, 1))
+      .as[(Option[Long], Option[java.sql.Timestamp], Option[Long], Int)]
       .repartition(numPartitions, col("k"))
       .sortWithinPartitions("k", "ts", "side", "id")
       .mapPartitions { it =>
@@ -82,16 +92,26 @@ object Events {
         var haveKey = false
         var lastId: Option[Long] = None
         var lastTs: Option[java.sql.Timestamp] = None
-        it.flatMap { case (k, ts, id, tag) =>
-          if (!haveKey || k != curKey) {
-            curKey = k; haveKey = true; lastId = None; lastTs = None
+        it.flatMap { case (kOpt, tsOpt, idOpt, tag) =>
+          // null key/ts: unmatched passthrough for left rows, drop for
+          // right; a null ID only disqualifies RIGHT rows (a match must be
+          // referenceable) — for left rows the id is payload, not a key
+          if (kOpt.isEmpty || tsOpt.isEmpty || (tag == 0 && idOpt.isEmpty)) {
+            if (tag == 1) Iterator.single((kOpt, idOpt, tsOpt,
+              None: Option[Long], None: Option[java.sql.Timestamp]))
+            else Iterator.empty
+          } else {
+            val k = kOpt.get
+            if (!haveKey || k != curKey) {
+              curKey = k; haveKey = true; lastId = None; lastTs = None
+            }
+            if (tag == 0) {
+              lastId = idOpt; lastTs = tsOpt; Iterator.empty
+            } else Iterator.single((kOpt, idOpt, tsOpt, lastId, lastTs))
           }
-          if (tag == 0) { lastId = Some(id); lastTs = Some(ts); Iterator.empty }
-          else Iterator.single((k, id, ts, lastId, lastTs))
         }
       }
       .toDF("k", "left_id", "ts", "asof_id", "asof_ts")
-    joined.unionByName(leftNulls)
       .select(col("k").as(keyCol), col("left_id"), col("ts").as(tsCol),
         col("asof_id"), col("asof_ts"))
   }

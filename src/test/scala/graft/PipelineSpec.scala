@@ -485,9 +485,14 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (0L, words(6)), (2L, words(6)), (4L, words(6)), (6L, words(15)), (8L, words(2)),
       (1L, words(3)), (3L, words(3)), (5L, words(3)), (7L, words(3))
     ).toDF("doc_id", "text")
+      // null contract: null id -> dropped; null text -> empty (1 ws token)
+      .union(spark.sql("SELECT CAST(NULL AS BIGINT), 'orphan text'"))
+      .union(spark.sql("SELECT CAST(9 AS BIGINT), CAST(NULL AS STRING)"))
     val got = graft.pipeline.Packing.packSequences(rows, "doc_id", "text",
         capacity = 10L, numStreams = 2)
       .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got.size == 10) // the null-id row is gone, the null-text row is not
+    assert(got(9L) == ((1L, 1L, 1L))) // null text: 1 token, joins 7's bin 1
     assert(got(0L) == ((0L, 0L, 6L)))
     assert(got(2L) == ((0L, 1L, 6L)))
     assert(got(4L) == ((0L, 2L, 6L)), s"floor-binning would give bin 1: ${got(4L)}")

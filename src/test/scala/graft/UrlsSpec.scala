@@ -45,7 +45,10 @@ class UrlsSpec extends AnyFunSuite with BeforeAndAfterAll {
       (4L, "https://bad.com.evil.org/w"),   // blocklisted name as a LEFT part -> kept
       (5L, "https://BAD.COM:8080/p"),       // case + port insensitive -> blocked
       (6L, "https://fine.net/q"),           // unrelated -> kept
-      (7L, "no-scheme-url")                 // hostless -> kept (nothing to match)
+      (7L, "no-scheme-url"),                // hostless -> kept (nothing to match)
+      (8L, "https://x:y@bad.com/e"),        // userinfo evasion -> still blocked
+      (9L, "https://bad.com./e"),           // trailing-dot FQDN evasion -> blocked
+      (10L, "https://e@vil.org@bad.com/e")  // '@' spam: last host wins -> blocked
     ).toDF("doc_id", "url")
     val blocklist = Seq("bad.com").toDF("domain")
     val kept = Urls.dropBlockedDomains(pages, "url", "doc_id", blocklist)
