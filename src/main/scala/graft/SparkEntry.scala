@@ -531,6 +531,21 @@ object SparkEntry {
           col("ts").as("purchase_ts"), col("asof_id").as("view_id"),
           col("asof_ts").as("view_ts"))
         .orderBy("purchase_id")
+    }),
+    "events_asof_stream_parity" -> ((s, dir) => {
+      // the STREAMING as-of transform (stateful flatMapGroupsWithState)
+      // run in batch: must reproduce Events.asofJoin row-for-row against
+      // the identical oracle — gate evidence for the streaming code path
+      import s.implicits._
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val typed = ev.where(col("event_type").isin("view", "purchase"))
+        .select(col("user_id").as("k"), col("ts"),
+          col("event_id").as("id"),
+          when(col("event_type") === "view", 0).otherwise(1).as("side"))
+        .as[graft.streaming.AsofEvent]
+      graft.streaming.StreamAsof.asofStream(typed)
+        .toDF("user_id", "purchase_id", "purchase_ts", "view_id", "view_ts")
+        .orderBy("purchase_id")
     })
   )
 
@@ -568,6 +583,28 @@ object SparkEntry {
                   CASE WHEN p.filled + d.n_tokens > 2048 AND p.filled > 0
                        THEN d.n_tokens ELSE p.filled + d.n_tokens END AS filled
            FROM d JOIN p ON d.stream = p.stream AND d.rn = p.rn + 1)"""
+
+  /** As-of join as the explicit ordered scan it is (union both tagged
+    * sides, carry the last view forward per user; `side` orders a view at
+    * the same ts BEFORE the purchase — ≤ semantics — and id breaks ts
+    * ties). One copy oracles BOTH the batch merge scan and the streaming
+    * state machine (`events_asof` / `events_asof_stream_parity`). */
+  private val asofOracleSql: String =
+    """WITH u AS (
+           SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'view'
+           UNION ALL
+           SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'purchase'),
+         w AS (
+           SELECT user_id, ts, event_id, side,
+             last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS UNBOUNDED PRECEDING) AS view_id,
+             last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
+               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
+                     ROWS UNBOUNDED PRECEDING) AS view_ts
+           FROM u)
+         SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, view_id, view_ts
+         FROM w WHERE side = 1 ORDER BY purchase_id"""
 
   private val pdfExpectedSql: String =
     """CASE
@@ -898,25 +935,8 @@ object SparkEntry {
          s AS (SELECT user_id, ts, sum(brk) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid FROM b)
          SELECT user_id, min(ts) AS session_start, count(*) AS n_events
          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
-    // as-of join as the explicit ordered-scan it is: union both tagged
-    // sides, carry the last view forward per user; side orders a view at
-    // the same ts BEFORE the purchase (<= semantics), id breaks ts ties
-    "events_asof" ->
-      """WITH u AS (
-           SELECT user_id, ts, event_id, 0 AS side FROM events WHERE event_type = 'view'
-           UNION ALL
-           SELECT user_id, ts, event_id, 1 AS side FROM events WHERE event_type = 'purchase'),
-         w AS (
-           SELECT user_id, ts, event_id, side,
-             last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
-                     ROWS UNBOUNDED PRECEDING) AS view_id,
-             last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS)
-               OVER (PARTITION BY user_id ORDER BY ts, side, event_id
-                     ROWS UNBOUNDED PRECEDING) AS view_ts
-           FROM u)
-         SELECT user_id, event_id AS purchase_id, ts AS purchase_ts, view_id, view_ts
-         FROM w WHERE side = 1 ORDER BY purchase_id""",
+    "events_asof" -> asofOracleSql,
+    "events_asof_stream_parity" -> asofOracleSql,
     "text_langid" ->
       """WITH h AS (SELECT doc_id,
            len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('der','die','und','das','nicht','von','ist','mit','den','ein'))) AS h_de,

@@ -558,4 +558,33 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(205L) == ((None, None))) // null key: passes through unmatched
     assert(got.size == 6)               // null-key right row matched nothing
   }
+
+  test("streaming as-of matches across micro-batches via carried state") {
+    import graft.streaming.{AsofEvent, StreamAsof}
+    import java.sql.Timestamp
+    import spark.implicits._
+    def t(s: Long) = new Timestamp(s * 1000L)
+    // batch 1: view@10 then purchase@20 (matched within the batch);
+    // batch 2: purchase@30 must match the view carried in STATE from
+    // batch 1, then view@40 + purchase@50 re-match within batch 2
+    val b1 = Seq(AsofEvent(1L, t(10), 100L, 0), AsofEvent(1L, t(20), 200L, 1))
+    val b2 = Seq(AsofEvent(1L, t(30), 201L, 1),
+      AsofEvent(1L, t(40), 101L, 0), AsofEvent(1L, t(50), 202L, 1))
+    val dir = java.nio.file.Files.createTempDirectory("graft_sasof").toString
+    b1.toDS().coalesce(1).write.parquet(s"$dir/in/f1")
+    b2.toDS().coalesce(1).write.parquet(s"$dir/in/f2")
+    val schema = spark.read.parquet(s"$dir/in/f1").schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*").as[AsofEvent]
+    val q = StreamAsof.asofStream(streamIn)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_sasof")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.sql("SELECT left_id, asof_id FROM graft_sasof")
+      .collect().map(r => r.getLong(0) -> Option(r.get(1)).map(_.asInstanceOf[Long])).toMap
+    assert(streamed == Map(200L -> Some(100L), 201L -> Some(100L), 202L -> Some(101L)))
+  }
 }
