@@ -185,6 +185,17 @@ object SparkEntry {
         e.where(col("id") % 10 === 0).select((col("id") + 100000L).as("id"), col("embedding")))
       Ann.rplshCosineDupPairs(corpus, threshold = 0.95).orderBy("id_a", "id_b")
     }),
+    "dedup_embedding_rplsh_mp" -> ((s, dir) => {
+      // multi-probe RP-LSH (distance-1 bucket probing) on the same
+      // planted-copy corpus: exact copies match every band, so the
+      // exact-verified output is identical to the single-probe gate's —
+      // the recall edge the probing buys is pinned in AnnSpec
+      val e = embeddings(s, dir).select(col("vec_id").as("id"), col("embedding"))
+      val corpus = e.unionAll(
+        e.where(col("id") % 10 === 0).select((col("id") + 100000L).as("id"), col("embedding")))
+      Ann.rplshCosineDupPairsMultiProbe(corpus, threshold = 0.95)
+        .orderBy("id_a", "id_b")
+    }),
     "dedup_chunks" -> ((s, dir) => {
       // paragraph-style exact chunk dedup (20-word windows) with planted
       // exact copies so duplicated windows exist deterministically
@@ -727,6 +738,8 @@ object SparkEntry {
     // and no natural pair reaches cosine 0.95 in this corpus, so the
     // LSH+exact-verify output equals the planted-copy set
     "dedup_embedding_rplsh" ->
+      "SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a",
+    "dedup_embedding_rplsh_mp" ->
       "SELECT vec_id AS id_a, vec_id + 100000 AS id_b FROM embeddings WHERE vec_id % 10 = 0 ORDER BY id_a",
     "dedup_chunks" ->
       """WITH corpus AS (

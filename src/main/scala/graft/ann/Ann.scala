@@ -277,6 +277,51 @@ object Ann {
   def rplshCosineDupPairs(vectors: DataFrame, threshold: Double,
       nBits: Int = 256, bands: Int = 16,
       maxBucket: Int = graft.dedup.Dedup.MaxBucket): DataFrame = {
+    val (banded, _) = rpBandRows(vectors, nBits, bands, maxBucket)
+    val cand = banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyCosine(cand, vectors, threshold)
+  }
+
+  /** Multi-probe variant of [[rplshCosineDupPairs]]: one join side
+    * additionally probes every Hamming-distance-1 key in each band, so a
+    * pair is a candidate iff some band's keys differ in AT MOST ONE bit.
+    * This is the probing-sequence idea of multi-probe LSH (Lv et al., VLDB
+    * 2007 — query several near buckets instead of building more tables)
+    * specialized to the self-join: per-band collision probability rises
+    * from p^r to p^r + r·p^(r-1)(1-p), which at cosine 0.9 with 4×16-bit
+    * bands lifts analytic recall ~0.30 → ~0.77 while keeping ONE signature
+    * and ONE equi-join. Cost: the probe side explodes bandBits+1 rows per
+    * band row (17× at 16-bit bands) — cheaper than the 16× extra bands the
+    * same recall would otherwise need, because only the narrow (id, band,
+    * key) index grows, never the vectors, and the verify stage is
+    * unchanged. Probing is one-sided (original keys × probed keys), which
+    * covers the distance-≤1 relation exactly once before `distinct`. The
+    * hot-key cap applies to the ORIGINAL buckets; a probed bucket's join
+    * fan-in is therefore ≤ (bandBits+1)·maxBucket. */
+  def rplshCosineDupPairsMultiProbe(vectors: DataFrame, threshold: Double,
+      nBits: Int = 64, bands: Int = 4,
+      maxBucket: Int = graft.dedup.Dedup.MaxBucket): DataFrame = {
+    val (banded, bandBits) = rpBandRows(vectors, nBits, bands, maxBucket)
+    val flips = (0 until bandBits).map(i => col("key").bitwiseXOR(lit(1L << i)))
+    val probed = banded.select(col("id"), col("band"),
+      explode(array(col("key") +: flips: _*)).as("key"))
+    val cand = banded.as("a").join(probed.as("b"),
+        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+    verifyCosine(cand, vectors, threshold)
+  }
+
+  /** Banded RP-LSH index rows (id, band, key), hot buckets dropped;
+    * returns the band width alongside. Shared by the single- and
+    * multi-probe pair generators. */
+  private def rpBandRows(vectors: DataFrame, nBits: Int, bands: Int,
+      maxBucket: Int): (DataFrame, Int) = {
     require(bands > 0 && nBits % bands == 0,
       s"bands $bands must divide nBits $nBits")
     val bandBits = nBits / bands
@@ -292,18 +337,19 @@ object Ann {
             .bitwiseAND(lit(if (bandBits == 64) -1L else (1L << bandBits) - 1)).as("key"))
       }: _*)).as("bk"))
       .select(col("id"), col("bk.band"), col("bk.key"))
-    val banded = graft.dedup.Dedup.dropHotKeysCached(banded0, maxBucket, "band", "key")
-    val cand = banded.as("a").join(banded.as("b"),
-        col("a.band") === col("b.band") && col("a.key") === col("b.key") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
-      .distinct()
+    (graft.dedup.Dedup.dropHotKeysCached(banded0, maxBucket, "band", "key"),
+      bandBits)
+  }
+
+  /** Exact-cosine verification of candidate pairs — precision is exact no
+    * matter how the candidates were generated. */
+  private def verifyCosine(cand: DataFrame, vectors: DataFrame,
+      threshold: Double): DataFrame =
     cand
       .join(vectors.select(col("id").as("id_a"), col("embedding").as("ea")), "id_a")
       .join(vectors.select(col("id").as("id_b"), col("embedding").as("eb")), "id_b")
       .where(cosine(col("ea"), col("eb")) >= threshold)
       .select(col("id_a"), col("id_b"))
-  }
 
   /** APPROXIMATE embedding-cosine near-duplicate pairs (cosine ≥ threshold,
     * a<b), computed IVF-cell-locally: vectors are assigned to their `nprobe`
