@@ -446,6 +446,13 @@ object SparkEntry {
       docs(s, dir).select(col("doc_id"),
           graft.functions.Sampling.split(col("doc_id")).as("split"))
         .orderBy("doc_id")),
+    "mix_token_budget" -> ((s, dir) =>
+      // corpus mixing: greedy hash-order prefix of each language up to a
+      // 2000-token budget (bucketized two-pass shape; see Sampling scaladoc)
+      graft.functions.Sampling.mixByTokenBudget(
+        docs(s, dir), "lang", "doc_id", "text", budget = 2000L)
+        .withColumnRenamed("grp", "lang")
+        .orderBy("lang", "doc_id")),
     "decontamination" -> ((s, dir) =>
       Dedup.crossGroupContamination(docs(s, dir), "doc_id", "text", "source")
         .orderBy("id_a", "id_b")),
@@ -1044,6 +1051,20 @@ object SparkEntry {
       """SELECT doc_id, CASE WHEN ((doc_id % 1000003) * 427799) % 1000003 % 100 < 80 THEN 'train'
          WHEN ((doc_id % 1000003) * 427799) % 1000003 % 100 < 90 THEN 'val' ELSE 'test' END AS split
          FROM documents ORDER BY doc_id""",
+    // the bucketized two-pass selection collapses to ONE window cumsum in
+    // the oracle: greedy prefix = rows whose cumulative-before is under
+    // budget, ordered by (knuth-hash, doc_id) within the language
+    "mix_token_budget" ->
+      """WITH t AS (SELECT lang, doc_id,
+             CAST(len(string_split(trim(text), ' ')) AS BIGINT) AS n_tokens,
+             ((doc_id % 1000003) * 427799) % 1000003 AS ok
+           FROM documents),
+         c AS (SELECT lang, doc_id, n_tokens,
+             sum(n_tokens) OVER (PARTITION BY lang ORDER BY ok, doc_id
+                                 ROWS UNBOUNDED PRECEDING) AS cum
+           FROM t)
+         SELECT lang, doc_id, n_tokens FROM c
+         WHERE cum - n_tokens < 2000 ORDER BY lang, doc_id""",
     "decontamination" ->
       """WITH docs2 AS (SELECT doc_id, text, source, string_split(trim(text), ' ') AS ws FROM documents),
          sh AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS sh

@@ -1,6 +1,7 @@
 package graft.functions
 
-import org.apache.spark.sql.Column
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic dataset splitting for training pipelines: every engine
@@ -35,4 +36,46 @@ object Sampling {
   /** 'train' (80%), 'val' (10%), 'test' (10%). */
   def split(id: Column): Column =
     when(bucket(id) < 80, "train").when(bucket(id) < 90, "val").otherwise("test")
+
+  /** Deterministic token-budget sampling — the corpus-MIXING step of a
+    * pretraining data recipe ("take N_g tokens of group g"): per group,
+    * documents are taken greedily in [[orderKey]] order (doc_id breaks
+    * ties) until the group's cumulative token count reaches `budget`; the
+    * crossing document is kept (prefix semantics: a doc is in iff the
+    * cumulative count BEFORE it is under budget — the rule a window cumsum
+    * reproduces in any engine). Hash order makes the selection a stable
+    * pseudo-random sample under re-runs, repartitioning and backfills.
+    *
+    * Scalable shape: NOT one window cumsum per group — that sorts a whole
+    * group through one task. Three stages:
+    *  1. aggregate (group, orderKey) token totals — ≤ `Mod` rows per group
+    *     however large the corpus;
+    *  2. prefix-sum THAT aggregate per group (the only per-group sort, over
+    *     ≤ `Mod` rows) → each orderKey's base offset;
+    *  3. join back: keys wholly under budget take every doc with no
+    *     further work; the ONE crossing key per group refines with a
+    *     window over just its own docs (expected group-size/`Mod` rows).
+    */
+  def mixByTokenBudget(docs: DataFrame, groupCol: String, idCol: String,
+      textCol: String, budget: Long): DataFrame = {
+    val t = docs.select(col(groupCol).as("grp"),
+      col(idCol).cast("long").as("doc_id"),
+      TextStats.wsTokens(col(textCol)).as("n_tokens"),
+      orderKey(col(idCol)).as("ok"))
+    val wb = Window.partitionBy("grp").orderBy("ok")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val buckets = t.groupBy("grp", "ok").agg(sum("n_tokens").as("btok"))
+      .withColumn("base", sum("btok").over(wb) - col("btok"))
+      .where(col("base") < budget) // keys at/after the cutoff drop here
+      .select("grp", "ok", "base", "btok")
+    val joined = t.join(buckets, Seq("grp", "ok"))
+    val whole = joined.where(col("base") + col("btok") <= budget)
+    val wd = Window.partitionBy("grp", "ok").orderBy("doc_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val crossing = joined.where(col("base") + col("btok") > budget)
+      .withColumn("cum", col("base") + sum("n_tokens").over(wd))
+      .where(col("cum") - col("n_tokens") < budget)
+    whole.select("grp", "doc_id", "n_tokens")
+      .unionByName(crossing.select("grp", "doc_id", "n_tokens"))
+  }
 }

@@ -122,6 +122,33 @@ class LateOpsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
     }
   }
 
+  test("mixByTokenBudget matches the single-pass greedy prefix reference") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(21)
+    for (trial <- 1 to 3) {
+      val n = 200 + rnd.nextInt(100)
+      val docs = (0 until n).map { i =>
+        (i.toLong, s"g${rnd.nextInt(3)}", List.fill(1 + rnd.nextInt(25))("w").mkString(" "))
+      }
+      val budget = 200L + rnd.nextInt(400)
+      val got = graft.functions.Sampling.mixByTokenBudget(
+          docs.toDF("doc_id", "grp0", "text"), "grp0", "doc_id", "text", budget)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      def ok(id: Long) = ((id % 1000003L) * 427799L) % 1000003L
+      val ref = docs.groupBy(_._2).toSeq.flatMap { case (g, ds) =>
+        var cum = 0L
+        ds.sortBy(d => (ok(d._1), d._1)).flatMap { case (id, _, text) =>
+          val t = text.split(" ").length.toLong
+          val before = cum
+          cum += t
+          if (before < budget) Some((g, id)) else None
+        }
+      }.toSet
+      assert(got == ref, s"trial $trial budget $budget: " +
+        s"missing=${(ref -- got).take(3)} extra=${(got -- ref).take(3)}")
+    }
+  }
+
   test("hostOf recovers the host from assembled authority forms") {
     import spark.implicits._
     val rnd = new scala.util.Random(99)
