@@ -556,7 +556,13 @@ object SparkEntry {
       // the identical oracle — gate evidence for the streaming code path
       import s.implicits._
       val ev = s.read.parquet(s"$dir/events.parquet")
-      val typed = ev.where(col("event_type").isin("view", "purchase"))
+      // StreamAsof's precondition: apply the batch null contract BEFORE
+      // typing (null rows would kill the primitive encoder, not mismatch);
+      // null-key/ts left rows would route around the join — the corpus has
+      // none, so the passthrough union is omitted here
+      val typed = ev.where(col("event_type").isin("view", "purchase") &&
+          col("user_id").isNotNull && col("ts").isNotNull &&
+          col("event_id").isNotNull)
         .select(col("user_id").as("k"), col("ts"),
           col("event_id").as("id"),
           when(col("event_type") === "view", 0).otherwise(1).as("side"))

@@ -32,7 +32,14 @@ final case class AsofLastRight(id: Long, ts: java.sql.Timestamp)
   * task — bounded by batch sizing in streaming; in batch-parity mode by
   * the key's history (fine at gate scale; the batch operator is the one
   * to run on a full corpus). Pair with a watermark + TTL when the right
-  * stream is unbounded. */
+  * stream is unbounded.
+  *
+  * PRECONDITION: `AsofEvent` fields are non-null by construction (typed
+  * primitives — a null decodes to a task-killing encoder error, not a
+  * wrong answer). Apply [[Events.asofJoin]]'s null contract BEFORE
+  * typing the stream: drop null right rows, route null-key/ts left rows
+  * around the join as unmatched (the parity gate query does exactly
+  * this). */
 object StreamAsof {
 
   def asofStream(events: Dataset[AsofEvent]): Dataset[AsofMatch] = {

@@ -573,6 +573,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     val dir = java.nio.file.Files.createTempDirectory("graft_sasof").toString
     b1.toDS().coalesce(1).write.parquet(s"$dir/in/f1")
     b2.toDS().coalesce(1).write.parquet(s"$dir/in/f2")
+    // FileStreamSource orders pending files by mtime with no tie-break:
+    // pin f1 strictly earlier so the two triggers are deterministic even
+    // when both writes land in one filesystem-timestamp tick
+    def touch(sub: String, t: Long): Unit =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/in/$sub"))
+        .forEach(p => p.toFile.setLastModified(t))
+    val base = System.currentTimeMillis() - 120000L
+    touch("f1", base)
+    touch("f2", base + 60000L)
     val schema = spark.read.parquet(s"$dir/in/f1").schema
     val streamIn = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*").as[AsofEvent]
