@@ -578,10 +578,11 @@ object SparkEntry {
     * content delimiter) and variant column `v` = (doc_id//2)%9, the expected
     * extraction. Variant 1 (Td/TD/T* before every chunk but the first)
     * joins all chunks with newline; variant 2 (encoded font) writes the
-    * ligature markers 'e' / 't' as CIDs whose ToUnicode bfchar targets
-    * <00660066> / <006600660069> the engine packs to ﬀ = chr(64256) and
-    * ﬃ = chr(64259) — the latter through the reference's separate 12-digit
-    * lookahead branch (reference: Tokeniser.cs:2616-2644);
+    * ligature markers 'e' / 't' / 'a' as CIDs whose ToUnicode bfchar
+    * targets <00660066> / <006600660069> / <00660066006C> the engine packs
+    * to ﬀ = chr(64256), ﬃ = chr(64259) and ﬄ = chr(64260) — the latter two
+    * through the reference's separate 12-digit lookahead branch, ﬄ via the
+    * uppercase-'C'-only tail arm (reference: Tokeniser.cs:2616-2644);
     * variant 5 (per-chunk Tm, per-content newline state) joins within each
     * 8-chunk page only; every other variant concatenates — they vary the
     * FILE layout (encryption, xref stream + ObjStm, /Prev chain, malformed
@@ -633,7 +634,7 @@ object SparkEntry {
   private val pdfExpectedSql: String =
     """CASE
          WHEN v = 1 THEN array_to_string(ch, chr(10))
-         WHEN v = 2 THEN replace(replace(array_to_string(ch, ''), 'e', chr(64256)), 't', chr(64259))
+         WHEN v = 2 THEN replace(replace(replace(array_to_string(ch, ''), 'e', chr(64256)), 't', chr(64259)), 'a', chr(64260))
          WHEN v = 5 THEN array_to_string(list_transform(
              generate_series(1, CAST(ceil(len(ch) / 8.0) AS BIGINT)),
              p -> array_to_string(ch[(p-1)*8+1 : p*8], chr(10))), '')

@@ -30,7 +30,7 @@ object Corpus {
     * (graft.Bench's on-disk table) key on this, so a stale cache can never
     * be mistaken for the current generator's output. Belt-and-braces with
     * [[generatorFingerprint]], which catches a forgotten bump. */
-  val GeneratorVersion = "r4b"
+  val GeneratorVersion = "r4c"
 
   private[graft] def hexOf(bs: Array[Byte]): String =
     bs.map(x => f"${x & 0xff}%02x").mkString
@@ -253,7 +253,7 @@ object Corpus {
       // multi-code targets back to the single ligature codepoint
       // (ﬀ via the 8-digit branch, ﬃ via the separate 12-digit lookahead;
       // Tokeniser.cs:2616-2644)
-      case 2 => shown.mkString.replace(LigatureMarker, 'ﬀ').replace(LigatureMarker3, 'ﬃ')
+      case 2 => shown.mkString.replace(LigatureMarker, 'ﬀ').replace(LigatureMarker3, 'ﬃ').replace(LigatureMarker4, 'ﬄ')
       case 5 => shown.grouped(8).map(_.mkString("\n")).mkString
       case _ => shown.mkString
     }
@@ -308,6 +308,13 @@ object Corpus {
     * it is the second most frequent English letter. */
   final val LigatureMarker3 = 't'
 
+  /** CID 0x03, bfchar destination <00660066006C> — the OTHER 12-digit arm:
+    * the ﬄ tail, whose final hex digit must be the UPPERCASE 'C' (the
+    * reference's lookahead checks only 'C'; the lowercase form fails the
+    * font — quirk replicated and unit-pinned in PdfExtractSpec). Packs to
+    * ﬄ (U+FB04). 'a' — third most frequent letter in the corpus text. */
+  final val LigatureMarker4 = 'a'
+
   /** Variant 2: encoded-font decode. The written bytes are ROT13-scrambled
     * for ASCII letters — except [[LigatureMarker]], written as CID 0x01; a
     * Type1 font recovers the text through the /Differences overlay
@@ -328,9 +335,10 @@ object Corpus {
         |1 begincodespacerange
         |<00> <FF>
         |endcodespacerange
-        |4 beginbfchar
+        |5 beginbfchar
         |<01> <00660066>
         |<02> <006600660069>
+        |<03> <00660066006C>
         |<27> <0027>
         |<60> <0060>
         |endbfchar
@@ -377,6 +385,7 @@ object Corpus {
   private def encodeV2(s: String): String = s.map {
     case LigatureMarker => '\u0001'
     case LigatureMarker3 => '\u0002'
+    case LigatureMarker4 => '\u0003'
     case c if c >= 'a' && c <= 'z' => ('a' + (c - 'a' + 13) % 26).toChar
     case c if c >= 'A' && c <= 'Z' => ('A' + (c - 'A' + 13) % 26).toChar
     case c => c

@@ -72,16 +72,21 @@ class CorpusVariantsSpec extends AnyFunSuite {
     val wantSpans = 2 * (pages - 1) + (if (lastR > 4) 2 else 1)
     assert(r.spans.length == wantSpans, s"spans=${r.spans.length} want=$wantSpans")
     assert(r.pages == pages)
-    // every LigatureMarker decodes through the <01> → <00660066> bfchar and
-    // every LigatureMarker3 through <02> → <006600660069>, which the engine
-    // packs to the single ﬀ / ﬃ codepoints (1 char : 1 char); ﬃ takes the
-    // 12-digit lookahead branch the ﬀ path never reaches
-    val want = t.replace(Corpus.LigatureMarker, 'ﬀ').replace(Corpus.LigatureMarker3, 'ﬃ')
+    // every LigatureMarker decodes through the <01> → <00660066> bfchar,
+    // LigatureMarker3 through <02> → <006600660069>, and LigatureMarker4
+    // through <03> → <00660066006C>, which the engine packs to the single
+    // ﬀ / ﬃ / ﬄ codepoints (1 char : 1 char); ﬃ and ﬄ take the 12-digit
+    // lookahead branch the ﬀ path never reaches, ﬄ its uppercase-'C' arm
+    val want = t.replace(Corpus.LigatureMarker, 'ﬀ')
+      .replace(Corpus.LigatureMarker3, 'ﬃ')
+      .replace(Corpus.LigatureMarker4, 'ﬄ')
     assert(t.contains(Corpus.LigatureMarker), "test text must exercise the ligature path")
     assert(t.contains(Corpus.LigatureMarker3), "test text must exercise the 3-code ligature path")
+    assert(t.contains(Corpus.LigatureMarker4), "test text must exercise the ffl arm")
     assert(r.text == want)
     assert(r.text.contains('ﬀ') && !r.text.contains(Corpus.LigatureMarker))
     assert(r.text.contains('ﬃ') && !r.text.contains(Corpus.LigatureMarker3))
+    assert(r.text.contains('ﬄ') && !r.text.contains(Corpus.LigatureMarker4))
     assert(r.text.length == t.length)
     // spans tile the text in array order
     assert(r.spans.map(s => r.text.substring(s.start, s.end)).mkString == want)
