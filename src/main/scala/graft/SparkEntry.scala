@@ -212,6 +212,21 @@ object SparkEntry {
       graft.pipeline.Packing.packSequences(
         docs(s, dir).select("doc_id", "text"), "doc_id", "text")
         .orderBy("doc_id")),
+    "pack_sequences_stream_parity" -> ((s, dir) => {
+      // the STREAMING packing transform (stateful flatMapGroupsWithState)
+      // run in batch: must reproduce packSequences row-for-row against the
+      // identical recursive-CTE oracle
+      import s.implicits._
+      val typed = docs(s, dir)
+        .where(col("doc_id").isNotNull)
+        .select((col("doc_id") % 16).as("stream"), col("doc_id"),
+          graft.functions.TextStats.wsTokens(coalesce(col("text"), lit("")))
+            .as("n_tokens"))
+        .as[graft.streaming.PackEvent]
+      graft.streaming.StreamPacking.packStream(typed)
+        .toDF("doc_id", "stream", "bin", "n_tokens")
+        .orderBy("doc_id")
+    }),
     "pack_bins" -> ((s, dir) =>
       // trainer-ready assembly: completed bins emitted from the SAME
       // single sorted pass (no second shuffle); fingerprint the packed
@@ -771,6 +786,10 @@ object SparkEntry {
     // scan (same overflow rule — Packing.spills — same per-stream bin
     // reset); ONE copy of the recurrence feeds both packing oracles
     "pack_sequences" ->
+      (packRecurrenceCte +
+      """
+         SELECT doc_id, stream, bin, n_tokens FROM p ORDER BY doc_id"""),
+    "pack_sequences_stream_parity" ->
       (packRecurrenceCte +
       """
          SELECT doc_id, stream, bin, n_tokens FROM p ORDER BY doc_id"""),

@@ -39,7 +39,7 @@ object Packing {
     * spills to the next bin iff it does not fit AND the bin is non-empty —
     * so an oversized document occupies a bin of its own, never truncated
     * here (truncation is the trainer's decision, not packing's). */
-  @inline private[pipeline] def spills(filled: Long, t: Long, capacity: Long): Boolean =
+  @inline private[graft] def spills(filled: Long, t: Long, capacity: Long): Boolean =
     filled + t > capacity && filled > 0
 
   private def prepared(docs: DataFrame, idCol: String, textCol: String,

@@ -559,6 +559,37 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.size == 6)               // null-key right row matched nothing
   }
 
+  test("streaming packing carries the open bin across micro-batches") {
+    import graft.streaming.{PackEvent, StreamPacking}
+    import spark.implicits._
+    // capacity 10, one stream. batch 1: 6+3 fill bin 0 to 9;
+    // batch 2: a 4-token doc must SPILL to bin 1 because the open bin's
+    // fill is carried in state; then 5 joins it (9), and 2 spills to bin 2
+    val b1 = Seq(PackEvent(0L, 1L, 6L), PackEvent(0L, 2L, 3L))
+    val b2 = Seq(PackEvent(0L, 3L, 4L), PackEvent(0L, 4L, 5L), PackEvent(0L, 5L, 2L))
+    val dir = java.nio.file.Files.createTempDirectory("graft_spack").toString
+    b1.toDS().coalesce(1).write.parquet(s"$dir/in/f1")
+    b2.toDS().coalesce(1).write.parquet(s"$dir/in/f2")
+    def touch(sub: String, t: Long): Unit =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(s"$dir/in/$sub"))
+        .forEach(p => p.toFile.setLastModified(t))
+    val base = System.currentTimeMillis() - 120000L
+    touch("f1", base); touch("f2", base + 60000L)
+    val schema = spark.read.parquet(s"$dir/in/f1").schema
+    val streamIn = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(s"$dir/in/*").as[PackEvent]
+    val q = StreamPacking.packStream(streamIn, capacity = 10L)
+      .writeStream.outputMode("append").format("memory")
+      .queryName("graft_spack")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val got = spark.sql("SELECT doc_id, bin FROM graft_spack")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 0L, 3L -> 1L, 4L -> 1L, 5L -> 2L))
+  }
+
   test("streaming as-of matches across micro-batches via carried state") {
     import graft.streaming.{AsofEvent, StreamAsof}
     import java.sql.Timestamp
