@@ -328,6 +328,24 @@ object SparkEntry {
           length(Pii.scrub(col("text"))).cast("long").as("redacted_len"))
         .orderBy("doc_id")
     }),
+    "text_gopher" -> ((s, dir) => {
+      // full Gopher rule set over deterministically-augmented text: doc_id
+      // mod 4/5/7 plants bullet lines, an ellipsis line + hashes, and a
+      // run of non-alphabetic words, so every rule's fail path is gated
+      val aug = docs(s, dir).select(col("doc_id"), concat(
+        col("text"),
+        when(col("doc_id") % 4 === 0,
+          lit("\n- bullet line\n- another bullet")).otherwise(lit("")),
+        when(col("doc_id") % 5 === 0,
+          lit("\nto be continued...\n# # #")).otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" "), repeat(lit("9 "), 10))).otherwise(lit(""))
+      ).as("text"))
+      aug.select(col("doc_id"),
+          graft.functions.TextStats.gopherSignals(col("text"), minWords = 15).as("g"))
+        .select(col("doc_id"), col("g.*"))
+        .orderBy("doc_id")
+    }),
     "text_langid" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
           TextStats.langId(col("text")).as("pred_lang"))
@@ -983,6 +1001,40 @@ object SparkEntry {
          FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
     "events_asof" -> asofOracleSql,
     "events_asof_stream_parity" -> asofOracleSql,
+    "text_gopher" ->
+      """WITH aug AS (
+           SELECT doc_id, text ||
+             CASE WHEN doc_id % 4 = 0 THEN chr(10) || '- bullet line' || chr(10) || '- another bullet' ELSE '' END ||
+             CASE WHEN doc_id % 5 = 0 THEN chr(10) || 'to be continued...' || chr(10) || '# # #' ELSE '' END ||
+             CASE WHEN doc_id % 7 = 0 THEN ' ' || repeat('9 ', 10) ELSE '' END AS t
+           FROM documents),
+         sig AS (
+           SELECT doc_id,
+             CAST(len(string_split_regex(trim(t), '\s+')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(t, '\s+', '', 'g')) AS BIGINT) AS chars_in_words,
+             CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+             CAST((length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+             CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(string_split(t, chr(10)),
+               l -> starts_with(trim(l), '- ') OR starts_with(trim(l), '* '))) AS BIGINT) AS n_bullet_lines,
+             CAST(len(list_filter(string_split(t, chr(10)),
+               l -> ends_with(trim(l), '...'))) AS BIGINT) AS n_ellipsis_lines,
+             CAST(len(list_filter(string_split_regex(trim(t), '\s+'),
+               w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+             CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(t)), '\s+')),
+               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_distinct
+           FROM aug)
+         SELECT doc_id, n_words, n_hash, n_ellipsis, n_lines, n_bullet_lines,
+           n_ellipsis_lines, n_alpha_words, n_stop_distinct,
+           CASE WHEN n_words >= 15 AND n_words <= 100000
+                 AND chars_in_words >= n_words * 3 AND chars_in_words <= n_words * 10
+                 AND n_hash * 10 <= n_words AND n_ellipsis * 10 <= n_words
+                 AND n_bullet_lines * 10 <= n_lines * 9
+                 AND n_ellipsis_lines * 10 <= n_lines * 3
+                 AND n_alpha_words * 10 >= n_words * 8
+                 AND n_stop_distinct >= 2
+                THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
+         FROM sig ORDER BY doc_id""",
     "text_langid" ->
       """WITH h AS (SELECT doc_id,
            len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('der','die','und','das','nicht','von','ist','mit','den','ein'))) AS h_de,

@@ -134,6 +134,54 @@ object TextStats {
         col("score"))
   }
 
+  /** The eight words Gopher's "stop word presence" rule checks (Rae et al.
+    * 2021 §A1.1 — ≥ 2 distinct must appear). */
+  val GopherStopwords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full Gopher document-quality rule set (Rae et al. 2021 §A1.1) as
+    * exact integer signals — every ratio threshold is rewritten as a
+    * cross-multiplied integer comparison (10·hash ≤ words instead of
+    * hash/words ≤ 0.1) so the keep decision is bit-reproducible in any SQL
+    * engine; all plain `functions._` intrinsics, fully codegen'd.
+    *
+    * Signals: word count in [minWords, maxWords]; mean word length in
+    * [3, 10] (3·words ≤ chars-in-words ≤ 10·words); #-symbol and "..."
+    * counts each ≤ 10% of words; ≤ 90% of lines start with a bullet
+    * ("- " / "* "); ≤ 30% of lines end with "..."; ≥ 80% of words contain
+    * an alphabetic character; ≥ 2 distinct Gopher stop words present. */
+  def gopherSignals(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column = {
+    val ws = split(trim(text), "\\s+")
+    val words = size(ws).cast("long")
+    val charsInWords = (length(regexp_replace(text, "\\s+", ""))).cast("long")
+    val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    // replace-based count: non-overlapping leftmost in Spark and SQL alike
+    val nEllipsis = ((length(text) - length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
+    val lines = split(text, "\n")
+    val nLines = size(lines).cast("long")
+    val nBulletLines = size(filter(lines,
+      l => trim(l).startsWith("- ") || trim(l).startsWith("* "))).cast("long")
+    val nEllipsisLines = size(filter(lines,
+      l => trim(l).endsWith("..."))).cast("long")
+    val nAlphaWords = size(filter(ws, w => w.rlike("[a-zA-Z]"))).cast("long")
+    val nStopDistinct = size(array_intersect(array_distinct(split(lower(trim(text)), "\\s+")),
+      array(GopherStopwords.map(lit): _*))).cast("long")
+    val keep =
+      words.geq(minWords) && words.leq(maxWords) &&
+        charsInWords.geq(words * 3) && charsInWords.leq(words * 10) &&
+        (nHash * 10).leq(words) && (nEllipsis * 10).leq(words) &&
+        (nBulletLines * 10).leq(nLines * 9) &&
+        (nEllipsisLines * 10).leq(nLines * 3) &&
+        (nAlphaWords * 10).geq(words * 8) &&
+        nStopDistinct.geq(2)
+    struct(words.as("n_words"), nHash.as("n_hash"),
+      nEllipsis.as("n_ellipsis"), nLines.as("n_lines"),
+      nBulletLines.as("n_bullet_lines"), nEllipsisLines.as("n_ellipsis_lines"),
+      nAlphaWords.as("n_alpha_words"), nStopDistinct.as("n_stop_distinct"),
+      when(keep, 1L).otherwise(0L).as("keep"))
+  }
+
   def langId(text: Column): Column = {
     // score per language, pick argmax with lexicographic tie-break
     val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>

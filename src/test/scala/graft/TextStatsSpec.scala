@@ -47,6 +47,30 @@ class TextStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_._1 == 2L).head._3 === "beta")
   }
 
+  test("gopherSignals: each rule's fail path flips keep independently") {
+    import graft.functions.TextStats
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val good = "the quick brown fox jumps over lazy dogs and that " +
+      "they have fun with many other words beside them here today"
+    val rows = Seq(
+      (1L, good),                                             // passes all
+      (2L, good + " ##########"),                             // hash ratio (11 hashes > 10% of words)
+      (3L, good + " ... ... ..."),                            // ellipsis ratio
+      (4L, (1 to 20).map(_ => "- b").mkString("\n")),         // all-bullet lines
+      (5L, good.split(" ").map(_ + "...").mkString("\n")),    // ellipsis-ending lines
+      (6L, good + " " + (1 to 25).map(_.toString).mkString(" ")), // alpha-word ratio
+      (7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"))  // no stop words
+      .toDF("doc_id", "text")
+    val got = rows.select(col("doc_id"),
+        TextStats.gopherSignals(col("text"), minWords = 10).as("g"))
+      .select(col("doc_id"), col("g.keep"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got(1L) == 1L, "baseline text must pass")
+    (2L to 7L).foreach(id => assert(got(id) == 0L, s"doc $id should fail its rule"))
+  }
+
   test("Pii: redaction chain order, placeholder isolation, counts on intermediates") {
     import graft.functions.Pii
     import org.apache.spark.sql.functions.col
