@@ -237,6 +237,18 @@ object SparkEntry {
           md5(col("text").cast("binary")).as("packed_fp"),
           length(col("text")).cast("long").as("packed_len"))
         .orderBy("stream", "bin")),
+    "dedup_exact_spans" -> ((s, dir) => {
+      // Lee-et-al-style exact-substring span dedup: chimera docs (text
+      // self-concatenated) plant long duplicated spans; windows crossing
+      // the chimera seam occur once, so the island merge must SPLIT there
+      val d = docs(s, dir).select("doc_id", "text")
+      val corpus = d.unionAll(
+        d.where(col("doc_id") % 9 === 0)
+          .select((col("doc_id") + 7000000L).as("doc_id"),
+            concat(col("text"), lit(" "), col("text")).as("text")))
+      Dedup.duplicateSpans(corpus, "doc_id", "text", windowTokens = 20)
+        .orderBy("doc_id", "start_pos")
+    }),
     "dedup_drop_common_chunks" -> ((s, dir) =>
       // C4-style boilerplate removal: drop every 5-word window occurring in
       // >= 3 distinct documents, reassemble the survivors in order (docs
@@ -820,6 +832,25 @@ object SparkEntry {
                 CAST(length(string_agg(doc.text, ' ' ORDER BY p.doc_id)) AS BIGINT) AS packed_len
          FROM p JOIN documents doc ON p.doc_id = doc.doc_id
          GROUP BY p.stream, p.bin ORDER BY p.stream, p.bin"""),
+    // positions whose 20-gram repeats corpus-wide, merged to maximal spans
+    // by the pos - row_number gaps-and-islands identity
+    "dedup_exact_spans" ->
+      """WITH corpus AS (
+           SELECT doc_id, text FROM documents
+           UNION ALL
+           SELECT doc_id + 7000000, text || ' ' || text FROM documents WHERE doc_id % 9 = 0),
+         d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM corpus),
+         pos AS (SELECT doc_id, i AS pos, array_to_string(ws[i+1 : i+20], ' ') AS gram
+                 FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 20)) AS i
+                       FROM d WHERE len(ws) >= 20)),
+         dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
+         dp AS (SELECT doc_id, pos FROM pos WHERE gram IN (SELECT gram FROM dup)),
+         isl AS (SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                 FROM dp)
+         SELECT doc_id, CAST(min(pos) AS BIGINT) AS start_pos,
+                CAST(max(pos) + 20 AS BIGINT) AS end_pos, count(*) AS n_windows
+         FROM isl GROUP BY doc_id, grp ORDER BY doc_id, start_pos""",
     "dedup_drop_common_chunks" ->
       """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents),
          ch AS (SELECT doc_id, i AS pos, array_to_string(ws[i*5+1 : i*5+5], ' ') AS chunk

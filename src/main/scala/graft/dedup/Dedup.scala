@@ -645,6 +645,50 @@ object Dedup {
         coalesce(col("n_kept"), lit(0L)).as("n_kept"))
   }
 
+  /** Exact-substring span dedup (Lee et al. 2022, "Deduplicating Training
+    * Data Makes Language Models Better" — their suffix-array pass, restated
+    * in the sliding-window form a shuffle engine can run): a token position
+    * is DUPLICATED if the `windowTokens`-gram starting there occurs ≥
+    * `minCount` times in the whole corpus (within-doc repeats count, as in
+    * the paper); maximal runs of consecutive duplicated positions merge
+    * into removal spans `[start_pos, end_pos)` (token offsets — the
+    * byte-range analogue of the paper's output). Every duplicated
+    * substring of ≥ windowTokens tokens is covered exactly.
+    *
+    * Shape: one explode (n windows per doc) → one groupBy on the gram
+    * (map-side combined) → semi-join positions against the duplicated
+    * grams → per-DOC island merge (`pos - row_number` gaps-and-islands)
+    * whose window partition is one document's positions — bounded by doc
+    * length, never by corpus size; the final (doc, island) groupBy reuses
+    * the window's hash partitioning on doc_id (subset-key, no new
+    * shuffle). No suffix array is materialized: the windowed restatement
+    * trades the paper's O(total) suffix sort for an equi-join — the
+    * shuffle-native formulation. */
+  def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
+      windowTokens: Int = 50, minCount: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ws = col("ws") // materialized below — see shinglesFromWords caveat
+    val grams = transform(
+      sequence(lit(0), (size(ws) - windowTokens).cast("int")),
+      i => concat_ws(" ", slice(ws, i + 1, lit(windowTokens))))
+    val positions = docs
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("ws"))
+      .where(size(ws) >= windowTokens)
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
+    val dupGrams = positions.groupBy("gram")
+      .agg(count(lit(1)).as("n")).where(col("n") >= minCount)
+      .select("gram")
+    val dupPos = positions.join(dupGrams, Seq("gram"), "left_semi")
+      .select(col("doc_id"), col("pos").cast("long").as("pos"))
+    val w = Window.partitionBy("doc_id").orderBy("pos")
+    dupPos.withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy("doc_id", "grp")
+      .agg(min("pos").as("start_pos"),
+        (max("pos") + windowTokens).as("end_pos"),
+        count(lit(1)).as("n_windows"))
+      .select("doc_id", "start_pos", "end_pos", "n_windows")
+  }
+
   // -------------------------------------------------------------- SimHash
 
   /** 64-bit SimHash over word 4-shingles (Charikar 2002 / Manku et al. 2007):

@@ -301,4 +301,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(after - before <= 2,
       s"persistent RDDs grew $before -> $after: rounds are leaking checkpoint blocks")
   }
+
+  test("duplicateSpans: island merge, seam split, within-doc repeats count") {
+    import spark.implicits._
+    def words(a: Int, b: Int): String = (a to b).map(i => "w" + i).mkString(" ")
+    val base = words(1, 30)                       // 30 unique tokens
+    val rows = Seq(
+      (1L, base),                                 // duplicated wholly by doc 2
+      (2L, base + " " + base),                    // chimera: self-concat
+      (3L, words(100, 140))                       // unique -> no spans
+    ).toDF("doc_id", "text")
+    val got = Dedup.duplicateSpans(rows, "doc_id", "text", windowTokens = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .sortBy(t => (t._1, t._2)).toList
+    // doc 1 (n=30): every window pos 0..20 duplicated -> ONE span [0,30)
+    // doc 2 (n=60): pos 0..20 and 30..50 duplicated; seam windows 21..29
+    //   (crossing "w30 w1") occur once -> TWO spans [0,30) and [30,60)
+    assert(got == List(
+      (1L, 0L, 30L, 21L),
+      (2L, 0L, 30L, 21L), (2L, 30L, 60L, 21L)))
+  }
 }
