@@ -840,11 +840,11 @@ object SparkEntry {
            UNION ALL
            SELECT doc_id + 7000000, text || ' ' || text FROM documents WHERE doc_id % 9 = 0),
          d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM corpus),
-         pos AS (SELECT doc_id, i AS pos, array_to_string(ws[i+1 : i+20], ' ') AS gram
+         pos AS (SELECT doc_id, i AS pos, md5(array_to_string(ws[i+1 : i+20], ' ')) AS fp
                  FROM (SELECT doc_id, ws, unnest(generate_series(0, len(ws) - 20)) AS i
                        FROM d WHERE len(ws) >= 20)),
-         dup AS (SELECT gram FROM pos GROUP BY gram HAVING count(*) >= 2),
-         dp AS (SELECT doc_id, pos FROM pos WHERE gram IN (SELECT gram FROM dup)),
+         dup AS (SELECT fp FROM pos GROUP BY fp HAVING count(*) >= 2),
+         dp AS (SELECT doc_id, pos FROM pos WHERE fp IN (SELECT fp FROM dup)),
          isl AS (SELECT doc_id, pos,
                    pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
                  FROM dp)
@@ -1055,7 +1055,7 @@ object SparkEntry {
              CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(t)), '\s+')),
                ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_distinct
            FROM aug)
-         SELECT doc_id, n_words, n_hash, n_ellipsis, n_lines, n_bullet_lines,
+         SELECT doc_id, n_words, chars_in_words, n_hash, n_ellipsis, n_lines, n_bullet_lines,
            n_ellipsis_lines, n_alpha_words, n_stop_distinct,
            CASE WHEN n_words >= 15 AND n_words <= 100000
                  AND chars_in_words >= n_words * 3 AND chars_in_words <= n_words * 10

@@ -663,22 +663,35 @@ object Dedup {
     * the window's hash partitioning on doc_id (subset-key, no new
     * shuffle). No suffix array is materialized: the windowed restatement
     * trades the paper's O(total) suffix sort for an equi-join — the
-    * shuffle-native formulation. */
+    * shuffle-native formulation.
+    *
+    * The positions table feeds BOTH the count aggregate and the semi-join
+    * probe; left as two lazy references, the dominant gram explode would
+    * run twice (the differing exchanges block reuse). So the grams are
+    * narrowed to their md5 fingerprints at the explode — (doc_id, pos, fp)
+    * is ~windowTokens× smaller than the raw gram rows — and that narrow
+    * table is persisted once (MEMORY_AND_DISK, released via
+    * [[clearCaches]]; same discipline as [[dropHotKeysCached]]). md5, not
+    * a cheaper 64-bit hash, because the SQL oracle must compute the
+    * IDENTICAL fingerprint — and 128 bits keeps corpus-scale collision
+    * probability negligible where 64 bits would not. */
   def duplicateSpans(docs: DataFrame, idCol: String, textCol: String,
       windowTokens: Int = 50, minCount: Int = 2): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val ws = col("ws") // materialized below — see shinglesFromWords caveat
     val grams = transform(
       sequence(lit(0), (size(ws) - windowTokens).cast("int")),
-      i => concat_ws(" ", slice(ws, i + 1, lit(windowTokens))))
+      i => md5(concat_ws(" ", slice(ws, i + 1, lit(windowTokens))).cast("binary")))
     val positions = docs
       .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("ws"))
       .where(size(ws) >= windowTokens)
-      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "gram")))
-    val dupGrams = positions.groupBy("gram")
+      .select(col("doc_id"), posexplode(grams).as(Seq("pos", "fp")))
+      .persist()
+    registerCache(positions)
+    val dupGrams = positions.groupBy("fp")
       .agg(count(lit(1)).as("n")).where(col("n") >= minCount)
-      .select("gram")
-    val dupPos = positions.join(dupGrams, Seq("gram"), "left_semi")
+      .select("fp")
+    val dupPos = positions.join(dupGrams, Seq("fp"), "left_semi")
       .select(col("doc_id"), col("pos").cast("long").as("pos"))
     val w = Window.partitionBy("doc_id").orderBy("pos")
     dupPos.withColumn("grp", col("pos") - row_number().over(w))

@@ -175,7 +175,8 @@ object TextStats {
         (nEllipsisLines * 10).leq(nLines * 3) &&
         (nAlphaWords * 10).geq(words * 8) &&
         nStopDistinct.geq(2)
-    struct(words.as("n_words"), nHash.as("n_hash"),
+    struct(words.as("n_words"), charsInWords.as("chars_in_words"),
+      nHash.as("n_hash"),
       nEllipsis.as("n_ellipsis"), nLines.as("n_lines"),
       nBulletLines.as("n_bullet_lines"), nEllipsisLines.as("n_ellipsis_lines"),
       nAlphaWords.as("n_alpha_words"), nStopDistinct.as("n_stop_distinct"),

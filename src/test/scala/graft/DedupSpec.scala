@@ -314,6 +314,7 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     val got = Dedup.duplicateSpans(rows, "doc_id", "text", windowTokens = 10)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
       .sortBy(t => (t._1, t._2)).toList
+    Dedup.clearCaches() // duplicateSpans registers its narrow positions cache
     // doc 1 (n=30): every window pos 0..20 duplicated -> ONE span [0,30)
     // doc 2 (n=60): pos 0..20 and 30..50 duplicated; seam windows 21..29
     //   (crossing "w30 w1") occur once -> TWO spans [0,30) and [30,60)

@@ -47,28 +47,54 @@ class TextStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got.filter(_._1 == 2L).head._3 === "beta")
   }
 
-  test("gopherSignals: each rule's fail path flips keep independently") {
+  test("gopherSignals: each rule's fail path flips keep in ISOLATION") {
     import graft.functions.TextStats
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val good = "the quick brown fox jumps over lazy dogs and that " +
       "they have fun with many other words beside them here today"
+    // each failing doc is constructed so EXACTLY ONE rule is violated —
+    // asserted below from the signals, so a regression in any single
+    // comparison cannot hide behind a second incidentally-failing rule
     val rows = Seq(
-      (1L, good),                                             // passes all
-      (2L, good + " ##########"),                             // hash ratio (11 hashes > 10% of words)
-      (3L, good + " ... ... ..."),                            // ellipsis ratio
-      (4L, (1 to 20).map(_ => "- b").mkString("\n")),         // all-bullet lines
-      (5L, good.split(" ").map(_ + "...").mkString("\n")),    // ellipsis-ending lines
-      (6L, good + " " + (1 to 25).map(_.toString).mkString(" ")), // alpha-word ratio
+      (1L, good),                                          // passes all
+      (2L, good + " x# y# z#"),                            // hash ratio only (3 hashes, 23 words)
+      (3L, good + " a...b c...d e...f"),                   // mid-line ellipsis ratio only
+      (4L, good + (1 to 10).map(_ => "\n- alpha beta gamma").mkString), // bullet-line ratio only
+      (5L, good + "\nmore words here too...\nand even more now..."),   // ellipsis-END lines only
+      (6L, good + " " + (100 to 115).map(_.toString).mkString(" ")),   // alpha-word ratio only
       (7L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
-        "lambda mu nu xi omicron pi rho sigma tau upsilon"))  // no stop words
+        "lambda mucus nuance xylem omicron pious rhombus sigma tauon upsilon")) // stop words only
       .toDF("doc_id", "text")
-    val got = rows.select(col("doc_id"),
+    val sig = rows.select(col("doc_id"),
         TextStats.gopherSignals(col("text"), minWords = 10).as("g"))
-      .select(col("doc_id"), col("g.keep"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got(1L) == 1L, "baseline text must pass")
-    (2L to 7L).foreach(id => assert(got(id) == 0L, s"doc $id should fail its rule"))
+      .select(col("doc_id"), col("g.*"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    // rule predicates recomputed from the emitted signals
+    def fails(id: Long): Seq[String] = {
+      val r = sig(id)
+      val (w, chars, hash, ell, lines, bul, ellLines, alpha, stop) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getLong(6), r.getLong(7), r.getLong(8), r.getLong(9))
+      Seq(
+        "words" -> (w >= 10 && w <= 100000),
+        "word_len" -> (chars >= 3 * w && chars <= 10 * w),
+        "hash" -> (hash * 10 <= w),
+        "ellipsis" -> (ell * 10 <= w),
+        "bullets" -> (bul * 10 <= lines * 9),
+        "ellipsis_lines" -> (ellLines * 10 <= lines * 3),
+        "alpha" -> (alpha * 10 >= 8 * w),
+        "stop" -> (stop >= 2)
+      ).collect { case (name, ok) if !ok => name }
+    }
+    assert(sig(1L).getLong(10) == 1L, "baseline text must pass")
+    val want = Map(2L -> "hash", 3L -> "ellipsis", 4L -> "bullets",
+      5L -> "ellipsis_lines", 6L -> "alpha", 7L -> "stop")
+    want.foreach { case (id, rule) =>
+      assert(fails(id) == Seq(rule),
+        s"doc $id must fail ONLY '$rule', failed: ${fails(id)}")
+      assert(sig(id).getLong(10) == 0L, s"doc $id keep must be 0")
+    }
   }
 
   test("Pii: redaction chain order, placeholder isolation, counts on intermediates") {
