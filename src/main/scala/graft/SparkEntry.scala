@@ -119,6 +119,26 @@ object SparkEntry {
         .select(docIdFromUrl, col("n_chars").cast("long").as("n_chars"))
         .orderBy("doc_id")
     }),
+    "compact_checkpoint" -> ((s, dir) => {
+      // small-file maintenance: three separate commits compacted into ONE
+      // batch; the oracle asserts content identity after the rewrite (the
+      // batch-count / resume-to-zero structure is unit-pinned)
+      val pages = Corpus.pagesCached(s, dir)
+      val outDir = s"${sys.props("java.io.tmpdir")}/graft_compact_${Integer.toHexString(dir.hashCode)}"
+      val p = new org.apache.hadoop.fs.Path(outDir)
+      val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(p)) fs.delete(p, true)
+      val docId = element_at(split(col("url"), "/"), -1).cast("long")
+      (0 until 3).foreach { r =>
+        Checkpoint.commitWithData(
+          ExtractPipeline.run(pages.where(docId % 3 === r), delimiter = ""),
+          outDir)
+      }
+      Checkpoint.compact(s, outDir)
+      Checkpoint.readExtracted(s, outDir)
+        .select(docIdFromUrl, col("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
     // --------------------------------------------------------------- dedup
     "dedup_exact" -> ((s, dir) => {
       val d = docs(s, dir).select("doc_id", "text")
@@ -764,6 +784,10 @@ object SparkEntry {
     "resume_after_checkpoint" ->
       s"""SELECT doc_id, CAST(length(text) + $pdfExtraCharsSql AS BIGINT) AS n_chars
           FROM documents WHERE doc_id % 7 <> 0 ORDER BY doc_id""",
+    // all three committed thirds must survive the rewrite byte-for-byte
+    "compact_checkpoint" ->
+      s"""SELECT doc_id, CAST(length(text) + $pdfExtraCharsSql AS BIGINT) AS n_chars
+          FROM documents ORDER BY doc_id""",
     "dedup_exact" ->
       """WITH corpus AS (
            SELECT doc_id, text FROM documents

@@ -241,6 +241,64 @@ object Checkpoint {
       includeLegacy = keep.exists(_.name.isEmpty))
   }
 
+  /** Compact many small committed data batches into one size-targeted
+    * batch — the Iceberg `rewrite_data_files` analogue for this sink
+    * (small-file maintenance: a long-running incremental job commits many
+    * batches, each a handful of files; readers then pay per-file open
+    * cost). Ordering preserves the sink's crash contract ("done and
+    * visible, or invisible and re-extractable; never duplicates") at
+    * every step:
+    *
+    *  1. stage compacted data + its manifest;
+    *  2. publish the DATA dir — an invisible orphan (readers follow only
+    *     manifest-referenced batches);
+    *  3. remove the replaced manifests — their urls become "not done"; a
+    *     crash here costs re-extraction work, never correctness;
+    *  4. publish the new manifest — the commit point;
+    *  5. delete the replaced data dirs — garbage collection; a crash
+    *     leaves invisible orphans.
+    *
+    * A rename filesystem cannot swap N manifests atomically, so the design
+    * deliberately trades a transient "not done" window (idempotent to
+    * re-extract) for NEVER having a window where a url is visible twice.
+    * Manifest-only commits (no data) and the legacy flat layout are left
+    * untouched. Returns the new batch id; None when there is nothing to
+    * compact (< 2 data batches). */
+  def compact(spark: SparkSession, outDir: String,
+      targetFileBytes: Long = 128L << 20): Option[String] = {
+    import spark.implicits._
+    val mans = committedManifests(spark, outDir)
+    val dataBatches = referencedBatches(spark, mans)
+    if (dataBatches.size <= 1) return None
+    val fs = fsOf(spark, outDir)
+    val dataDirs = dataBatches.map(b => s"${dataPath(outDir)}/$b")
+    val totalBytes = dataDirs
+      .map(d => fs.getContentSummary(new Path(d)).getLength).sum
+    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val batch = newBatchId()
+    val dataStaging = s"${dataPath(outDir)}/.staging_$batch"
+    val manStaging = s"${manifestPath(outDir)}/.staging_$batch"
+    spark.read.format(tableFormat(spark)).load(dataDirs: _*)
+      .coalesce(nFiles)
+      .write.format(tableFormat(spark)).save(dataStaging)
+    // manifest rows re-derive from the compacted data: the url set equals
+    // the union of the replaced batches' data by construction
+    manifestRows(spark.read.format(tableFormat(spark)).load(dataStaging)
+      .as[ExtractedDoc], batch).write.parquet(manStaging)
+    publish(spark, dataStaging, s"${dataPath(outDir)}/$batch") // step 2
+    // a manifest dir is replaced iff every data batch its rows reference is
+    // being compacted (commitWithData writes one batch per manifest, so
+    // this is exact; manifest-only dirs reference none and are kept)
+    val replaced = mans.filter { m =>
+      val refs = referencedBatches(spark, Seq(m))
+      refs.nonEmpty && refs.forall(dataBatches.contains)
+    }
+    replaced.foreach(m => fs.delete(new Path(m), true)) // step 3
+    publish(spark, manStaging, s"${manifestPath(outDir)}/$batch") // step 4
+    dataDirs.foreach(d => fs.delete(new Path(d), true)) // step 5
+    Some(batch)
+  }
+
   /** Run-level metrics rollup from the committed manifests. */
   def metrics(spark: SparkSession, outDir: String): DataFrame = {
     val dirs = committedManifests(spark, outDir)

@@ -140,6 +140,35 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(Checkpoint.resume(pages, outDir).count() == 0)
   }
 
+  test("compact: content identical, one data batch remains, resume stays empty, manifest-only kept") {
+    import spark.implicits._
+    val texts = (0L until 12L).map(i => i -> s"document number $i body words here")
+    val pages = texts.map { case (id, t) => Corpus.pageRowFor(id, t, "en") }.toDS()
+    def docId = element_at(split(col("url"), "/"), -1).cast("long")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_spec_compact").toString
+    (0 until 3).foreach(r => Checkpoint.commitWithData(
+      ExtractPipeline.run(pages.where(docId % 4 === r)), outDir))
+    // a manifest-only commit (work done elsewhere, no data) must survive
+    Checkpoint.commit(ExtractPipeline.run(pages.where(docId % 4 === 3)), outDir)
+    val before = Checkpoint.readExtracted(spark, outDir)
+      .select("url", "text", "n_chars").collect().map(_.toSeq).toSet
+    def dataBatchDirs = new java.io.File(Checkpoint.dataPath(outDir))
+      .listFiles.filter(f => f.isDirectory && f.getName.startsWith("batch_")).toSeq
+    assert(dataBatchDirs.size == 3)
+    val newBatch = Checkpoint.compact(spark, outDir)
+    assert(newBatch.isDefined)
+    assert(dataBatchDirs.map(_.getName) == Seq(newBatch.get), "exactly the compacted batch remains")
+    val after = Checkpoint.readExtracted(spark, outDir)
+      .select("url", "text", "n_chars").collect().map(_.toSeq).toSet
+    assert(after == before, "compaction must not change table content")
+    assert(Checkpoint.resume(pages, outDir).count() == 0,
+      "every url (incl. the manifest-only commit's) must stay done")
+    val m = Checkpoint.metrics(spark, outDir).collect().head
+    assert(m.getAs[Long]("docs_done") == 12L)
+    // nothing left to compact
+    assert(Checkpoint.compact(spark, outDir).isEmpty)
+  }
+
   test("snapshot time travel: readExtractedAsOf sees exactly the batches committed by then") {
     import spark.implicits._
     val outDir = java.nio.file.Files.createTempDirectory("graft_spec_tt").toString
