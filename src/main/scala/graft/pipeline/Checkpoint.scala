@@ -299,6 +299,30 @@ object Checkpoint {
     Some(batch)
   }
 
+  /** Remove orphaned data-batch directories — batches no committed
+    * manifest references (crash leftovers from the window between a data
+    * publish and its manifest publish, or from [[compact]] step 5 dying) —
+    * the Iceberg `remove_orphan_files` analogue. Only batches older than
+    * `graceMs` are touched: an IN-FLIGHT commit's data dir is briefly
+    * unreferenced by design (data publishes before its manifest), so a
+    * concurrent committer inside the grace window is never broken.
+    * Staging (dot-prefixed) dirs and the legacy flat files (vouched by
+    * legacy manifests, not batch references) are never touched. Returns
+    * the removed batch names. */
+  def vacuum(spark: SparkSession, outDir: String,
+      graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
+    val fs = fsOf(spark, outDir)
+    val root = new Path(dataPath(outDir))
+    if (!fs.exists(root)) return Nil
+    val referenced = referencedBatches(spark, committedManifests(spark, outDir)).toSet
+    val cutoff = System.currentTimeMillis() - graceMs
+    fs.listStatus(root).toSeq
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_") &&
+        !referenced.contains(st.getPath.getName) &&
+        st.getModificationTime < cutoff)
+      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+  }
+
   /** Run-level metrics rollup from the committed manifests. */
   def metrics(spark: SparkSession, outDir: String): DataFrame = {
     val dirs = committedManifests(spark, outDir)

@@ -138,6 +138,15 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.count() == 10)
     assert(out.select("url").distinct().count() == 10, "duplicate rows after crash-resume")
     assert(Checkpoint.resume(pages, outDir).count() == 0)
+    // vacuum: the orphan is removable once past the grace window, but a
+    // fresh (possibly in-flight) orphan inside it is protected
+    assert(Checkpoint.vacuum(spark, outDir).isEmpty,
+      "default grace must protect a freshly-written orphan")
+    val removed = Checkpoint.vacuum(spark, outDir, graceMs = -1000L)
+    assert(removed == Seq("batch_orphan"), s"removed=$removed")
+    assert(Checkpoint.readExtracted(spark, outDir).count() == 10,
+      "vacuum must not touch referenced batches")
+    assert(Checkpoint.vacuum(spark, outDir, graceMs = -1000L).isEmpty)
   }
 
   test("compact: content identical, one data batch remains, resume stays empty, manifest-only kept") {
