@@ -128,9 +128,12 @@ object Checkpoint {
   /** Rows of `pages` not yet present in any committed manifest. Left-anti on
     * `url`; the manifest side is small relative to the input and
     * broadcast-eligible per AQE, so resume adds no full shuffle of the page
-    * table. */
+    * table. Refuses to run while a [[compact]] holds the maintenance lock —
+    * resuming inside the compaction window would re-extract urls whose
+    * manifests are transiently absent and duplicate them permanently. */
   def resume(pages: Dataset[PageRow], outDir: String): Dataset[PageRow] = {
     val spark = pages.sparkSession
+    assertNoMaintenance(spark, outDir)
     doneUrls(spark, outDir) match {
       case Some(d) => pages.join(d, Seq("url"), "left_anti").as[PageRow](pages.encoder)
       case None    => pages
@@ -241,6 +244,47 @@ object Checkpoint {
       includeLegacy = keep.exists(_.name.isEmpty))
   }
 
+  def maintenanceLockPath(outDir: String): String = s"$outDir/_maintenance_lock"
+
+  /** Acquire the advisory maintenance lock (atomic file create). A lock
+    * older than `staleMs` is presumed crashed and replaced. Throws on a
+    * live concurrent lock. */
+  private def acquireMaintenanceLock(spark: SparkSession, outDir: String,
+      staleMs: Long): Unit = {
+    val fs = fsOf(spark, outDir)
+    val p = new Path(maintenanceLockPath(outDir))
+    fs.mkdirs(p.getParent)
+    if (fs.exists(p)) {
+      val age = System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime
+      if (age < staleMs)
+        throw new IllegalStateException(
+          s"maintenance already in progress on $outDir (lock age ${age} ms); " +
+            "retry after it completes or remove a stale lock manually")
+      fs.delete(p, false)
+    }
+    if (!fs.createNewFile(p))
+      throw new IllegalStateException(s"lost the maintenance-lock race on $outDir")
+  }
+
+  private def releaseMaintenanceLock(spark: SparkSession, outDir: String): Unit =
+    fsOf(spark, outDir).delete(new Path(maintenanceLockPath(outDir)), false)
+
+  /** Throws when a live maintenance lock is present — called by [[resume]]
+    * so an incremental run cannot observe the transient "not done" window
+    * of a concurrent [[compact]] and re-extract (then duplicate) its urls. */
+  private[pipeline] def assertNoMaintenance(spark: SparkSession, outDir: String,
+      staleMs: Long = MaintenanceLockStaleMs): Unit = {
+    val fs = fsOf(spark, outDir)
+    val p = new Path(maintenanceLockPath(outDir))
+    if (fs.exists(p) &&
+        System.currentTimeMillis() - fs.getFileStatus(p).getModificationTime < staleMs)
+      throw new IllegalStateException(
+        s"maintenance in progress on $outDir — resume would re-extract " +
+          "urls mid-compaction and duplicate them; retry when it completes")
+  }
+
+  val MaintenanceLockStaleMs: Long = 6L * 3600 * 1000
+
   /** Compact many small committed data batches into one size-targeted
     * batch — the Iceberg `rewrite_data_files` analogue for this sink
     * (small-file maintenance: a long-running incremental job commits many
@@ -258,69 +302,93 @@ object Checkpoint {
     *  5. delete the replaced data dirs — garbage collection; a crash
     *     leaves invisible orphans.
     *
-    * A rename filesystem cannot swap N manifests atomically, so the design
-    * deliberately trades a transient "not done" window (idempotent to
-    * re-extract) for NEVER having a window where a url is visible twice.
-    * Manifest-only commits (no data) and the legacy flat layout are left
-    * untouched. Returns the new batch id; None when there is nothing to
-    * compact (< 2 data batches). */
+    * Concurrency: the steps are guarded by the advisory maintenance lock
+    * (atomic create of `_maintenance_lock`), and [[resume]] REFUSES to run
+    * while it is held — without that guard, a resume landing between steps
+    * 3 and 4 would see the compacted urls as not-done, re-extract and
+    * re-commit them, and the table would show them twice forever. Writers
+    * that bypass this library's API must honor the lock themselves.
+    * Concurrent READS during the window see a transiently partial table,
+    * and a long-running read started before compaction can fail when step
+    * 5 removes files under it (this sink has no immutable-metadata
+    * snapshot isolation) — schedule maintenance accordingly.
+    *
+    * Two documented deviations from Iceberg's rewrite: snapshot HISTORY
+    * collapses (the replaced manifests are gone, so time travel spans only
+    * commits after the last compaction — a filesystem sink without a
+    * metadata log cannot keep rewritten lineage alive), and manifest
+    * `part_id` lineage is re-derived over the compacted layout (original
+    * extraction partition attribution does not survive). Manifest-only
+    * commits and the legacy flat layout are untouched. Returns the new
+    * batch id; None when < 2 data batches exist. */
   def compact(spark: SparkSession, outDir: String,
       targetFileBytes: Long = 128L << 20): Option[String] = {
     import spark.implicits._
     val mans = committedManifests(spark, outDir)
     val dataBatches = referencedBatches(spark, mans)
     if (dataBatches.size <= 1) return None
-    val fs = fsOf(spark, outDir)
-    val dataDirs = dataBatches.map(b => s"${dataPath(outDir)}/$b")
-    val totalBytes = dataDirs
-      .map(d => fs.getContentSummary(new Path(d)).getLength).sum
-    val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
-    val batch = newBatchId()
-    val dataStaging = s"${dataPath(outDir)}/.staging_$batch"
-    val manStaging = s"${manifestPath(outDir)}/.staging_$batch"
-    spark.read.format(tableFormat(spark)).load(dataDirs: _*)
-      .coalesce(nFiles)
-      .write.format(tableFormat(spark)).save(dataStaging)
-    // manifest rows re-derive from the compacted data: the url set equals
-    // the union of the replaced batches' data by construction
-    manifestRows(spark.read.format(tableFormat(spark)).load(dataStaging)
-      .as[ExtractedDoc], batch).write.parquet(manStaging)
-    publish(spark, dataStaging, s"${dataPath(outDir)}/$batch") // step 2
-    // a manifest dir is replaced iff every data batch its rows reference is
-    // being compacted (commitWithData writes one batch per manifest, so
-    // this is exact; manifest-only dirs reference none and are kept)
-    val replaced = mans.filter { m =>
-      val refs = referencedBatches(spark, Seq(m))
-      refs.nonEmpty && refs.forall(dataBatches.contains)
-    }
-    replaced.foreach(m => fs.delete(new Path(m), true)) // step 3
-    publish(spark, manStaging, s"${manifestPath(outDir)}/$batch") // step 4
-    dataDirs.foreach(d => fs.delete(new Path(d), true)) // step 5
-    Some(batch)
+    acquireMaintenanceLock(spark, outDir, MaintenanceLockStaleMs)
+    try {
+      val fs = fsOf(spark, outDir)
+      val dataDirs = dataBatches.map(b => s"${dataPath(outDir)}/$b")
+      val totalBytes = dataDirs
+        .map(d => fs.getContentSummary(new Path(d)).getLength).sum
+      val nFiles = math.max(1L, (totalBytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val batch = newBatchId()
+      val dataStaging = s"${dataPath(outDir)}/.staging_$batch"
+      val manStaging = s"${manifestPath(outDir)}/.staging_$batch"
+      val source = spark.read.format(tableFormat(spark)).load(dataDirs: _*)
+      // coalesce only shrinks; growing past the read parallelism (small
+      // target on big input) needs a real repartition
+      val sized =
+        if (nFiles < source.rdd.getNumPartitions) source.coalesce(nFiles)
+        else if (nFiles > source.rdd.getNumPartitions) source.repartition(nFiles)
+        else source
+      sized.write.format(tableFormat(spark)).save(dataStaging)
+      // manifest rows re-derive from the compacted data: the url set equals
+      // the union of the replaced batches' data by construction
+      manifestRows(spark.read.format(tableFormat(spark)).load(dataStaging)
+        .as[ExtractedDoc], batch).write.parquet(manStaging)
+      publish(spark, dataStaging, s"${dataPath(outDir)}/$batch") // step 2
+      // commitWithData names each manifest dir after its one data batch, so
+      // the replaced manifests are exactly those named by a compacted batch
+      // (manifest-only and legacy entries never carry such a name) — a pure
+      // name check, no per-manifest read jobs
+      val replaced = mans.filter(m => dataBatches.contains(new Path(m).getName))
+      replaced.foreach(m => fs.delete(new Path(m), true)) // step 3
+      publish(spark, manStaging, s"${manifestPath(outDir)}/$batch") // step 4
+      dataDirs.foreach(d => fs.delete(new Path(d), true)) // step 5
+      Some(batch)
+    } finally releaseMaintenanceLock(spark, outDir)
   }
 
-  /** Remove orphaned data-batch directories — batches no committed
-    * manifest references (crash leftovers from the window between a data
-    * publish and its manifest publish, or from [[compact]] step 5 dying) —
-    * the Iceberg `remove_orphan_files` analogue. Only batches older than
+  /** Remove orphaned sink artifacts — (a) data-batch directories no
+    * committed manifest references (crash leftovers from the window
+    * between a data publish and its manifest publish, or from [[compact]]
+    * step 5 dying) and (b) `.staging_*` dirs under both the data and
+    * manifest roots (a commit or compact that died mid-write) — the
+    * Iceberg `remove_orphan_files` analogue. Only artifacts older than
     * `graceMs` are touched: an IN-FLIGHT commit's data dir is briefly
-    * unreferenced by design (data publishes before its manifest), so a
-    * concurrent committer inside the grace window is never broken.
-    * Staging (dot-prefixed) dirs and the legacy flat files (vouched by
-    * legacy manifests, not batch references) are never touched. Returns
-    * the removed batch names. */
+    * unreferenced and its staging dir briefly present by design, so a
+    * concurrent committer inside the grace window is never broken. The
+    * legacy flat files (vouched by legacy manifests, not batch
+    * references) are never touched. Returns the removed names. */
   def vacuum(spark: SparkSession, outDir: String,
       graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
     val fs = fsOf(spark, outDir)
-    val root = new Path(dataPath(outDir))
-    if (!fs.exists(root)) return Nil
-    val referenced = referencedBatches(spark, committedManifests(spark, outDir)).toSet
     val cutoff = System.currentTimeMillis() - graceMs
-    fs.listStatus(root).toSeq
-      .filter(st => st.isDirectory && st.getPath.getName.startsWith("batch_") &&
-        !referenced.contains(st.getPath.getName) &&
-        st.getModificationTime < cutoff)
-      .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+    def removeUnder(root: Path, keep: String => Boolean): Seq[String] =
+      if (!fs.exists(root)) Nil
+      else fs.listStatus(root).toSeq
+        .filter(st => st.isDirectory && !keep(st.getPath.getName) &&
+          st.getModificationTime < cutoff)
+        .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+    val referenced = referencedBatches(spark, committedManifests(spark, outDir)).toSet
+    removeUnder(new Path(dataPath(outDir)),
+      name => !(name.startsWith("batch_") && !referenced.contains(name)) &&
+        !name.startsWith(".staging_")) ++
+      removeUnder(new Path(manifestPath(outDir)),
+        name => !name.startsWith(".staging_"))
   }
 
   /** Run-level metrics rollup from the committed manifests. */

@@ -159,23 +159,49 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       ExtractPipeline.run(pages.where(docId % 4 === r)), outDir))
     // a manifest-only commit (work done elsewhere, no data) must survive
     Checkpoint.commit(ExtractPipeline.run(pages.where(docId % 4 === 3)), outDir)
-    val before = Checkpoint.readExtracted(spark, outDir)
-      .select("url", "text", "n_chars").collect().map(_.toSeq).toSet
+    // sorted SEQUENCES, not sets: a rewrite that duplicated or dropped a
+    // row is exactly what this comparison must catch
+    def content() = Checkpoint.readExtracted(spark, outDir)
+      .select("url", "text", "n_chars").collect()
+      .map(_.toSeq.map(String.valueOf)).sortBy(_.mkString("|")).toSeq
+    val before = content()
     def dataBatchDirs = new java.io.File(Checkpoint.dataPath(outDir))
       .listFiles.filter(f => f.isDirectory && f.getName.startsWith("batch_")).toSeq
     assert(dataBatchDirs.size == 3)
     val newBatch = Checkpoint.compact(spark, outDir)
     assert(newBatch.isDefined)
     assert(dataBatchDirs.map(_.getName) == Seq(newBatch.get), "exactly the compacted batch remains")
-    val after = Checkpoint.readExtracted(spark, outDir)
-      .select("url", "text", "n_chars").collect().map(_.toSeq).toSet
-    assert(after == before, "compaction must not change table content")
+    assert(content() == before, "compaction must not change table content")
+    assert(!new java.io.File(Checkpoint.maintenanceLockPath(outDir)).exists,
+      "maintenance lock must be released")
     assert(Checkpoint.resume(pages, outDir).count() == 0,
       "every url (incl. the manifest-only commit's) must stay done")
     val m = Checkpoint.metrics(spark, outDir).collect().head
     assert(m.getAs[Long]("docs_done") == 12L)
     // nothing left to compact
     assert(Checkpoint.compact(spark, outDir).isEmpty)
+  }
+
+  test("maintenance lock: resume refuses mid-compaction; stale locks are reclaimed") {
+    import spark.implicits._
+    val texts = (0L until 6L).map(i => i -> s"document number $i body words here")
+    val pages = texts.map { case (id, t) => Corpus.pageRowFor(id, t, "en") }.toDS()
+    def docId = element_at(split(col("url"), "/"), -1).cast("long")
+    val outDir = java.nio.file.Files.createTempDirectory("graft_spec_lock").toString
+    (0 until 2).foreach(r => Checkpoint.commitWithData(
+      ExtractPipeline.run(pages.where(docId % 2 === r)), outDir))
+    // simulate an in-flight compact: a fresh lock file
+    val lock = new java.io.File(Checkpoint.maintenanceLockPath(outDir))
+    assert(lock.createNewFile())
+    val ex = intercept[IllegalStateException](Checkpoint.resume(pages, outDir).count())
+    assert(ex.getMessage.contains("maintenance in progress"))
+    val ex2 = intercept[IllegalStateException](Checkpoint.compact(spark, outDir))
+    assert(ex2.getMessage.contains("maintenance already in progress"))
+    // a crashed compact's stale lock must not wedge the sink forever
+    assert(lock.setLastModified(System.currentTimeMillis() - Checkpoint.MaintenanceLockStaleMs - 1000))
+    assert(Checkpoint.resume(pages, outDir).count() == 0) // stale lock ignored
+    assert(Checkpoint.compact(spark, outDir).isDefined)   // stale lock reclaimed
+    assert(!lock.exists, "lock released after compaction")
   }
 
   test("snapshot time travel: readExtractedAsOf sees exactly the batches committed by then") {
