@@ -8,6 +8,7 @@ import org.apache.spark.sql.functions._
   * {{{
   * spark-submit --class graft.pipeline.Main pdfparserspark.jar \
   *   <inputTable> <outDir> [--delimiter D] [--partitions N] [--no-resume]
+  *   [--maintenance]
   * }}}
   *
   * Reads the input_hint page table (parquet path or Iceberg-style table
@@ -17,16 +18,33 @@ import org.apache.spark.sql.functions._
   * metrics rollup. Designed so a killed run re-submitted with the same
   * arguments continues mid-table (north_rule: resumable with per-partition
   * lineage + metrics).
+  *
+  * `--maintenance` skips extraction and instead runs the sink maintenance
+  * pair on `<outDir>` — [[Checkpoint.compact]] (small-file rewrite, under
+  * the maintenance lock) then [[Checkpoint.vacuum]] (orphan + crashed-
+  * staging GC) — and prints what it did. `<inputTable>` is ignored but
+  * still required positionally so the submit command only changes by the
+  * flag.
   */
 object Main {
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
-    require(pos.length >= 2, "usage: Main <inputTable> <outDir> [--delimiter D] [--partitions N] [--no-resume]")
+    require(pos.length >= 2, "usage: Main <inputTable> <outDir> [--delimiter D] [--partitions N] [--no-resume] [--maintenance]")
     val (input, outDir) = (pos(0), pos(1))
     def opt(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(k, v) if k == s"--$name" => v }
     val delimiter = opt("delimiter").getOrElse("")
     val resume = !args.contains("--no-resume")
+
+    if (args.contains("--maintenance")) {
+      val spark = SparkSession.builder().appName("graft-maintenance").getOrCreate()
+      val compacted = Checkpoint.compact(spark, outDir)
+      val vacuumed = Checkpoint.vacuum(spark, outDir)
+      println(s"""{"compacted":${compacted.map("\"" + _ + "\"").getOrElse("null")},""" +
+        s""""vacuumed":[${vacuumed.map("\"" + _ + "\"").mkString(",")}]}""")
+      spark.stop()
+      return
+    }
 
     val spark = SparkSession.builder()
       .appName("graft-extract")
