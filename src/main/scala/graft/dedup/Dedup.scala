@@ -122,17 +122,24 @@ object Dedup {
     * map-side-combined shuffle on the key and no window (a window would
     * still need the whole group in one task; the agg combines partials).
     *
-    * A null score ranks WORST (coalesced to Long.MaxValue in the negated
-    * ordering): Spark's raw struct min would sort the null field FIRST and
-    * crown the null-score row, while SQL window engines default to
-    * nulls-last under DESC — coalescing pins both engines to the same
-    * answer, and an all-null group still keeps its min-id row. */
+    * A null score ranks WORST (coalesced to +Inf in the negated ordering):
+    * Spark's raw struct min would sort the null field FIRST and crown the
+    * null-score row, while SQL window engines default to nulls-last under
+    * DESC — coalescing pins both engines to the same answer, and an
+    * all-null group still keeps its min-id row.
+    *
+    * The ranking negates in DOUBLE, not long: a long cast truncates
+    * fractional scores toward zero (5.9 and 5.1 would tie and the min-id
+    * row win, violating the argmax contract), and -Long.MinValue overflows
+    * back to Long.MinValue, ranking that row BEST. Casting to double FIRST
+    * and then negating avoids both; integral scores beyond 2^53 may tie in
+    * double precision (ties still resolve deterministically by id). */
   def keepBestPerKey(df: DataFrame, keyCol: String, idCol: String,
       scoreCol: String): DataFrame =
     df.groupBy(col(keyCol).as("key"))
       .agg(count(lit(1)).as("n_docs"),
         min(struct(
-          coalesce((-col(scoreCol)).cast("long"), lit(Long.MaxValue)).as("neg_score"),
+          coalesce(-(col(scoreCol).cast("double")), lit(Double.PositiveInfinity)).as("neg_score"),
           col(idCol).as("id"))).as("best"))
       .select(col("key"), col("best.id").as("kept_id"), col("n_docs"))
 
@@ -553,7 +560,11 @@ object Dedup {
     edges.unpersist()
     if (changed) {
       // fail LOUDLY: returning the current labels would be a silent wrong
-      // answer (docs of one component split across clusters)
+      // answer (docs of one component split across clusters). Release the
+      // final round's checkpoint blocks first — a caller that catches and
+      // retries with a higher bound must not accumulate orphaned label
+      // copies in block storage until driver GC.
+      releaseLocalCheckpoint(labels)
       throw new IllegalStateException(
         s"connectedComponents did not converge within $maxRounds rounds — " +
           "graph diameter exceeds the bound; raise maxRounds (near-dup graphs " +

@@ -18,6 +18,17 @@ object Sampling {
   final val Knuth = 2654435761L
   final val Mod = 1000003L // prime > 100 buckets, small enough for exact SQL
 
+  /** Refuse non-integral id columns before a `.cast("long")` — the same
+    * contract Events.asofJoin enforces: a fractional id truncates (distinct
+    * docs silently merge) and a non-numeric one nulls out downstream. */
+  private[graft] def requireIntegral(df: DataFrame, c: String, op: String): Unit = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val dt = df.schema(c).dataType
+    require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
+      s"$op column '$c' must be integral, got $dt — a lossy cast to long " +
+        "would silently corrupt the ids")
+  }
+
   /** Bucket 0..99 from the id, computed as
     * `((id mod P) · (K mod P)) mod P mod 100` — mathematically identical to
     * `(id·K) mod P` but with both factors < 2^20 the product stays exact in
@@ -58,6 +69,7 @@ object Sampling {
     */
   def mixByTokenBudget(docs: DataFrame, groupCol: String, idCol: String,
       textCol: String, budget: Long): DataFrame = {
+    requireIntegral(docs, idCol, "mixByTokenBudget")
     val t = docs.select(col(groupCol).as("grp"),
       col(idCol).cast("long").as("doc_id"),
       TextStats.wsTokens(col(textCol)).as("n_tokens"),

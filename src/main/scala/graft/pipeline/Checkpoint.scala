@@ -269,6 +269,37 @@ object Checkpoint {
   private def releaseMaintenanceLock(spark: SparkSession, outDir: String): Unit =
     fsOf(spark, outDir).delete(new Path(maintenanceLockPath(outDir)), false)
 
+  /** Acquire the maintenance lock, HEARTBEAT it (mtime refresh every
+    * staleMs/4 from a daemon thread) while `body` runs, release on exit.
+    * Without the heartbeat a maintenance step that outlives `staleMs`
+    * loses lock protection mid-flight: [[assertNoMaintenance]] would let a
+    * concurrent resume run inside compact's step-3/step-4 window (permanent
+    * url duplication), and a second maintenance run would reclaim the LIVE
+    * lock and operate concurrently. With it, `staleMs` only has to bound a
+    * CRASHED holder's reclaim delay, not the step's duration. */
+  private[graft] def withMaintenanceLock[A](spark: SparkSession, outDir: String,
+      staleMs: Long)(body: => A): A = {
+    require(staleMs >= 4000, s"maintenance lock staleMs=$staleMs too small to heartbeat")
+    acquireMaintenanceLock(spark, outDir, staleMs)
+    val fs = fsOf(spark, outDir)
+    val p = new Path(maintenanceLockPath(outDir))
+    val stop = new java.util.concurrent.CountDownLatch(1)
+    val beat = new Thread(() => {
+      while (!stop.await(staleMs / 4, java.util.concurrent.TimeUnit.MILLISECONDS)) {
+        try fs.setTimes(p, System.currentTimeMillis(), -1)
+        catch { case _: Exception => () } // lost lock surfaces via the holder's own failure
+      }
+    }, s"graft-maintenance-heartbeat")
+    beat.setDaemon(true)
+    beat.start()
+    try body
+    finally {
+      stop.countDown()
+      beat.join(5000)
+      releaseMaintenanceLock(spark, outDir)
+    }
+  }
+
   /** Throws when a live maintenance lock is present — called by [[resume]]
     * so an incremental run cannot observe the transient "not done" window
     * of a concurrent [[compact]] and re-extract (then duplicate) its urls. */
@@ -322,13 +353,13 @@ object Checkpoint {
     * commits and the legacy flat layout are untouched. Returns the new
     * batch id; None when < 2 data batches exist. */
   def compact(spark: SparkSession, outDir: String,
-      targetFileBytes: Long = 128L << 20): Option[String] = {
+      targetFileBytes: Long = 128L << 20,
+      lockStaleMs: Long = MaintenanceLockStaleMs): Option[String] = {
     import spark.implicits._
     val mans = committedManifests(spark, outDir)
     val dataBatches = referencedBatches(spark, mans)
     if (dataBatches.size <= 1) return None
-    acquireMaintenanceLock(spark, outDir, MaintenanceLockStaleMs)
-    try {
+    withMaintenanceLock(spark, outDir, lockStaleMs) {
       val fs = fsOf(spark, outDir)
       val dataDirs = dataBatches.map(b => s"${dataPath(outDir)}/$b")
       val totalBytes = dataDirs
@@ -359,7 +390,7 @@ object Checkpoint {
       publish(spark, manStaging, s"${manifestPath(outDir)}/$batch") // step 4
       dataDirs.foreach(d => fs.delete(new Path(d), true)) // step 5
       Some(batch)
-    } finally releaseMaintenanceLock(spark, outDir)
+    }
   }
 
   /** Remove orphaned sink artifacts — (a) data-batch directories no
@@ -372,24 +403,35 @@ object Checkpoint {
     * unreferenced and its staging dir briefly present by design, so a
     * concurrent committer inside the grace window is never broken. The
     * legacy flat files (vouched by legacy manifests, not batch
-    * references) are never touched. Returns the removed names. */
+    * references) are never touched. Returns the removed names.
+    *
+    * Vacuum runs UNDER the maintenance lock: without it, a vacuum with a
+    * small `graceMs` racing a concurrent [[compact]] could delete the
+    * just-published compacted data dir (unreferenced between compact's
+    * steps 2 and 4), after which step 4 commits a manifest referencing
+    * deleted data — permanent loss. Holding the lock serializes the two
+    * maintenance operations (and, via [[assertNoMaintenance]], briefly
+    * blocks resume — vacuum is a listing pass, so the window is short);
+    * the manifest referencing step-2 data can then never land mid-vacuum. */
   def vacuum(spark: SparkSession, outDir: String,
-      graceMs: Long = 24L * 3600 * 1000): Seq[String] = {
-    val fs = fsOf(spark, outDir)
-    val cutoff = System.currentTimeMillis() - graceMs
-    def removeUnder(root: Path, keep: String => Boolean): Seq[String] =
-      if (!fs.exists(root)) Nil
-      else fs.listStatus(root).toSeq
-        .filter(st => st.isDirectory && !keep(st.getPath.getName) &&
-          st.getModificationTime < cutoff)
-        .map { st => fs.delete(st.getPath, true); st.getPath.getName }
-    val referenced = referencedBatches(spark, committedManifests(spark, outDir)).toSet
-    removeUnder(new Path(dataPath(outDir)),
-      name => !(name.startsWith("batch_") && !referenced.contains(name)) &&
-        !name.startsWith(".staging_")) ++
-      removeUnder(new Path(manifestPath(outDir)),
-        name => !name.startsWith(".staging_"))
-  }
+      graceMs: Long = 24L * 3600 * 1000,
+      lockStaleMs: Long = MaintenanceLockStaleMs): Seq[String] =
+    withMaintenanceLock(spark, outDir, lockStaleMs) {
+      val fs = fsOf(spark, outDir)
+      val cutoff = System.currentTimeMillis() - graceMs
+      def removeUnder(root: Path, keep: String => Boolean): Seq[String] =
+        if (!fs.exists(root)) Nil
+        else fs.listStatus(root).toSeq
+          .filter(st => st.isDirectory && !keep(st.getPath.getName) &&
+            st.getModificationTime < cutoff)
+          .map { st => fs.delete(st.getPath, true); st.getPath.getName }
+      val referenced = referencedBatches(spark, committedManifests(spark, outDir)).toSet
+      removeUnder(new Path(dataPath(outDir)),
+        name => !(name.startsWith("batch_") && !referenced.contains(name)) &&
+          !name.startsWith(".staging_")) ++
+        removeUnder(new Path(manifestPath(outDir)),
+          name => !name.startsWith(".staging_"))
+    }
 
   /** Run-level metrics rollup from the committed manifests. */
   def metrics(spark: SparkSession, outDir: String): DataFrame = {

@@ -43,13 +43,19 @@ object Packing {
     filled + t > capacity && filled > 0
 
   private def prepared(docs: DataFrame, idCol: String, textCol: String,
-      numStreams: Int) =
+      numStreams: Int) = {
+    // same contract as Events.asofJoin: a fractional id would TRUNCATE
+    // (distinct docs silently merging into one doc_id/stream) and a
+    // non-numeric id becomes null after the filter, dying later in the
+    // primitive tuple encoder with an opaque error — refuse up front
+    graft.functions.Sampling.requireIntegral(docs, idCol, "packSequences")
     docs
       .where(col(idCol).isNotNull)
       .select(col(idCol).cast("long").as("doc_id"),
         (col(idCol).cast("long") % numStreams).as("stream"),
         TextStats.wsTokens(coalesce(col(textCol), lit(""))).as("n_tokens"),
         coalesce(col(textCol), lit("")).as("text"))
+  }
 
   /** (doc_id, stream, bin, n_tokens) — greedy per-stream packing of `docs`
     * in ascending doc-id order within each stream. */

@@ -264,6 +264,22 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got === Set(("u1", 1L, 2L), ("u2", 3L, 2L)))
   }
 
+  test("keepBestPerKey: fractional scores rank in double, extreme longs don't overflow") {
+    import spark.implicits._
+    // a long-cast ranking truncates 5.9 and 5.1 both to 5 (tie → min id 1
+    // wrongly kept) and negating Long.MinValue overflows back to
+    // Long.MinValue (that row wrongly ranked BEST); the double ranking
+    // keeps the true argmax in both regimes
+    val rows = Seq(
+      ("u1", 1L, Some(5.1)), ("u1", 2L, Some(5.9)),   // higher-id true argmax
+      ("u2", 3L, Some(0.75)), ("u2", 4L, Some(0.25)), // all scores in (0,1)
+      ("u3", 5L, Some(Long.MinValue.toDouble)), ("u3", 6L, Some(0.0))
+    ).toDF("curl", "doc_id", "score")
+    val got = Dedup.keepBestPerKey(rows, "curl", "doc_id", "score")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got === Set(("u1", 2L, 2L), ("u2", 3L, 2L), ("u3", 6L, 2L)))
+  }
+
   test("dropCommonChunks: removes corpus-common windows, keeps order, empty rows survive") {
     import spark.implicits._
     // "a b c d e" is a full 5-word window shared by docs 1,2,3 (df=3 >= 3):

@@ -204,6 +204,54 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!lock.exists, "lock released after compaction")
   }
 
+  test("maintenance lock: heartbeat keeps a long-running holder live past staleMs") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_spec_beat").toString
+    val lock = new java.io.File(Checkpoint.maintenanceLockPath(outDir))
+    // without the heartbeat, a holder that outlives staleMs loses lock
+    // protection mid-flight: after the sleep the mtime would be > staleMs
+    // old and a competing acquire would reclaim the LIVE lock
+    Checkpoint.withMaintenanceLock(spark, outDir, staleMs = 4000L) {
+      Thread.sleep(5000L) // outlive staleMs inside the critical section
+      val age = System.currentTimeMillis() - lock.lastModified()
+      assert(age < 4000L, s"heartbeat must keep the lock fresh, age=$age ms")
+      val ex = intercept[IllegalStateException](
+        Checkpoint.withMaintenanceLock(spark, outDir, staleMs = 4000L)(()))
+      assert(ex.getMessage.contains("maintenance already in progress"),
+        "a live heartbeated lock must still repel competing maintenance")
+    }
+    assert(!lock.exists, "lock released after the body returns")
+  }
+
+  test("vacuum serializes with compact via the maintenance lock") {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_spec_vlock").toString
+    new java.io.File(outDir).mkdirs()
+    val lock = new java.io.File(Checkpoint.maintenanceLockPath(outDir))
+    assert(lock.createNewFile()) // fresh foreign lock = compact in flight
+    // racing a compact, vacuum could delete the just-published compacted
+    // data dir (unreferenced between compact's steps 2 and 4) — it must
+    // refuse while the lock is live
+    val ex = intercept[IllegalStateException](Checkpoint.vacuum(spark, outDir))
+    assert(ex.getMessage.contains("maintenance already in progress"))
+    lock.delete()
+    assert(Checkpoint.vacuum(spark, outDir).isEmpty) // empty sink, lock free
+    assert(!lock.exists, "vacuum releases the lock it took")
+  }
+
+  test("packSequences / mixByTokenBudget refuse non-integral id columns") {
+    import spark.implicits._
+    // a fractional id truncates under cast("long") — distinct docs silently
+    // merge into one doc_id/stream — and a non-numeric id nulls out and
+    // dies later in the tuple encoder with an opaque error
+    val rows = Seq((1.5, "g", "a b c"), (2.0, "g", "d e"))
+      .toDF("doc_id", "grp", "text")
+    val e1 = intercept[IllegalArgumentException](
+      graft.pipeline.Packing.packSequences(rows, "doc_id", "text", 8L, 2))
+    assert(e1.getMessage.contains("must be integral"))
+    val e2 = intercept[IllegalArgumentException](
+      graft.functions.Sampling.mixByTokenBudget(rows, "grp", "doc_id", "text", 10L))
+    assert(e2.getMessage.contains("must be integral"))
+  }
+
   test("snapshot time travel: readExtractedAsOf sees exactly the batches committed by then") {
     import spark.implicits._
     val outDir = java.nio.file.Files.createTempDirectory("graft_spec_tt").toString
