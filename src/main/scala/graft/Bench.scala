@@ -32,6 +32,14 @@ import org.apache.spark.sql.functions._
   * PAIRED lo/hi rounds each yielding one efficiency sample, rejection of
   * rounds whose scan floors disagree >2x, median-of-rounds reporting with
   * all samples in the JSON. Protocol + analysis in BASELINE.md.
+  *
+  * Round 5 extends the same drift defense to the per-query section: all
+  * timed queries run INTERLEAVED across 3 full passes (after a discarded
+  * warm-up pass), a pass whose round-median deviation from the per-query
+  * pool medians exceeds 1.75x is rejected as a degraded VM phase, the
+  * reported per-query numbers are medians over accepted passes, and the
+  * raw per-pass samples ship in the JSON (`query_rounds`) so a regression
+  * is distinguishable from a throttled phase in the artifact itself.
   */
 object Bench {
 
@@ -89,13 +97,6 @@ object Bench {
 
   private[graft] def pagesOf(spark: SparkSession, dir: String): Dataset[PageRow] =
     spark.read.parquet(dir).as[PageRow](org.apache.spark.sql.Encoders.product[PageRow])
-
-  /** Best of `reps` runs (first runs fold in codegen + JIT warm-up, which a
-    * long-running cluster job amortizes to zero). */
-  private def time[T](reps: Int)(f: => T): Double =
-    (1 to reps).map { _ =>
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
-    }.min
 
   /** The headline job: full mixed extraction + metrics rollup. */
   private def runExtract(pages: Dataset[PageRow]): Unit = {
@@ -196,59 +197,131 @@ object Bench {
         .as[(Long, Long)].collect().head
       (n, b / 1e6)
     }
-    runExtract(pages); runExtract(pages) // warm-up
-    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
-    results("extract_pipeline") = time(3)(runExtract(pages))
-    results("extract_salted") = time(2) {
-      ExtractPipeline.run(ExtractPipeline.salted(pages, cpus * 2), delimiter = "")
-        .groupBy("kind").agg(count(lit(1))).collect()
-    }
+    runExtract(pages); runExtract(pages) // parse-stack JIT warm-up
 
+    // ---- per-query protocol (round 5): the same drift defense the scaling
+    // section already has. The old shape — each query timed best-of-2/3 in
+    // sequence, once — could not distinguish a real regression from a
+    // throttled VM phase (BENCH_r04 recorded 2-7x slowdowns on six queries
+    // that same-day in-repo runs measured at r3 levels, two of them touching
+    // zero changed code). Now ALL queries are interleaved across qRounds
+    // full passes; a round whose walls systematically deviate >1.75x from
+    // the per-query pool medians (median deviation across queries — one
+    // noisy sub-second query must not sink a round) was measured in a
+    // degraded phase and is rejected; per-query MEDIANS over accepted
+    // rounds are reported and every raw sample ships in the JSON.
     val docsDf = spark.read.parquet(s"$sfDir/documents.parquet")
-    results("dedup_minhash_lsh") = time(2) {
-      Dedup.clearCaches() // each rep builds fresh index caches; no pile-up
-      Dedup.minhashDedupPairs(docsDf, "doc_id", "text").count()
-    }
-    results("dedup_exact") = time(2)(
-      Dedup.exactGroups(docsDf, "doc_id", "text").count())
     val emb = spark.read.parquet(s"$sfDir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding"))
-    results("ann_topk") = time(2)(
-      Ann.bruteForceTopK(emb, emb.where(col("id") < 10), k = 5).count())
-    results("text_stats") = time(2) {
-      docsDf.select(
-          TextStats.wsTokens(col("text")),
-          TextStats.nAlpha(col("text")),
-          TextStats.fingerprint(col("text")),
-          TextStats.langId(col("text")))
-        .agg(count(lit(1))).collect()
-    }
-    results("dedup_clusters") = time(2) {
-      Dedup.clearCaches()
-      Dedup.connectedComponents(
-        Dedup.ngramJaccardPairs(docsDf, "doc_id", "text")).count()
-    }
-    results("vocab_stats") = time(2)(
-      docsDf.select(explode(split(trim(col("text")), "\\s+")).as("term"))
-        .groupBy("term").agg(count(lit(1))).count())
-    results("dedup_chunks") = time(2)(
-      Dedup.duplicateChunks(docsDf, "doc_id", "text").count())
-    results("text_repetition") = time(2)(
-      TextStats.repetitionSignals(docsDf, "doc_id", "text").count())
-    results("decontamination_13gram") = time(2) {
-      Dedup.clearCaches()
-      Dedup.ngramOverlapContamination(docsDf, "doc_id", "text", "source").count()
-    }
-    Dedup.clearCaches()
-    results("events_hourly") = time(2)(
-      graft.streaming.Events.hourlyByType(
-        spark.read.parquet(s"$sfDir/events.parquet")).count())
-    results("events_sessions") = time(2)(
-      graft.streaming.Events.userSessions(
-        spark.read.parquet(s"$sfDir/events.parquet")).count())
+    val eventsDf = spark.read.parquet(s"$sfDir/events.parquet")
+    val queryThunks: Seq[(String, () => Unit)] = Seq(
+      "extract_pipeline" -> (() => runExtract(pages)),
+      "extract_salted" -> (() => {
+        ExtractPipeline.run(ExtractPipeline.salted(pages, cpus * 2), delimiter = "")
+          .groupBy("kind").agg(count(lit(1))).collect(); ()
+      }),
+      "dedup_minhash_lsh" -> (() => {
+        Dedup.clearCaches() // each pass builds fresh index caches; no pile-up
+        Dedup.minhashDedupPairs(docsDf, "doc_id", "text").count(); ()
+      }),
+      "dedup_exact" -> (() => { Dedup.exactGroups(docsDf, "doc_id", "text").count(); () }),
+      "ann_topk" -> (() => { Ann.bruteForceTopK(emb, emb.where(col("id") < 10), k = 5).count(); () }),
+      "text_stats" -> (() => {
+        docsDf.select(
+            TextStats.wsTokens(col("text")),
+            TextStats.nAlpha(col("text")),
+            TextStats.fingerprint(col("text")),
+            TextStats.langId(col("text")))
+          .agg(count(lit(1))).collect(); ()
+      }),
+      "dedup_clusters" -> (() => {
+        Dedup.clearCaches()
+        Dedup.connectedComponents(
+          Dedup.ngramJaccardPairs(docsDf, "doc_id", "text")).count(); ()
+      }),
+      "vocab_stats" -> (() => {
+        docsDf.select(explode(split(trim(col("text")), "\\s+")).as("term"))
+          .groupBy("term").agg(count(lit(1))).count(); ()
+      }),
+      "dedup_chunks" -> (() => { Dedup.duplicateChunks(docsDf, "doc_id", "text").count(); () }),
+      "text_repetition" -> (() => { TextStats.repetitionSignals(docsDf, "doc_id", "text").count(); () }),
+      "decontamination_13gram" -> (() => {
+        Dedup.clearCaches()
+        Dedup.ngramOverlapContamination(docsDf, "doc_id", "text", "source").count(); ()
+      }),
+      "events_hourly" -> (() => { graft.streaming.Events.hourlyByType(eventsDf).count(); () }),
+      "events_sessions" -> (() => { graft.streaming.Events.userSessions(eventsDf).count(); () }),
+      // late-round operators, added to the timed tier in round 5 so their
+      // cost is tracked round-over-round (same operator shapes as the
+      // correctness gate, minus the gate's presentation orderBy)
+      "dedup_exact_spans" -> (() => {
+        Dedup.duplicateSpans(docsDf.select("doc_id", "text"), "doc_id", "text",
+          windowTokens = 20).count(); ()
+      }),
+      "dedup_drop_common_chunks" -> (() => {
+        Dedup.dropCommonChunks(docsDf.select("doc_id", "text"), "doc_id", "text").count(); ()
+      }),
+      "pack_sequences" -> (() => {
+        graft.pipeline.Packing.packSequences(
+          docsDf.select("doc_id", "text"), "doc_id", "text").count(); ()
+      }),
+      "pii_scrub" -> (() => {
+        import graft.functions.Pii
+        docsDf.select(col("doc_id"),
+            Pii.nEmails(col("text")).as("n_emails"),
+            Pii.nIpv4(col("text")).as("n_ips"),
+            Pii.nPhones(col("text")).as("n_phones"),
+            md5(Pii.scrub(col("text")).cast("binary")).as("redacted_fp"))
+          .agg(count(lit(1)), sum("n_emails"), sum("n_ips"), sum("n_phones"))
+          .collect(); ()
+      }),
+      "events_asof" -> (() => {
+        graft.streaming.Events.asofJoin(
+          eventsDf.where(col("event_type") === "purchase"),
+          eventsDf.where(col("event_type") === "view"),
+          "user_id", "ts", "event_id").count(); ()
+      }),
+      "mix_token_budget" -> (() => {
+        graft.functions.Sampling.mixByTokenBudget(
+          docsDf, "lang", "doc_id", "text", budget = 2000L).count(); ()
+      }),
+      // metrics-only throughput at full cores (the scaling-tier job)
+      "extract_metrics_only" -> (() => runMetricsJob(pages)))
 
-    // headline metrics-only throughput at full cores (the scaling-tier job)
-    results("extract_metrics_only") = time(3)(runMetricsJob(pages))
+    val qNames = queryThunks.map(_._1)
+    def onePass(): Map[String, Double] =
+      queryThunks.map { case (name, f) =>
+        val t0 = System.nanoTime(); f(); name -> (System.nanoTime() - t0) / 1e9
+      }.toMap
+    onePass() // one full DISCARDED warm-up pass (codegen + caches)
+    val qRounds = 3
+    val qSamples: Seq[Map[String, Double]] = (1 to qRounds).map(_ => onePass())
+    def medianD(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    val poolMedian: Map[String, Double] =
+      qNames.map(n => n -> medianD(qSamples.map(_(n)))).toMap
+    // a round's deviation = MEDIAN over queries of max(t/m, m/t) vs the
+    // pool median — systematic (whole-round) drift rejects, a single noisy
+    // query does not; falls back to all rounds if <2 survive
+    def roundDeviation(r: Map[String, Double]): Double =
+      medianD(qNames.map { n =>
+        val m = math.max(1e-4, poolMedian(n)); val x = math.max(1e-4, r(n))
+        math.max(x / m, m / x)
+      })
+    val qAccepted = qSamples.map(r => roundDeviation(r) <= 1.75)
+    val usedRounds =
+      if (qAccepted.count(identity) >= 2) qSamples.zip(qAccepted).filter(_._2).map(_._1)
+      else qSamples
+    val results = scala.collection.immutable.ListMap(
+      qNames.map(n => n -> medianD(usedRounds.map(_(n)))): _*)
+    val queryRoundsJson = {
+      val samples = qNames.map { n =>
+        s""""$n":[${qSamples.map(r => f"${r(n)}%.3f").mkString(",")}]"""
+      }.mkString("{", ",", "}")
+      s"""{"protocol":"interleaved, ${qRounds} rounds after 1 discarded warm-up pass; median over accepted; reject round-median deviation > 1.75x",""" +
+        s""""accepted":[${qAccepted.mkString(",")}],""" +
+        s""""round_deviation":[${qSamples.map(r => f"${roundDeviation(r)}%.3f").mkString(",")}],""" +
+        s""""samples":$samples}"""
+    }
     spark.stop()
 
     // ---- scaling protocol (round 3 — see BASELINE.md):
@@ -364,6 +437,7 @@ object Bench {
         // comparable across rounds; the scaling block's docs_per_sec_* are
         // the metrics-rollup job (see scaling.job)
         s""""extract_docs_per_sec":${f"${nDocs / results("extract_pipeline")}%.1f"},"extract_mb_per_sec":${f"${mb / results("extract_pipeline")}%.1f"},""" +
+        s""""query_rounds":$queryRoundsJson,""" +
         s""""scaling":$scaling}""")
   }
 }
