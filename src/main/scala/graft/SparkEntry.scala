@@ -45,6 +45,24 @@ object SparkEntry {
         .select(docIdFromUrl, col("text"))
         .orderBy("doc_id")
     }),
+    "pdf_spans" -> ((s, dir) => {
+      // per-span BYTE accuracy gate (round 5): the fixed-layout span probe
+      // (Corpus.pdfSpanProbe) pins every content stream's payload to the
+      // affine file address 46 + 1585*i, so the oracle can check the
+      // actual (start, end, src_offset) values — not just the span COUNT
+      // the mixed-pipeline gate hashes
+      import s.implicits._
+      val pages = docs(s, dir).where(length(col("text")) > 0)
+        .select("doc_id", "text", "lang").as[(Long, String, String)]
+        .map { case (id, t, lang) => Corpus.spanProbePageRowFor(id, t, lang) }
+      ExtractPipeline.run(pages, delimiter = "").toDF()
+        .select(docIdFromUrl, posexplode(col("spans")))
+        .select(col("doc_id"), col("pos").cast("long").as("span_idx"),
+          col("col.start").cast("long").as("start_pos"),
+          col("col.end").cast("long").as("end_pos"),
+          col("col.src_offset").cast("long").as("src_offset"))
+        .orderBy("doc_id", "span_idx")
+    }),
     "html_extract_roundtrip" -> ((s, dir) => {
       extracted(s, dir).where(col("kind") === "html")
         .select(docIdFromUrl, col("title"), col("text"))
@@ -724,6 +742,22 @@ object SparkEntry {
                             regexp_extract_all(text, '.{1,64}') AS ch
                      FROM documents WHERE doc_id % 2 = 0)
           SELECT doc_id, $pdfExpectedSql AS text FROM d ORDER BY doc_id""",
+    // pdf_spans: the fixed-layout probe (Corpus.pdfSpanProbe) makes every
+    // span's values a closed form of length(text): page i covers extracted
+    // chars [512*i, min(len, 512*(i+1))) and its content payload sits at
+    // the affine file address spanProbeSrcOffset(i) — so this gate hashes
+    // the actual byte offsets, not just the span count
+    "pdf_spans" ->
+      s"""WITH d AS (SELECT doc_id, least(length(text), ${Corpus.SpanProbeMaxChars}) AS len
+                     FROM documents WHERE length(text) > 0),
+          s AS (SELECT doc_id, len,
+                       unnest(range(CAST((len + 511) // 512 AS BIGINT))) AS i
+                FROM d)
+          SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+                 CAST(512 * i AS BIGINT) AS start_pos,
+                 CAST(least(len, 512 * (i + 1)) AS BIGINT) AS end_pos,
+                 CAST(${Corpus.spanProbeSrcOffset(0)} + ${Corpus.spanProbeSrcOffset(1) - Corpus.spanProbeSrcOffset(0)} * i AS BIGINT) AS src_offset
+          FROM s ORDER BY doc_id, span_idx""",
     "html_extract_roundtrip" ->
       "SELECT doc_id, 'doc ' || doc_id AS title, text FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id",
     "pdf_extract_delim_roundtrip" ->

@@ -143,6 +143,49 @@ object Corpus {
     }.toSeq
   }
 
+  /** Fixed-BYTE-LAYOUT span probe (round 5): variant-0 chunking (64-char
+    * chunks, 8 per page) shown with plain `Tj` ops, but every content
+    * stream is UNCOMPRESSED and space-padded to exactly
+    * [[SpanProbePayloadBytes]] bytes, and the text is capped to 9 pages so
+    * object ids stay single-digit. Every byte before content stream `i` is
+    * then a constant of the builder: header 15 bytes ("%PDF-1.4\n" +
+    * 5-byte binary comment + "\n"), per-object preamble
+    * "`i+1` 0 obj\n<</Length 1536>>stream\n" = 31 bytes, object trailer
+    * "\nendstream\nendobj\n" = 18 bytes — so the i-th content payload (the
+    * span's `src_offset`, [[graft.pdf.PdfExtract]] TextSpan.srcOffset =
+    * Tokeniser streamStartIndex) sits at the affine address
+    * [[spanProbeSrcOffset]](i) = 46 + 1585·i, which a SQL oracle can
+    * compute from `length(text)` alone. Worst-case ops length (every chunk
+    * char escaped) is 3 + 8·(1+128+6) + 2 = 1085 < 1536, so the pad never
+    * underflows. */
+  val SpanProbePayloadBytes = 1536
+  val SpanProbeMaxChars: Int = 9 * 512
+
+  def spanProbeSrcOffset(spanIdx: Int): Int =
+    46 + (31 + SpanProbePayloadBytes + 18) * spanIdx
+
+  def pdfSpanProbe(text0: String): Array[Byte] = {
+    val text = text0.take(SpanProbeMaxChars)
+    val b = new GoldenGen.PdfBuilder()
+    val contents = pageOpsFor(text) { (ops, e, _, _) =>
+      ops.append('(').append(e).append(") Tj ")
+    }.map { ops =>
+      require(ops.length <= SpanProbePayloadBytes,
+        s"span-probe ops overflow: ${ops.length}")
+      val padded = ops + (" " * (SpanProbePayloadBytes - ops.length))
+      b.addStream("", padded.getBytes(ISO_8859_1), deflate = false)
+    }
+    finishClassic(b, contents, text)
+  }
+
+  def spanProbePageRowFor(docId: Long, text: String, lang: String): PageRow =
+    PageRow(
+      url = UrlPrefix + docId,
+      warc_ts = Timestamp.from(Instant.parse("2024-01-01T00:00:00Z").plusSeconds(docId * 60)),
+      html = pdfSpanProbe(text),
+      text = text.take(SpanProbeMaxChars),
+      lang = lang)
+
   /** Show op cycling Tj / TJ-with-discarded-kern on the global index. */
   private def appendShowTjTJ(ops: StringBuilder, escaped: String, gi: Int): Unit =
     if (gi % 2 == 0) ops.append('(').append(escaped).append(") Tj ")
