@@ -465,6 +465,28 @@ object SparkEntry {
         }.toDF("doc_id", "text", "failures")
         .orderBy("doc_id")
     }),
+    "pdf_owner_password_extended" -> ((s, dir) => {
+      // Algorithm 7 owner-password decryption (EXTENSION, opt-in extended
+      // mode — default mode keeps the reference's NotImplementedException
+      // verbatim, gated by pdf_owner_password_error): the owner-only
+      // documents EXTRACT with the owner password; docs alternate between
+      // the R2 single-pass and R3 20-key-chain /O inversions
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .filter(_._1 % 2 == 0)
+        .mapPartitions { it =>
+          val buffers = new graft.pdf.WorkBuffers()
+          it.map { case (id, t) =>
+            val r = graft.pdf.PdfExtract.extract(Corpus.pdfOwnerOnlyForDoc(id, t),
+              password = Corpus.OwnerPassword,
+              contentDelimiter = "", buffers = buffers, captureFragments = false,
+              extendedFilters = true)
+            (id, r.text, r.decodeFailures.toLong)
+          }
+        }.toDF("doc_id", "text", "failures")
+        .orderBy("doc_id")
+    }),
     "pdf_owner_password_error" -> ((s, dir) => {
       // owner-password-only documents: user auth fails with the empty
       // password, the reader reaches the reference's unimplemented
@@ -1168,6 +1190,9 @@ object SparkEntry {
       """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "pdf_extract_extended_aes" ->
+      """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
+         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "pdf_owner_password_extended" ->
       """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "pdf_owner_password_error" ->

@@ -218,6 +218,34 @@ object PdfCrypto {
     iv ++ cipher.doFinal(plain)
   }
 
+  /** Algorithm 7 steps a–b (EXTENSION — opt-in extended mode only; the
+    * reference's owner path is NotImplementedException,
+    * Tokeniser.cs:810-840): recover the PADDED user password from /O with a
+    * candidate owner password — the exact inverse of [[computeOwnerO]]'s
+    * RC4 chain (ISO 32000-1 §7.6.3.4). R2 encrypted /O with a single RC4
+    * pass under the first-5-bytes-of-MD5 owner key (no 50×MD5); R ≥ 3 ran
+    * the 50×MD5 key then 20 RC4 passes with XOR'd keys, undone here in
+    * reverse order. The caller authenticates the result via Algorithm 6 —
+    * a wrong owner password just yields garbage that fails /U. */
+  def recoverUserPasswordFromO(ownerPassword: String, encryptO: Array[Byte],
+      lengthBytes: Int, revision: Int): Array[Byte] = {
+    var h = md5(pad(ownerPassword))
+    if (revision >= 3) { var i = 0; while (i < 50) { h = md5(h); i += 1 } }
+    val rc4Key = java.util.Arrays.copyOf(h, lengthBytes)
+    val data = encryptO.clone()
+    if (revision == 2) rc4InPlace(rc4Key, data, 0, data.length)
+    else {
+      var it = 19
+      while (it >= 1) {
+        val k = rc4Key.map(b => (b ^ it).toByte)
+        rc4InPlace(k, data, 0, data.length)
+        it -= 1
+      }
+      rc4InPlace(rc4Key, data, 0, data.length)
+    }
+    data
+  }
+
   /** Algorithm 3 (R ≥ 3): the /O entry — RC4 chain over the padded user
     * password with the 50×MD5 owner key. */
   def computeOwnerO(ownerPassword: String, userPassword: String, lengthBytes: Int): Array[Byte] = {

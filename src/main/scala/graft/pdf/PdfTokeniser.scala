@@ -548,9 +548,26 @@ final class PdfTokeniser(
       globalEncryptionKey = key
       None
     } else {
-      // reference: Tokeniser.cs:810-840 — owner-password authentication is
-      // NotImplementedException there; replicated as an error
-      throw new UnsupportedOperationException("owner-password authentication is not implemented")
+      // EXTENSION (opt-in `extendedFilters` only): ISO 32000-1 Algorithm 7
+      // — try the provided password as the OWNER password: invert /O's RC4
+      // chain back to the padded user password, then re-run the Algorithm
+      // 2/6 chain with it. A wrong owner password yields garbage that
+      // fails the /U check and falls through to the reference error.
+      val ownerKey = if (!extendedFilters) null else {
+        val recovered = PdfCrypto.recoverUserPasswordFromO(password, o.get, lengthBytes, r.get)
+        val k2 = PdfCrypto.computeEncryptionKey(recovered, o.get, permission, trailerId,
+          lengthBytes, encryptMetadata)
+        if (PdfCrypto.authenticateUserPassword(recovered, trailerId, k2, u.get)) k2 else null
+      }
+      if (ownerKey != null) {
+        globalEncryptionKey = ownerKey
+        None
+      } else {
+        // reference: Tokeniser.cs:810-840 — owner-password authentication is
+        // NotImplementedException there; replicated as an error (and kept
+        // verbatim in DEFAULT mode, which never attempts Algorithm 7)
+        throw new UnsupportedOperationException("owner-password authentication is not implemented")
+      }
     }
   }
 

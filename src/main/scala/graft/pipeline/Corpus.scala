@@ -722,6 +722,37 @@ object Corpus {
     b.finish(s"/Root $catalog 0 R/Encrypt $encId 0 R/ID[<$EncDocIdHex><$EncDocIdHex>]")
   }
 
+  /** R3 owner-only twin of [[pdfOwnerOnlyFromText]]: V 2/R 3/Length 40, /O
+    * from the FULL Algorithm 3 chain (50×MD5 owner key + 20-key RC4), user
+    * password "graftuser" never handed to the caller — only the Algorithm 7
+    * owner path (extended mode, password [[OwnerPassword]]) can open it, and
+    * it must undo the whole 20-pass chain, not R2's single RC4. */
+  private lazy val ownerOnlyR3OKeyU: (Array[Byte], Array[Byte], Array[Byte]) = {
+    val docId = EncDocIdHex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    val o = PdfCrypto.computeOwnerO(OwnerPassword, "graftuser", 5)
+    val key = PdfCrypto.computeEncryptionKey(PdfCrypto.pad("graftuser"), o, EncPermission, docId, 5)
+    val u = PdfCrypto.computeEncryptU(PdfCrypto.pad("graftuser"), docId, key)
+    (o, key, u)
+  }
+
+  /** The owner password both owner-only builders encrypt under. */
+  val OwnerPassword = "graftowner"
+
+  def pdfOwnerOnlyR3FromText(text: String): Array[Byte] = {
+    val (o, key, u) = ownerOnlyR3OKeyU
+    val b = new GoldenGen.PdfBuilder()
+    val contentIds = rotatingShowContents(b, text, encryptKey = key)
+    val catalog = GoldenGen.catalogFor(b, contentIds)
+    val encId = b.addObject(
+      s"<</Filter/Standard/V 2/R 3/Length 40/P $EncPermission/O <${hexOf(o)}>/U <${hexOf(u)}>>>")
+    b.finish(s"/Root $catalog 0 R/Encrypt $encId 0 R/ID[<$EncDocIdHex><$EncDocIdHex>]")
+  }
+
+  /** Owner-only corpus router: alternating R2 / R3 docs so both Algorithm 7
+    * inversion branches are driver-gate-visible. */
+  def pdfOwnerOnlyForDoc(docId: Long, text: String): Array[Byte] =
+    if ((docId / 2) % 2 == 0) pdfOwnerOnlyFromText(text) else pdfOwnerOnlyR3FromText(text)
+
   /** EXTENDED-mode corpus: the exact chunk/page contract of variant 0, but
     * content streams encoded with the opt-in filter surface
     * (`extendedFilters = true` — the reference supports only None and

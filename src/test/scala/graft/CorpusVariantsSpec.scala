@@ -150,6 +150,30 @@ class CorpusVariantsSpec extends AnyFunSuite {
     assert(r.decodeFailures == 1 && r.text == "" && r.pages == 0)
   }
 
+  test("Algorithm 7 owner-password decryption (extended mode): R2 + R3 extract, wrong password errors") {
+    val t = texts(2)
+    for ((payload, label) <- Seq(
+        (Corpus.pdfOwnerOnlyFromText(t), "R2"),
+        (Corpus.pdfOwnerOnlyR3FromText(t), "R3"))) {
+      // the owner password opens the doc in extended mode
+      val ok = PdfExtract.extract(payload, password = Corpus.OwnerPassword,
+        contentDelimiter = "", captureFragments = false, extendedFilters = true)
+      assert(ok.decodeFailures == 0 && ok.text == t, s"$label: ${ok.error}")
+      // a WRONG owner password must fall through to the reference error...
+      val bad = PdfExtract.extract(payload, password = "graftwrong",
+        contentDelimiter = "", captureFragments = false, extendedFilters = true)
+      assert(bad.error.contains(
+        "UnsupportedOperationException: owner-password authentication is not implemented"),
+        s"$label wrong-password error=${bad.error}")
+      assert(bad.decodeFailures == 1 && bad.text == "")
+      // ...and DEFAULT mode never attempts Algorithm 7, even with the right one
+      val deflt = PdfExtract.extract(payload, password = Corpus.OwnerPassword,
+        contentDelimiter = "", captureFragments = false)
+      assert(deflt.error.exists(_.contains("owner-password authentication is not implemented")),
+        s"$label default-mode error=${deflt.error}")
+    }
+  }
+
   test("extended-filter corpus: all 4 encodings round-trip under extendedFilters; default mode errors") {
     val t = texts(3)
     for (route <- 0 until 4) {
