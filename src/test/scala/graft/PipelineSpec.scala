@@ -237,6 +237,17 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(!lock.exists, "vacuum releases the lock it took")
   }
 
+  test("query inventory: every query has an oracle and the count is pinned") {
+    // the README/NOTES quote this number; pinning it here keeps the prose
+    // from drifting (r4 verdict item 7). Update BOTH on every new query.
+    assert(SparkEntry.queries.size == 63,
+      s"queries=${SparkEntry.queries.size} — update this pin AND README.md")
+    assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
+      "every query needs a DuckDB oracle (and no orphaned oracles): " +
+        (SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet).mkString(",") + " | " +
+        (SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet).mkString(","))
+  }
+
   test("packSequences / mixByTokenBudget refuse non-integral id columns") {
     import spark.implicits._
     // a fractional id truncates under cast("long") — distinct docs silently
