@@ -55,12 +55,17 @@ object SparkEntry {
       val pages = docs(s, dir).where(length(col("text")) > 0)
         .select("doc_id", "text", "lang").as[(Long, String, String)]
         .map { case (id, t, lang) => Corpus.spanProbePageRowFor(id, t, lang) }
-      ExtractPipeline.run(pages, delimiter = "").toDF()
+      // captureLines: src_line (the reference TextStore's 1-based line of
+      // the span's source offset) is also closed-form — the probe has
+      // exactly 5 newlines per object and 4 before payload 0, and its
+      // streams are UNCOMPRESSED, so no pseudorandom 0x0A bytes shift lines
+      ExtractPipeline.run(pages, delimiter = "", captureLines = true).toDF()
         .select(docIdFromUrl, posexplode(col("spans")))
         .select(col("doc_id"), col("pos").cast("long").as("span_idx"),
           col("col.start").cast("long").as("start_pos"),
           col("col.end").cast("long").as("end_pos"),
-          col("col.src_offset").cast("long").as("src_offset"))
+          col("col.src_offset").cast("long").as("src_offset"),
+          col("col.src_line").cast("long").as("src_line"))
         .orderBy("doc_id", "span_idx")
     }),
     "html_extract_roundtrip" -> ((s, dir) => {
@@ -778,7 +783,8 @@ object SparkEntry {
           SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
                  CAST(512 * i AS BIGINT) AS start_pos,
                  CAST(least(len, 512 * (i + 1)) AS BIGINT) AS end_pos,
-                 CAST(${Corpus.spanProbeSrcOffset(0)} + ${Corpus.spanProbeSrcOffset(1) - Corpus.spanProbeSrcOffset(0)} * i AS BIGINT) AS src_offset
+                 CAST(${Corpus.spanProbeSrcOffset(0)} + ${Corpus.spanProbeSrcOffset(1) - Corpus.spanProbeSrcOffset(0)} * i AS BIGINT) AS src_offset,
+                 CAST(5 * i + 5 AS BIGINT) AS src_line
           FROM s ORDER BY doc_id, span_idx""",
     "html_extract_roundtrip" ->
       "SELECT doc_id, 'doc ' || doc_id AS title, text FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id",
