@@ -247,7 +247,11 @@ object Bench {
       "text_repetition" -> (() => { TextStats.repetitionSignals(docsDf, "doc_id", "text").count(); () }),
       "decontamination_13gram" -> (() => {
         Dedup.clearCaches()
-        Dedup.ngramOverlapContamination(docsDf, "doc_id", "text", "source").count(); ()
+        Dedup.ngramOverlapContamination(docsDf, "doc_id", "text", "source").count()
+        // release this thunk's index caches before the next queries are
+        // timed (the old sequential bench cleared here too) — otherwise the
+        // persisted tables sit in block storage while events/extract run
+        Dedup.clearCaches()
       }),
       "events_hourly" -> (() => { graft.streaming.Events.hourlyByType(eventsDf).count(); () }),
       "events_sessions" -> (() => { graft.streaming.Events.userSessions(eventsDf).count(); () }),
@@ -256,10 +260,12 @@ object Bench {
       // correctness gate, minus the gate's presentation orderBy)
       "dedup_exact_spans" -> (() => {
         Dedup.duplicateSpans(docsDf.select("doc_id", "text"), "doc_id", "text",
-          windowTokens = 20).count(); ()
+          windowTokens = 20).count()
+        Dedup.clearCaches() // position-table cache must not linger into later timings
       }),
       "dedup_drop_common_chunks" -> (() => {
-        Dedup.dropCommonChunks(docsDf.select("doc_id", "text"), "doc_id", "text").count(); ()
+        Dedup.dropCommonChunks(docsDf.select("doc_id", "text"), "doc_id", "text").count()
+        Dedup.clearCaches()
       }),
       "pack_sequences" -> (() => {
         graft.pipeline.Packing.packSequences(
@@ -296,7 +302,14 @@ object Bench {
     onePass() // one full DISCARDED warm-up pass (codegen + caches)
     val qRounds = 3
     val qSamples: Seq[Map[String, Double]] = (1 to qRounds).map(_ => onePass())
-    def medianD(xs: Seq[Double]): Double = xs.sorted.apply(xs.size / 2)
+    // true median: even-sized pools average the two middle samples — with
+    // exactly 2 accepted rounds (one rejected, the protocol's design case)
+    // the upper-element shortcut would report the SLOWER round for every
+    // query while the JSON claims "median over accepted"
+    def medianD(xs: Seq[Double]): Double = {
+      val s = xs.sorted
+      if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
+    }
     val poolMedian: Map[String, Double] =
       qNames.map(n => n -> medianD(qSamples.map(_(n)))).toMap
     // a round's deviation = MEDIAN over queries of max(t/m, m/t) vs the

@@ -30,6 +30,13 @@ object OpScaling {
     val dir = s"${sys.props("java.io.tmpdir")}/graft_opscale_${Integer.toHexString(s"$sfDir|$repl|v1".hashCode)}"
     if (!new java.io.File(s"$dir/_SUCCESS").exists()) {
       import spark.implicits._
+      // the replica shift assumes source ids < 10M — a collision would
+      // silently merge replicas and the stress would measure a SMALLER
+      // corpus than the printed docs count claims
+      val maxId = spark.read.parquet(s"$sfDir/documents.parquet")
+        .agg(max(col("doc_id"))).collect()(0).getLong(0)
+      require(maxId < 10000000L,
+        s"doc_id $maxId >= 10M would collide with the replica shift")
       spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "text", "lang").as[(Long, String, String)]
         .repartition(64)

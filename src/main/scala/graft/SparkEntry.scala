@@ -48,7 +48,7 @@ object SparkEntry {
     "pdf_spans" -> ((s, dir) => {
       // per-span BYTE accuracy gate (round 5): the fixed-layout span probe
       // (Corpus.pdfSpanProbe) pins every content stream's payload to the
-      // affine file address 46 + 1585*i, so the oracle can check the
+      // affine file address 46 + 2225*i, so the oracle can check the
       // actual (start, end, src_offset) values — not just the span COUNT
       // the mixed-pipeline gate hashes
       import s.implicits._

@@ -150,15 +150,17 @@ object Corpus {
     * object ids stay single-digit. Every byte before content stream `i` is
     * then a constant of the builder: header 15 bytes ("%PDF-1.4\n" +
     * 5-byte binary comment + "\n"), per-object preamble
-    * "`i+1` 0 obj\n<</Length 1536>>stream\n" = 31 bytes, object trailer
+    * "`i+1` 0 obj\n<</Length 2176>>stream\n" = 31 bytes, object trailer
     * "\nendstream\nendobj\n" = 18 bytes — so the i-th content payload (the
     * span's `src_offset`, [[graft.pdf.PdfExtract]] TextSpan.srcOffset =
     * Tokeniser streamStartIndex) sits at the affine address
-    * [[spanProbeSrcOffset]](i) = 46 + 1585·i, which a SQL oracle can
-    * compute from `length(text)` alone. Worst-case ops length (every chunk
-    * char escaped) is 3 + 8·(1+128+6) + 2 = 1085 < 1536, so the pad never
-    * underflows. */
-  val SpanProbePayloadBytes = 1536
+    * [[spanProbeSrcOffset]](i) = 46 + 2225·i, which a SQL oracle can
+    * compute from `length(text)` alone. Worst-case ops length: escapeLiteral
+    * emits a 4-byte OCTAL escape (\ddd) for control/high chars, so a fully
+    * escaped 64-char chunk is "(" + 256 + ") Tj " = 262 bytes and a page is
+    * 3 + 8·262 + 2 = 2101 ≤ 2176 — the pad never underflows even for a
+    * worst-case Latin-1 page (the require guards the invariant). */
+  val SpanProbePayloadBytes = 2176
   val SpanProbeMaxChars: Int = 9 * 512
 
   def spanProbeSrcOffset(spanIdx: Int): Int =

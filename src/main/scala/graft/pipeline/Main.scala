@@ -108,6 +108,15 @@ object Main {
     import spark.implicits._
     val docs = spark.read.parquet(input)
       .select(col("doc_id").cast("long").as("doc_id"), col("text").cast("string").as("text"))
+    // a PRIOR run's sink/checkpoint must not leak into this one: the
+    // overwrite below writes uniquely-named part files, so a retained
+    // checkpoint would treat them as unseen and the sink would accumulate
+    // BOTH runs' pairs — stale pairs from a different corpus could then
+    // flip the parity verdict either way
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(outDir), spark.sparkContext.hadoopConfiguration)
+    Seq("stream_in", "stream_out", "stream_ckpt").foreach(d =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$outDir/$d"), true))
     val staged = s"$outDir/stream_in"
     docs.repartition(4).write.mode("overwrite").parquet(staged)
 
@@ -127,9 +136,14 @@ object Main {
     val batches = query.recentProgress.length
 
     // parity: exact-verify the accumulated candidates; must equal the batch
-    // operator's output on the same corpus
+    // operator's output on the same corpus. The explicit schema keeps a
+    // ZERO-candidate corpus working — its sink dir holds only
+    // _spark_metadata and schema inference would throw before parity prints
+    val sinkSchema = StructType(Seq(
+      StructField("id_a", LongType), StructField("id_b", LongType)))
     val streamPairs = Dedup.verifyCandidatesExact(docs, "doc_id", "text",
-        spark.read.parquet(s"$outDir/stream_out").select("id_a", "id_b"))
+        spark.read.schema(sinkSchema).parquet(s"$outDir/stream_out")
+          .select("id_a", "id_b"))
       .select("id_a", "id_b")
     val batchPairs = Dedup.minhashDedupPairs(docs, "doc_id", "text")
       .select("id_a", "id_b")

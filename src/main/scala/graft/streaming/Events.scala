@@ -72,13 +72,8 @@ object Events {
       numPartitions: Int = 32): DataFrame = {
     val spark = left.sparkSession
     import spark.implicits._
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    for (df <- Seq(left, right); c <- Seq(keyCol, idCol)) {
-      val dt = df.schema(c).dataType
-      require(Seq(ByteType, ShortType, IntegerType, LongType).contains(dt),
-        s"asofJoin column '$c' must be integral, got $dt — a lossy cast " +
-          "to long would silently corrupt the join keys")
-    }
+    for (df <- Seq(left, right); c <- Seq(keyCol, idCol))
+      graft.functions.Sampling.requireIntegral(df, c, "asofJoin")
     def side(df: DataFrame, tag: Int) =
       df.select(col(keyCol).cast("long").as("k"),
         col(tsCol).cast("timestamp").as("ts"),
