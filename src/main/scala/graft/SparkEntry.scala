@@ -474,8 +474,9 @@ object SparkEntry {
       // Algorithm 7 owner-password decryption (EXTENSION, opt-in extended
       // mode — default mode keeps the reference's NotImplementedException
       // verbatim, gated by pdf_owner_password_error): the owner-only
-      // documents EXTRACT with the owner password; docs alternate between
-      // the R2 single-pass and R3 20-key-chain /O inversions
+      // documents EXTRACT with the owner password; docs rotate through the
+      // R2 single-pass inversion, the R3 20-key-chain inversion, and the
+      // AESV2-R4 composition (RC4 /O inversion feeding the AES cipher path)
       import s.implicits._
       s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "text").as[(Long, String)]

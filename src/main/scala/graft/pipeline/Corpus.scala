@@ -750,10 +750,51 @@ object Corpus {
     b.finish(s"/Root $catalog 0 R/Encrypt $encId 0 R/ID[<$EncDocIdHex><$EncDocIdHex>]")
   }
 
-  /** Owner-only corpus router: alternating R2 / R3 docs so both Algorithm 7
-    * inversion branches are driver-gate-visible. */
+  /** AESV2 owner-only: V4/R4 — /O is STILL the RC4-based Algorithm 3 chain
+    * (ISO 32000-1 keeps RC4 for /O and /U at R4; only payloads are AES), so
+    * [[graft.pdf.PdfCrypto.recoverUserPasswordFromO]]'s revision-≥3 branch
+    * opens it and decryption then proceeds through the AES cipher path —
+    * the owner-auth and AESV2 extensions composed. */
+  private lazy val aesOwnerOnlyOKeyU: (Array[Byte], Array[Byte], Array[Byte]) = {
+    val docId = AesDocIdHex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    val o = PdfCrypto.computeOwnerO(OwnerPassword, "graftuser", 16)
+    val key = PdfCrypto.computeEncryptionKey(PdfCrypto.pad("graftuser"), o, EncPermission, docId, 16)
+    val u = PdfCrypto.computeEncryptU(PdfCrypto.pad("graftuser"), docId, key)
+    (o, key, u)
+  }
+
+  def pdfAesOwnerOnlyFromText(docIdNum: Long, text: String): Array[Byte] = {
+    val (o, key, u) = aesOwnerOnlyOKeyU
+    val b = new GoldenGen.PdfBuilder()
+    val contentIds = rotatingOpsPerPage(text).map { ops =>
+      val id = b.registerObject()
+      val iv = Array.tabulate[Byte](16)(i =>
+        ((docIdNum * 131 + id * 31 + i * 7 + text.length) & 0xff).toByte)
+      val payload = PdfCrypto.aesEncrypt(
+        PdfCrypto.objectKeyAes(key, ObjectId(id, 0)), iv, ops.getBytes(ISO_8859_1))
+      b.raw(s"$id 0 obj\n<</Length ${payload.length}>>stream\n")
+      b.raw(payload)
+      b.raw("\nendstream\nendobj\n")
+      id
+    }
+    val catalog = GoldenGen.catalogFor(b, contentIds)
+    val encId = b.addObject(
+      s"<</Filter/Standard/V 4/R 4/P $EncPermission/Length 128" +
+        "/CF<</StdCF<</CFM/AESV2/AuthEvent/DocOpen/Length 16>>>>" +
+        "/StmF/StdCF/StrF/StdCF" +
+        s"/O <${hexOf(o)}>/U <${hexOf(u)}>>>")
+    b.finish(s"/Root $catalog 0 R/Encrypt $encId 0 R/ID[<$AesDocIdHex><$AesDocIdHex>]")
+  }
+
+  /** Owner-only corpus router: R2 / R3 / AESV2-R4 by `(docId/2) % 3`, so all
+    * three Algorithm 7 surfaces (single-pass inversion, 20-key chain
+    * inversion, and the owner-auth→AES composition) are driver-gate-visible. */
   def pdfOwnerOnlyForDoc(docId: Long, text: String): Array[Byte] =
-    if ((docId / 2) % 2 == 0) pdfOwnerOnlyFromText(text) else pdfOwnerOnlyR3FromText(text)
+    ((docId / 2) % 3).toInt match {
+      case 0 => pdfOwnerOnlyFromText(text)
+      case 1 => pdfOwnerOnlyR3FromText(text)
+      case _ => pdfAesOwnerOnlyFromText(docId, text)
+    }
 
   /** EXTENDED-mode corpus: the exact chunk/page contract of variant 0, but
     * content streams encoded with the opt-in filter surface

@@ -150,11 +150,12 @@ class CorpusVariantsSpec extends AnyFunSuite {
     assert(r.decodeFailures == 1 && r.text == "" && r.pages == 0)
   }
 
-  test("Algorithm 7 owner-password decryption (extended mode): R2 + R3 extract, wrong password errors") {
+  test("Algorithm 7 owner-password decryption (extended mode): R2 + R3 + AESV2-R4 extract, wrong password errors") {
     val t = texts(2)
     for ((payload, label) <- Seq(
         (Corpus.pdfOwnerOnlyFromText(t), "R2"),
-        (Corpus.pdfOwnerOnlyR3FromText(t), "R3"))) {
+        (Corpus.pdfOwnerOnlyR3FromText(t), "R3"),
+        (Corpus.pdfAesOwnerOnlyFromText(4L, t), "AESV2-R4"))) {
       // the owner password opens the doc in extended mode
       val ok = PdfExtract.extract(payload, password = Corpus.OwnerPassword,
         contentDelimiter = "", captureFragments = false, extendedFilters = true)
@@ -166,10 +167,15 @@ class CorpusVariantsSpec extends AnyFunSuite {
         "UnsupportedOperationException: owner-password authentication is not implemented"),
         s"$label wrong-password error=${bad.error}")
       assert(bad.decodeFailures == 1 && bad.text == "")
-      // ...and DEFAULT mode never attempts Algorithm 7, even with the right one
+      // ...and DEFAULT mode never attempts Algorithm 7, even with the right
+      // owner password: R2/R3 reach the reference's owner throw; the AESV2
+      // doc never gets that far — default mode rejects V4 at the
+      // Standard-encryption check (the reference's V>2 surface)
       val deflt = PdfExtract.extract(payload, password = Corpus.OwnerPassword,
         contentDelimiter = "", captureFragments = false)
-      assert(deflt.error.exists(_.contains("owner-password authentication is not implemented")),
+      val expected = if (label == "AESV2-R4") "Standard encryption"
+        else "owner-password authentication is not implemented"
+      assert(deflt.error.exists(_.contains(expected)),
         s"$label default-mode error=${deflt.error}")
     }
   }
