@@ -68,6 +68,29 @@ object SparkEntry {
           col("col.src_line").cast("long").as("src_line"))
         .orderBy("doc_id", "span_idx")
     }),
+    "html_spans" -> ((s, dir) => {
+      // HTML-path twin of pdf_spans: the fixed-layout probe
+      // (Corpus.htmlSpanProbe — one <p> per 20-word block, no escaping, no
+      // chrome) makes every span's [start,end), source char offset
+      // (69 + 8i + cumlen) and source line (3 + i) a closed form of the
+      // word array. Docs whose text contains & < > are excluded on BOTH
+      // sides (the probe writes raw text nodes), as are lone <=16-word
+      // blocks (NumWordsRules drops them; the oracle replicates the rule)
+      import s.implicits._
+      val pages = docs(s, dir)
+        .where(length(trim(col("text"))) > 0 && !col("text").rlike("[&<>]"))
+        .select("doc_id", "text", "lang").as[(Long, String, String)]
+        .map { case (id, t, lang) => Corpus.htmlSpanProbePageRowFor(id, t, lang) }
+      ExtractPipeline.run(pages, delimiter = "", captureLines = true).toDF()
+        .select(docIdFromUrl, posexplode(col("spans")))
+        .select(col("doc_id"), col("pos").cast("long").as("span_idx"),
+          col("col.start").cast("long").as("start_pos"),
+          col("col.end").cast("long").as("end_pos"),
+          col("col.src_offset").cast("long").as("src_offset"),
+          col("col.src_line").cast("long").as("src_line"),
+          col("col.kind").as("kind"))
+        .orderBy("doc_id", "span_idx")
+    }),
     "html_extract_roundtrip" -> ((s, dir) => {
       extracted(s, dir).where(col("kind") === "html")
         .select(docIdFromUrl, col("title"), col("text"))
@@ -787,6 +810,33 @@ object SparkEntry {
                  CAST(${Corpus.spanProbeSrcOffset(0)} + ${Corpus.spanProbeSrcOffset(1) - Corpus.spanProbeSrcOffset(0)} * i AS BIGINT) AS src_offset,
                  CAST(5 * i + 5 AS BIGINT) AS src_line
           FROM s ORDER BY doc_id, span_idx""",
+    // html_spans: block i covers words [20i+1, 20i+20]; extracted offsets
+    // are cumulative block lengths + i newline separators; source offset =
+    // 69 (prefix 66 + "<p>") + 8 per prior line ("<p></p>\n") + cumulative
+    // text; line = 3 + i (2 prefix newlines). A lone block needs > 16 words
+    // (NumWordsRules); with >= 2 blocks every block is kept (full blocks
+    // have 20 > 16 words, the last one's predecessor has 20 > 4).
+    "html_spans" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS ws
+                    FROM documents
+                    WHERE length(trim(text)) > 0 AND NOT regexp_matches(text, '[&<>]')),
+         b AS (SELECT doc_id, ws, len(ws) AS nw,
+                      unnest(range(CAST((len(ws) + 19) // 20 AS BIGINT))) AS i
+               FROM d WHERE len(ws) > 16),
+         t AS (SELECT doc_id, i,
+                      length(array_to_string(ws[CAST(20*i + 1 AS INT):CAST(least(20*i + 20, nw) AS INT)], ' ')) AS blen
+               FROM b),
+         c AS (SELECT doc_id, i, blen,
+                      COALESCE(SUM(blen) OVER (PARTITION BY doc_id ORDER BY i
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum
+               FROM t)
+         SELECT doc_id, CAST(i AS BIGINT) AS span_idx,
+                CAST(cum + i AS BIGINT) AS start_pos,
+                CAST(cum + i + blen AS BIGINT) AS end_pos,
+                CAST(69 + 8*i + cum AS BIGINT) AS src_offset,
+                CAST(3 + i AS BIGINT) AS src_line,
+                'block' AS kind
+         FROM c ORDER BY doc_id, span_idx""",
     "html_extract_roundtrip" ->
       "SELECT doc_id, 'doc ' || doc_id AS title, text FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id",
     "pdf_extract_delim_roundtrip" ->

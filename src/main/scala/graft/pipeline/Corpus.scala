@@ -849,6 +849,35 @@ object Corpus {
     * the single main <p> holding `text`, then linked aside/footer chrome.
     * The <title> block is reported separately by the extractor, never in
     * the text. */
+  /** Fixed-layout HTML span probe (round 5, twin of [[pdfSpanProbe]] for the
+    * HTML path): title + one `<p>` per 20-word block, words joined by single
+    * spaces, NO links or chrome. Under NumWordsRules every block is kept —
+    * full blocks have 20 > 16 words and a short last block's PREDECESSOR has
+    * 20 > 4 — except a LONE ≤16-word block, which the caller filters out.
+    * The layout is offset-exact: the prefix is 66 chars with 2 newlines, a
+    * block line is "<p>" ++ text ++ "</p>\n", so block i's first text char
+    * sits at source offset 69 + 8·i + Σ len(block_j<i) on source line 3 + i,
+    * and the oracle computes both plus the extracted [start,end) from the
+    * word array alone. Callers must exclude texts containing & < > (no
+    * entity escaping in the probe, keeping source offsets = text offsets). */
+  def htmlSpanProbe(text: String): Array[Byte] = {
+    val words = text.trim.split("\\s+").filter(_.nonEmpty)
+    val sb = new StringBuilder(
+      "<!DOCTYPE html>\n<html><head><title>spanprobe</title></head><body>\n")
+    words.grouped(20).foreach(b =>
+      sb.append("<p>").append(b.mkString(" ")).append("</p>\n"))
+    sb.append("</body></html>")
+    sb.toString.getBytes(UTF_8)
+  }
+
+  def htmlSpanProbePageRowFor(docId: Long, text: String, lang: String): PageRow =
+    PageRow(
+      url = UrlPrefix + docId,
+      warc_ts = Timestamp.from(Instant.parse("2024-01-01T00:00:00Z").plusSeconds(docId * 60)),
+      html = htmlSpanProbe(text),
+      text = text,
+      lang = lang)
+
   def htmlFromText(text: String, docId: Long): Array[Byte] = {
     // odd doc_ids alternate between plain escaping (h0) and a
     // numeric-character-reference payload (h1): every vowel is written as a
