@@ -493,13 +493,36 @@ object SparkEntry {
         }.toDF("doc_id", "text", "failures")
         .orderBy("doc_id")
     }),
+    "pdf_extract_aes256" -> ((s, dir) => {
+      // AES-256 decryption (V5/AESV3, ISO 32000-2) under the opt-in
+      // extended mode — docs rotate the R6 hardened Algorithm-2.B hash, the
+      // deprecated R5 single-SHA-256 precursor, and R6 with
+      // /EncryptMetadata false; every doc carries a /Perms capsule the
+      // reader validates against the recovered file key (Algorithm 13).
+      // Same chunk contract as variant 0, so the oracle is the raw text.
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .filter(_._1 % 2 == 0)
+        .mapPartitions { it =>
+          val buffers = new graft.pdf.WorkBuffers()
+          it.map { case (id, t) =>
+            val r = graft.pdf.PdfExtract.extract(Corpus.pdfAes256ForDoc(id, t),
+              contentDelimiter = "", buffers = buffers, captureFragments = false,
+              extendedFilters = true)
+            (id, r.text, r.decodeFailures.toLong)
+          }
+        }.toDF("doc_id", "text", "failures")
+        .orderBy("doc_id")
+    }),
     "pdf_owner_password_extended" -> ((s, dir) => {
       // Algorithm 7 owner-password decryption (EXTENSION, opt-in extended
       // mode — default mode keeps the reference's NotImplementedException
       // verbatim, gated by pdf_owner_password_error): the owner-only
       // documents EXTRACT with the owner password; docs rotate through the
-      // R2 single-pass inversion, the R3 20-key-chain inversion, and the
-      // AESV2-R4 composition (RC4 /O inversion feeding the AES cipher path)
+      // R2 single-pass inversion, the R3 20-key-chain inversion, the
+      // AESV2-R4 composition (RC4 /O inversion feeding the AES cipher
+      // path), and the AES-256-R6 Algorithm-12 /OE unwrap
       import s.implicits._
       s.read.parquet(s"$dir/documents.parquet")
         .select("doc_id", "text").as[(Long, String)]
@@ -1247,6 +1270,9 @@ object SparkEntry {
       """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "pdf_extract_extended_aes" ->
+      """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
+         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "pdf_extract_aes256" ->
       """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "pdf_owner_password_extended" ->

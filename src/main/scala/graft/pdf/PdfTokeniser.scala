@@ -151,6 +151,8 @@ final class PdfTokeniser(
   var isStringNeedsDecryption: Boolean = false
   private var globalEncryptionKey: Array[Byte] = null
   private var encryptionIsAes: Boolean = false
+  // V5/AESV3: the file key IS the object key (no MD5-sAlT derivation)
+  private var encryptionIsAesV3: Boolean = false
 
   private[pdf] val pages = mutable.ArrayBuffer.empty[PdfPage]
   def pageList: Seq[PdfPage] = pages.toSeq
@@ -514,6 +516,15 @@ final class PdfTokeniser(
       v.contains(4) && r.contains(4) &&
       enc.getDictionary("CF").flatMap(_.getDictionary("StdCF"))
         .flatMap(_.getName("CFM")).contains("AESV2")
+    // EXTENSION (opt-in): AES-256 — /V 5 with /CFM/AESV3, R6 (ISO 32000-2
+    // hardened hash) or the deprecated R5 precursor. Authentication never
+    // touches /ID and there is no per-object key, so the whole setup lives
+    // in its own branch.
+    val aes256Supported = extendedFilters && filter.contains("Standard") &&
+      v.contains(5) && (r.contains(5) || r.contains(6)) &&
+      enc.getDictionary("CF").flatMap(_.getDictionary("StdCF"))
+        .flatMap(_.getName("CFM")).contains("AESV3")
+    if (aes256Supported) return setupEncryptionV5(enc, r.get, p, o, u)
     if ((!refSupported && !aesSupported) ||
         p.isEmpty || o.isEmpty || u.isEmpty || idToken.isEmpty)
       throw new IllegalArgumentException("PdfParser can only decrypt pdf files using Standard encryption.\n" + enc.render)
@@ -569,6 +580,38 @@ final class PdfTokeniser(
         throw new UnsupportedOperationException("owner-password authentication is not implemented")
       }
     }
+  }
+
+  /** EXTENSION (opt-in `extendedFilters` only): AES-256 setup — ISO 32000-2
+    * §7.6.4, /V 5 /R 5|6 with /CFM/AESV3. Tries the password as USER
+    * (Algorithm 11) then OWNER (Algorithm 12); on success the recovered
+    * 32-byte file key decrypts every string/stream directly. A /Perms
+    * entry, when present, is validated against the key (Algorithm 13) so a
+    * tampered permissions capsule surfaces as an error row rather than
+    * silently-honored garbage. */
+  private def setupEncryptionV5(enc: DictTok, revision: Int,
+      p: Option[NumTok], o: Option[Array[Byte]], u: Option[Array[Byte]]): Option[String] = {
+    val oe = enc.getHexBytes("OE")
+    val ue = enc.getHexBytes("UE")
+    if (p.isEmpty || o.isEmpty || u.isEmpty || oe.isEmpty || ue.isEmpty)
+      throw new IllegalArgumentException(
+        "AES-256 (V5) encryption dictionary is missing O/U/OE/UE/P.\n" + enc.render)
+    val key = PdfCrypto.fileKeyV5(password, o.get, u.get, oe.get, ue.get, revision)
+    if (key == null)
+      throw new IllegalArgumentException(
+        "invalid user or owner password for AES-256 (V5) encryption")
+    val permission = p.get.dec.longValue.toInt
+    val encryptMetadata =
+      enc.get("EncryptMetadata").collect { case bt: BoolTok => bt.value }.getOrElse(true)
+    enc.getHexBytes("Perms").foreach { perms =>
+      if (!PdfCrypto.verifyPermsV5(key, perms, permission, encryptMetadata))
+        throw new IllegalArgumentException(
+          "AES-256 /Perms does not validate against the file key")
+    }
+    globalEncryptionKey = key
+    encryptionIsAes = true
+    encryptionIsAesV3 = true
+    None
   }
 
   /** reference: Tokeniser.cs:1161-1176, plus a cycle guard. */
@@ -1044,7 +1087,7 @@ final class PdfTokeniser(
       if (encryptionIsAes) {
         if (dict.decryptedStream == null)
           dict.decryptedStream = PdfCrypto.aesDecrypt(
-            PdfCrypto.objectKeyAes(globalEncryptionKey, dict.objectId.get),
+            aesObjectKey(dict.objectId.get),
             bytes, dict.streamStartIndex, dict.streamLength)
         srcBuf = dict.decryptedStream
         srcOff = 0
@@ -1137,6 +1180,13 @@ final class PdfTokeniser(
     java.util.Arrays.copyOf(buf, total)
   }
 
+  /** AES per-object key: V4/AESV2 derives MD5(key ∥ obj ∥ gen ∥ sAlT);
+    * V5/AESV3 uses the 32-byte file key directly (ISO 32000-2 drops the
+    * per-object derivation entirely). */
+  private def aesObjectKey(objectId: ObjectId): Array[Byte] =
+    if (encryptionIsAesV3) globalEncryptionKey
+    else PdfCrypto.objectKeyAes(globalEncryptionKey, objectId)
+
   private[pdf] def decryptString(objectId: ObjectId, encrypted: String): String = {
     if (isDecryptionError) return "Decryption error"
     val data = new Array[Byte](encrypted.length)
@@ -1144,7 +1194,7 @@ final class PdfTokeniser(
     while (i < encrypted.length) { data(i) = encrypted.charAt(i).toByte; i += 1 }
     val plain =
       if (encryptionIsAes)
-        PdfCrypto.aesDecrypt(PdfCrypto.objectKeyAes(globalEncryptionKey, objectId), data, 0, data.length)
+        PdfCrypto.aesDecrypt(aesObjectKey(objectId), data, 0, data.length)
       else {
         PdfCrypto.rc4InPlace(PdfCrypto.objectKey(globalEncryptionKey, objectId), data, 0, data.length)
         data

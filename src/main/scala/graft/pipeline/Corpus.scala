@@ -786,14 +786,95 @@ object Corpus {
     b.finish(s"/Root $catalog 0 R/Encrypt $encId 0 R/ID[<$AesDocIdHex><$AesDocIdHex>]")
   }
 
-  /** Owner-only corpus router: R2 / R3 / AESV2-R4 by `(docId/2) % 3`, so all
-    * three Algorithm 7 surfaces (single-pass inversion, 20-key chain
-    * inversion, and the owner-auth→AES composition) are driver-gate-visible. */
+  // Deterministic AES-256 (V5) security bundles — extended mode only (the
+  // reference throws on V > 2). Real writers draw the 32-byte file key and
+  // the four 8-byte salts from a CSPRNG; fixtures pin them so every builder
+  // output is byte-stable. R6 bundles pay the Algorithm-2.B hardened hash
+  // (64+ AES/SHA-2 rounds per derivation) ONCE here, amortized corpus-wide
+  // like encOKey/aesOKeyU.
+  private val V5FileKey = Array.tabulate[Byte](32)(i => ((i * 37 + 11) & 0xff).toByte)
+  private def v5Salts(seed: Int) = Array.tabulate[Byte](32)(i => ((seed * 53 + i * 29 + 5) & 0xff).toByte)
+  private lazy val v5UserR6 =
+    PdfCrypto.makeV5Security("", OwnerPassword, V5FileKey, v5Salts(1), EncPermission,
+      encryptMetadata = true, revision = 6)
+  private lazy val v5UserR5 =
+    PdfCrypto.makeV5Security("", OwnerPassword, V5FileKey, v5Salts(2), EncPermission,
+      encryptMetadata = true, revision = 5)
+  private lazy val v5NoMetaR6 =
+    PdfCrypto.makeV5Security("", OwnerPassword, V5FileKey, v5Salts(3), EncPermission,
+      encryptMetadata = false, revision = 6)
+  private lazy val v5OwnerOnly =
+    PdfCrypto.makeV5Security("graftuser", OwnerPassword, V5FileKey, v5Salts(4), EncPermission,
+      encryptMetadata = true, revision = 6)
+
+  private def v5EncryptedBody(b: GoldenGen.PdfBuilder, docId: Long, text: String): Seq[Int] =
+    rotatingOpsPerPage(text).map { ops =>
+      val id = b.registerObject()
+      val iv = Array.tabulate[Byte](16)(i =>
+        ((docId * 149 + id * 41 + i * 13 + text.length) & 0xff).toByte)
+      // V5: the FILE key encrypts every stream directly — no per-object key
+      val payload = PdfCrypto.aesEncrypt(V5FileKey, iv, ops.getBytes(ISO_8859_1))
+      b.raw(s"$id 0 obj\n<</Length ${payload.length}>>stream\n")
+      b.raw(payload)
+      b.raw("\nendstream\nendobj\n")
+      id
+    }
+
+  private def v5EncDict(sec: PdfCrypto.V5Security, revision: Int, extra: String): String =
+    s"<</Filter/Standard/V 5/R $revision/Length 256/P $EncPermission" +
+      "/CF<</StdCF<</CFM/AESV3/AuthEvent/DocOpen/Length 32>>>>" +
+      "/StmF/StdCF/StrF/StdCF" + extra +
+      s"/O <${hexOf(sec.o)}>/U <${hexOf(sec.u)}>" +
+      s"/OE <${hexOf(sec.oe)}>/UE <${hexOf(sec.ue)}>/Perms <${hexOf(sec.perms)}>>>"
+
+  /** AES-256 corpus (gate for the V5/AESV3 capability): variant 0's
+    * chunk/page contract with every content stream AES-256-CBC-encrypted
+    * under the file key (ISO 32000-2 drops per-object key derivation).
+    * `(docId/2) % 3` rotates three dialects, all opening with the EMPTY
+    * user password under `extendedFilters = true`:
+    *  - 0: R6 — the hardened Algorithm-2.B hash (64+ variable rounds);
+    *  - 1: R5 — the deprecated single-SHA-256 precursor (Adobe ext. 3);
+    *  - 2: R6 with `/EncryptMetadata false` — unlike V4 the FILE KEY does
+    *       not change (it's random, not password-derived), but the /Perms
+    *       capsule's flag byte must read 'F' (Algorithm 13 validates it).
+    * Every dialect carries /Perms, so the gate also proves the
+    * Algorithm-13 round-trip; default mode keeps the reference's throw
+    * surface (error row, unit-pinned). */
+  def pdfAes256ForDoc(docId: Long, text: String): Array[Byte] = {
+    val (sec, revision, extra) = ((docId / 2) % 3).toInt match {
+      case 0 => (v5UserR6, 6, "")
+      case 1 => (v5UserR5, 5, "")
+      case _ => (v5NoMetaR6, 6, "/EncryptMetadata false")
+    }
+    val b = new GoldenGen.PdfBuilder()
+    val contentIds = v5EncryptedBody(b, docId, text)
+    val catalog = GoldenGen.catalogFor(b, contentIds)
+    val encId = b.addObject(v5EncDict(sec, revision, extra))
+    b.finish(s"/Root $catalog 0 R/Encrypt $encId 0 R/ID[<$AesDocIdHex><$AesDocIdHex>]")
+  }
+
+  /** AES-256 owner-only: /U derives from user password "graftuser" (never
+    * handed out), so only Algorithm 12 with [[OwnerPassword]] opens it —
+    * the V5 owner path hashes (pwd ∥ salt ∥ U₄₈) and unwraps /OE, a
+    * different chain from the RC4 inversion the V≤4 arms exercise. */
+  def pdfAes256OwnerOnlyFromText(docId: Long, text: String): Array[Byte] = {
+    val b = new GoldenGen.PdfBuilder()
+    val contentIds = v5EncryptedBody(b, docId, text)
+    val catalog = GoldenGen.catalogFor(b, contentIds)
+    val encId = b.addObject(v5EncDict(v5OwnerOnly, 6, ""))
+    b.finish(s"/Root $catalog 0 R/Encrypt $encId 0 R/ID[<$AesDocIdHex><$AesDocIdHex>]")
+  }
+
+  /** Owner-only corpus router: R2 / R3 / AESV2-R4 / AES-256-R6 by
+    * `(docId/2) % 4`, so all four owner-auth surfaces (single-pass RC4
+    * inversion, 20-key chain inversion, owner-auth→AES composition, and
+    * the V5 Algorithm-12 /OE unwrap) are driver-gate-visible. */
   def pdfOwnerOnlyForDoc(docId: Long, text: String): Array[Byte] =
-    ((docId / 2) % 3).toInt match {
+    ((docId / 2) % 4).toInt match {
       case 0 => pdfOwnerOnlyFromText(text)
       case 1 => pdfOwnerOnlyR3FromText(text)
-      case _ => pdfAesOwnerOnlyFromText(docId, text)
+      case 2 => pdfAesOwnerOnlyFromText(docId, text)
+      case _ => pdfAes256OwnerOnlyFromText(docId, text)
     }
 
   /** EXTENDED-mode corpus: the exact chunk/page contract of variant 0, but

@@ -180,6 +180,85 @@ class CorpusVariantsSpec extends AnyFunSuite {
     }
   }
 
+  test("V5 crypto primitives: R5 hash is a single SHA-256; R6 hardened hash differs and is deterministic") {
+    import graft.pdf.PdfCrypto
+    val pwd = PdfCrypto.passwordBytesV5("graftuser")
+    val salt = Array.tabulate[Byte](8)(i => (i * 3 + 1).toByte)
+    // R5 = SHA-256(pwd ∥ salt ∥ udata) verbatim — checked against JCE
+    // directly, independent of hash2B's own code path
+    val md = java.security.MessageDigest.getInstance("SHA-256")
+    md.update(pwd); md.update(salt)
+    val r5 = PdfCrypto.hash2B(pwd, salt, Array.emptyByteArray, 5)
+    assert(r5.sameElements(md.digest()))
+    // R6 actually runs the Algorithm-2.B loop: 32 bytes, differs from R5,
+    // deterministic, and sensitive to the udata argument (the /O-side hash)
+    val r6 = PdfCrypto.hash2B(pwd, salt, Array.emptyByteArray, 6)
+    assert(r6.length == 32 && !r6.sameElements(r5))
+    assert(r6.sameElements(PdfCrypto.hash2B(pwd, salt, Array.emptyByteArray, 6)))
+    assert(!r6.sameElements(PdfCrypto.hash2B(pwd, salt, Array.fill[Byte](48)(7), 6)))
+  }
+
+  test("AES-256 corpus: R6 / R5 / EncryptMetadata-false dialects round-trip; wrong password + default mode error") {
+    // dialect routing: (docId/2)%3 — 0: R6 (hardened Algorithm-2.B hash),
+    // 1: deprecated R5 (single SHA-256), 2: R6 + /EncryptMetadata false
+    for (dialect <- 0 until 3; t <- Seq(texts(0), texts(3))) {
+      val docId = dialect.toLong * 2
+      val payload = Corpus.pdfAes256ForDoc(docId, t)
+      val hay = new String(payload.map(b => (b & 0xff).toChar))
+      assert(hay.contains("/V 5") && hay.contains("/CFM/AESV3") && hay.contains("/Perms <"))
+      dialect match {
+        case 0 => assert(hay.contains("/R 6") && !hay.contains("EncryptMetadata"))
+        case 1 => assert(hay.contains("/R 5"))
+        case _ => assert(hay.contains("/R 6") && hay.contains("/EncryptMetadata false"))
+      }
+      // empty USER password opens it in extended mode
+      val ext = PdfExtract.extract(payload, contentDelimiter = "",
+        captureFragments = false, extendedFilters = true)
+      assert(ext.decodeFailures == 0, s"dialect $dialect: ${ext.error}")
+      assert(ext.text == t, s"dialect $dialect")
+      // the bundle's OWNER password opens the same doc via Algorithm 12
+      val owner = PdfExtract.extract(payload, password = Corpus.OwnerPassword,
+        contentDelimiter = "", captureFragments = false, extendedFilters = true)
+      assert(owner.decodeFailures == 0 && owner.text == t, s"dialect $dialect owner: ${owner.error}")
+      // a wrong password fails BOTH Algorithm 11 and 12
+      val bad = PdfExtract.extract(payload, password = "graftwrong",
+        contentDelimiter = "", captureFragments = false, extendedFilters = true)
+      assert(bad.error.exists(_.contains("invalid user or owner password for AES-256")),
+        s"dialect $dialect wrong-password error=${bad.error}")
+      // default mode rejects V5 at the reference's Standard-encryption check
+      val default = PdfExtract.extract(payload, contentDelimiter = "", captureFragments = false)
+      assert(default.decodeFailures > 0 &&
+        default.error.exists(_.contains("Standard encryption")), s"dialect $dialect: ${default.error}")
+    }
+    // Algorithm 13: a tampered /Perms capsule must be rejected, not honored
+    val p = Corpus.pdfAes256ForDoc(0L, texts(3))
+    val hay = new String(p.map(b => (b & 0xff).toChar))
+    val at = hay.indexOf("/Perms <") + "/Perms <".length
+    val flipped = hay.updated(at, if (hay(at) == '0') '1' else '0') // same length: offsets stay valid
+    val tampered = PdfExtract.extract(flipped.map(_.toByte).toArray,
+      contentDelimiter = "", captureFragments = false, extendedFilters = true)
+    assert(tampered.error.exists(_.contains("/Perms does not validate")),
+      s"tampered-Perms error=${tampered.error}")
+  }
+
+  test("AES-256 owner-only (Algorithm 12): owner password opens, empty/user path fails, default mode rejects V5") {
+    val t = texts(2)
+    val payload = Corpus.pdfAes256OwnerOnlyFromText(6L, t)
+    val ok = PdfExtract.extract(payload, password = Corpus.OwnerPassword,
+      contentDelimiter = "", captureFragments = false, extendedFilters = true)
+    assert(ok.decodeFailures == 0 && ok.text == t, s"owner: ${ok.error}")
+    // the user password is "graftuser", never handed out — the empty
+    // password fails Algorithm 11 AND Algorithm 12
+    val empty = PdfExtract.extract(payload, contentDelimiter = "",
+      captureFragments = false, extendedFilters = true)
+    assert(empty.error.exists(_.contains("invalid user or owner password for AES-256")),
+      s"empty-password error=${empty.error}")
+    val deflt = PdfExtract.extract(payload, password = Corpus.OwnerPassword,
+      contentDelimiter = "", captureFragments = false)
+    assert(deflt.error.exists(_.contains("Standard encryption")),
+      s"default-mode error=${deflt.error}")
+  }
+
   test("extended-filter corpus: all 4 encodings round-trip under extendedFilters; default mode errors") {
     val t = texts(3)
     for (route <- 0 until 4) {
