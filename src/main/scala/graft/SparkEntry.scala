@@ -472,6 +472,29 @@ object SparkEntry {
         }.toDF("doc_id", "text", "failures")
         .orderBy("doc_id")
     }),
+    "pdf_extract_predictors" -> ((s, dir) => {
+      // the opt-in full predictor surface (PNG per-row None/Sub/Up/Average/
+      // Paeth under Predictor 15, TIFF Predictor 2, Predictor 1) — variant-4
+      // xref-STREAM docs whose cross-reference rows the DEFAULT reference
+      // mode refuses (Token.cs:652-668 accepts only Predictor 12 + all-Up
+      // rows); the page graph lives behind that xref stream, so a predictor
+      // bug loses the whole document, and the chunk contract is variant 4's
+      // (plain text), so the oracle is the raw text
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .filter(_._1 % 2 == 0)
+        .mapPartitions { it =>
+          val buffers = new graft.pdf.WorkBuffers()
+          it.map { case (id, t) =>
+            val r = graft.pdf.PdfExtract.extract(Corpus.pdfPredictorForDoc(id, t),
+              contentDelimiter = "", buffers = buffers, captureFragments = false,
+              extendedFilters = true)
+            (id, r.text, r.decodeFailures.toLong)
+          }
+        }.toDF("doc_id", "text", "failures")
+        .orderBy("doc_id")
+    }),
     "pdf_extract_extended_aes" -> ((s, dir) => {
       // REAL AES-128-CBC decryption (V4/R4 AESV2 crypt filter) under the
       // opt-in extended mode — the one beyond-reference PDF capability that
@@ -1267,6 +1290,9 @@ object SparkEntry {
           CASE WHEN doc_id % 2 = 0 THEN $pdfExpectedSql ELSE text END AS text
           FROM d ORDER BY doc_id""",
     "pdf_extract_extended" ->
+      """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
+         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "pdf_extract_predictors" ->
       """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "pdf_extract_extended_aes" ->

@@ -321,7 +321,8 @@ object GoldenGen {
     * cross-reference stream uses W [1 3 2] (2-byte member index — a 500 KB
     * document has >255 ObjStm members) with the PNG-Up predictor. */
   def finishXrefStream(b: PdfBuilder, contentIds: Seq[Int], infoContent: String,
-      metadataId: Option[Int] = None, trailerId: Option[String] = None): Array[Byte] = {
+      metadataId: Option[Int] = None, trailerId: Option[String] = None,
+      predictor: String = "up"): Array[Byte] = {
     val p = contentIds.length
     require(contentIds == (1 to p), s"contents must be objects 1..$p, got $contentIds")
     // metadata (a STREAM — streams cannot live inside an ObjStm) is written
@@ -361,18 +362,59 @@ object GoldenGen {
           Array[Byte](2, ((objStmId >> 16) & 0xff).toByte, ((objStmId >> 8) & 0xff).toByte,
             (objStmId & 0xff).toByte, ((i >> 8) & 0xff).toByte, (i & 0xff).toByte)
         } :+ offRow(xrefAddress)
+    // `predictor` selects the on-disk row encoding (decoder coverage knob;
+    // "up" is the original byte-identical layout the DEFAULT mode reads):
+    //   up   — every row PNG-Up-filtered (Predictor 12)
+    //   png  — row i uses PNG filter type i % 5 (Predictor 15; extended mode)
+    //   tiff — horizontal byte differencing, no row filter bytes (Predictor 2)
+    //   none — raw rows, DecodeParms present with Predictor 1
     val enc = new ByteArrayOutputStream()
-    var prev = new Array[Byte](6)
-    rows.foreach { r =>
-      enc.write(2)
-      var j = 0
-      while (j < 6) { enc.write((r(j) - prev(j)) & 0xff); j += 1 }
-      prev = r
+    predictor match {
+      case "up" | "png" =>
+        var prev = new Array[Byte](6)
+        rows.zipWithIndex.foreach { case (r, rowIdx) =>
+          val ft = if (predictor == "up") 2 else rowIdx % 5
+          enc.write(ft)
+          var j = 0
+          while (j < 6) {
+            val left = if (j >= 1) r(j - 1) & 0xff else 0
+            val above = prev(j) & 0xff
+            val upLeft = if (j >= 1) prev(j - 1) & 0xff else 0
+            val x = r(j) & 0xff
+            val raw = ft match {
+              case 0 => x
+              case 1 => x - left
+              case 2 => x - above
+              case 3 => x - ((left + above) >> 1)
+              case 4 =>
+                val pr = left + above - upLeft
+                val pa = math.abs(pr - left); val pb = math.abs(pr - above); val pc = math.abs(pr - upLeft)
+                x - (if (pa <= pb && pa <= pc) left else if (pb <= pc) above else upLeft)
+            }
+            enc.write(raw & 0xff)
+            j += 1
+          }
+          prev = r
+        }
+      case "tiff" =>
+        rows.foreach { r =>
+          var j = 0
+          while (j < 6) {
+            val left = if (j >= 1) r(j - 1) & 0xff else 0
+            enc.write(((r(j) & 0xff) - left) & 0xff)
+            j += 1
+          }
+        }
+      case "none" =>
+        rows.foreach(r => enc.write(r, 0, 6))
+      case other => throw new IllegalArgumentException(s"unknown predictor mode $other")
     }
+    val predictorValue =
+      predictor match { case "up" => 12; case "png" => 15; case "tiff" => 2; case _ => 1 }
     val body = zlib(enc.toByteArray)
     val idEntry = trailerId.map(h => s"/ID[<$h><$h>]").getOrElse("")
     b.raw(s"$xrefId 0 obj\n<</Type/XRef/Size ${rows.length}/W[1 3 2]" +
-      s"/DecodeParms<</Predictor 12/Columns 6>>/Filter/FlateDecode/Length ${body.length}" +
+      s"/DecodeParms<</Predictor $predictorValue/Columns 6>>/Filter/FlateDecode/Length ${body.length}" +
       s"/Root $catalogId 0 R/Info $infoId 0 R$idEntry>>stream\n")
     b.raw(body)
     b.raw("\nendstream\nendobj\n")

@@ -196,4 +196,60 @@ object ExtraFilters {
     sb.append("~>")
     sb.toString.getBytes("ISO-8859-1")
   }
+
+  // ----------------------------------------------------- RunLengthDecode
+
+  /** PDF RunLength (ISO 32000-1 §7.4.5): a length byte L, then either
+    * L+1 literal bytes (L ≤ 127) or one byte repeated 257−L times
+    * (L ≥ 129); 128 is EOD. A truncated final run is tolerated the same
+    * way [[lzwDecode]] tolerates a missing EOD. */
+  def runLengthDecode(data: Array[Byte], off: Int, len: Int): Array[Byte] = {
+    val out = new ByteArrayOutputStream(len * 2)
+    var i = off
+    val end = off + len
+    var done = false
+    while (i < end && !done) {
+      val l = data(i) & 0xff
+      i += 1
+      if (l == 128) done = true
+      else if (l <= 127) {
+        val n = math.min(l + 1, end - i)
+        out.write(data, i, n)
+        i += n
+      } else if (i < end) {
+        val b = data(i) & 0xff
+        i += 1
+        var k = 257 - l
+        while (k > 0) { out.write(b); k -= 1 }
+      }
+    }
+    out.toByteArray
+  }
+
+  /** Greedy RunLength encoder: runs of ≥2 equal bytes become a repeat
+    * record (up to 128 per record), everything else literal records (up to
+    * 128 bytes each), closed by the 128 EOD byte. */
+  def runLengthEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length + data.length / 128 + 2)
+    var i = 0
+    while (i < data.length) {
+      var run = 1
+      while (i + run < data.length && run < 128 && data(i + run) == data(i)) run += 1
+      if (run >= 2) {
+        out.write(257 - run)
+        out.write(data(i) & 0xff)
+        i += run
+      } else {
+        // literal stretch: stop (exclusive) where a ≥2-byte run begins
+        var j = i + 1
+        while (j < data.length && j - i < 128 &&
+            (j + 1 >= data.length || data(j + 1) != data(j))) j += 1
+        out.write(j - i - 1)
+        out.write(data, i, j - i)
+        i = j
+      }
+    }
+    out.write(128) // EOD
+    out.toByteArray
+  }
 }

@@ -1116,12 +1116,14 @@ final class PdfTokeniser(
         streamOff = srcOff
         streamLen = srcLen
         streamIdx = 0
-      case StreamFilter.Lzw | StreamFilter.AsciiHex | StreamFilter.Ascii85 =>
+      case StreamFilter.Lzw | StreamFilter.AsciiHex | StreamFilter.Ascii85 | StreamFilter.RunLength =>
         val decoded = filter match {
           case StreamFilter.Lzw =>
             ExtraFilters.lzwDecode(srcBuf, srcOff, srcLen)
           case StreamFilter.AsciiHex =>
             ExtraFilters.asciiHexDecode(srcBuf, srcOff, srcLen)
+          case StreamFilter.RunLength =>
+            ExtraFilters.runLengthDecode(srcBuf, srcOff, srcLen)
           case _ =>
             ExtraFilters.ascii85Decode(srcBuf, srcOff, srcLen)
         }
@@ -1225,6 +1227,78 @@ final class PdfTokeniser(
       while (col < bytesPerRow) {
         filtered(dst) = (filtered(dst - bytesPerRow) + streamBuf(streamOff + src)).toByte
         src += 1; dst += 1; col += 1
+      }
+      row += 1
+    }
+    streamBuf = filtered
+    streamOff = 0
+    streamLen = filtered.length
+    streamIdx = 0
+  }
+
+  /** EXTENSION (opt-in `extendedFilters` only): full PNG row unfiltering —
+    * each row leads with a filter byte 0..4 (None/Sub/Up/Average/Paeth,
+    * RFC 2083 §6) applied over `bpp`-byte pixels. Predictor values 10-15
+    * in DecodeParms all route here (the value encodes the ENCODER's row
+    * strategy; the decoder always dispatches on the per-row byte). The
+    * default mode keeps the reference's Up-only [[applyPredictorUp]]. */
+  private[pdf] def applyPredictorPng(bytesPerRow: Int, bpp: Int): Unit = {
+    val rowCount = streamLen / (bytesPerRow + 1)
+    val filtered = new Array[Byte](rowCount * bytesPerRow)
+    var row = 0
+    var src = 0
+    var dst = 0
+    while (row < rowCount) {
+      val ft = streamBuf(streamOff + src) & 0xff
+      src += 1
+      var col = 0
+      while (col < bytesPerRow) {
+        val raw = streamBuf(streamOff + src) & 0xff
+        val left = if (col >= bpp) filtered(dst - bpp) & 0xff else 0
+        val above = if (row > 0) filtered(dst - bytesPerRow) & 0xff else 0
+        val upLeft = if (row > 0 && col >= bpp) filtered(dst - bytesPerRow - bpp) & 0xff else 0
+        val recon = ft match {
+          case 0 => raw
+          case 1 => raw + left
+          case 2 => raw + above
+          case 3 => raw + ((left + above) >> 1)
+          case 4 =>
+            // Paeth: nearest of left/above/upLeft to left+above-upLeft
+            val pr = left + above - upLeft
+            val pa = math.abs(pr - left)
+            val pb = math.abs(pr - above)
+            val pc = math.abs(pr - upLeft)
+            raw + (if (pa <= pb && pa <= pc) left else if (pb <= pc) above else upLeft)
+          case other =>
+            throw streamException(s"Pdf stream, ApplyPredictorPng(): PNG row filter type 0-4 expected, but was $other.")
+        }
+        filtered(dst) = recon.toByte
+        src += 1; dst += 1; col += 1
+      }
+      row += 1
+    }
+    streamBuf = filtered
+    streamOff = 0
+    streamLen = filtered.length
+    streamIdx = 0
+  }
+
+  /** EXTENSION (opt-in `extendedFilters` only): TIFF Predictor 2
+    * (horizontal differencing at 8-bit components) — each byte is a delta
+    * against the same component `bpp` bytes earlier within its row; no
+    * per-row filter byte. */
+  private[pdf] def applyPredictorTiff(bytesPerRow: Int, bpp: Int): Unit = {
+    val rowCount = streamLen / bytesPerRow
+    val filtered = new Array[Byte](rowCount * bytesPerRow)
+    var row = 0
+    var src = 0
+    while (row < rowCount) {
+      val base = row * bytesPerRow
+      var col = 0
+      while (col < bytesPerRow) {
+        val left = if (col >= bpp) filtered(base + col - bpp) & 0xff else 0
+        filtered(base + col) = ((streamBuf(streamOff + src) & 0xff) + left).toByte
+        src += 1; col += 1
       }
       row += 1
     }

@@ -193,6 +193,7 @@ final class DictTok(private val tk: PdfTokeniser, val objectId: Option[ObjectId]
       case "LZWDecode" if tk.extendedFilters      => StreamFilter.Lzw
       case "ASCIIHexDecode" if tk.extendedFilters => StreamFilter.AsciiHex
       case "ASCII85Decode" if tk.extendedFilters  => StreamFilter.Ascii85
+      case "RunLengthDecode" if tk.extendedFilters => StreamFilter.RunLength
       case other => throw new UnsupportedOperationException(s"Stream filter $other is not (yet) supported.")
     }
     val filter = entries.get("Filter") match {
@@ -228,9 +229,34 @@ final class DictTok(private val tk: PdfTokeniser, val objectId: Option[ObjectId]
         .getOrElse(throw tk.fileException("Stream DecodeParms are missing Columns parameter."))
       val predictor = parms.getNumber("Predictor")
         .getOrElse(throw tk.fileException("Stream DecodeParms are missing Predictor parameter."))
-      if (predictor.integer.get != 12)
-        throw tk.fileException("Stream DecodeParms Predictor parameter should be 12.")
-      tk.applyPredictorUp(columns.integer.get)
+      val p = predictor.integer.get
+      if (!tk.extendedFilters) {
+        // reference behavior (Token.cs:652-668): only Predictor 12 with
+        // every row filter byte = 2 (Up) is accepted — kept verbatim
+        if (p != 12)
+          throw tk.fileException("Stream DecodeParms Predictor parameter should be 12.")
+        tk.applyPredictorUp(columns.integer.get)
+      } else {
+        // EXTENSION (opt-in `extendedFilters` only): the full ISO 32000-1
+        // §7.4.4.4 predictor surface — PNG predictors 10-15 all mean
+        // "per-row filter byte decides" (None/Sub/Up/Average/Paeth), 2 is
+        // the TIFF horizontal differencer, 1 is no prediction. Row width =
+        // Columns × Colors × BitsPerComponent/8; only 8-bit components are
+        // supported (the xref-stream / web-PDF case — sub-byte sample
+        // packing surfaces as a clean error row, never silent corruption).
+        val colors = parms.getNumber("Colors").flatMap(_.integer).getOrElse(1)
+        val bpc = parms.getNumber("BitsPerComponent").flatMap(_.integer).getOrElse(8)
+        if (bpc != 8)
+          throw tk.fileException(s"Stream DecodeParms BitsPerComponent $bpc is not supported (only 8).")
+        val bytesPerRow = columns.integer.get * colors
+        p match {
+          case 1 => () // no prediction
+          case 2 => tk.applyPredictorTiff(bytesPerRow, colors)
+          case v if v >= 10 && v <= 15 => tk.applyPredictorPng(bytesPerRow, colors)
+          case other =>
+            throw tk.fileException(s"Stream DecodeParms Predictor $other is not supported.")
+        }
+      }
     }
     tk
   }
@@ -277,7 +303,7 @@ final class RefTok(val objectId: Option[ObjectId]) extends PdfTok {
 }
 
 object StreamFilter extends Enumeration {
-  val None, FlateDecode, Lzw, AsciiHex, Ascii85 = Value
+  val None, FlateDecode, Lzw, AsciiHex, Ascii85, RunLength = Value
 }
 
 /** Parse error carrying ±100 bytes of file context (reference: PdfParser/PdfException.cs:29-74). */

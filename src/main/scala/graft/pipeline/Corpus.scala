@@ -881,25 +881,48 @@ object Corpus {
     * content streams encoded with the opt-in filter surface
     * (`extendedFilters = true` — the reference supports only None and
     * FlateDecode and throws otherwise; replicated in default mode), routed
-    * by `(doc_id/2) % 4`: LZWDecode, ASCIIHexDecode, ASCII85Decode, and the
-    * `[ASCII85Decode FlateDecode]` two-stage chain. Expected extraction is
-    * plain `text` (no newline ops), so the gate oracle is trivial while the
-    * decode path is anything but. */
+    * by `(doc_id/2) % 5`: LZWDecode, ASCIIHexDecode, ASCII85Decode,
+    * RunLengthDecode, and the `[ASCII85Decode FlateDecode]` two-stage
+    * chain. Expected extraction is plain `text` (no newline ops), so the
+    * gate oracle is trivial while the decode path is anything but. */
   def pdfExtendedForDoc(docId: Long, text: String): Array[Byte] = {
     import graft.pdf.ExtraFilters
     val b = new GoldenGen.PdfBuilder()
     val contentIds = rotatingOpsPerPage(text).map { ops =>
       val plain = ops.getBytes(ISO_8859_1)
-      val (dictExtra, payload) = ((docId / 2) % 4).toInt match {
+      val (dictExtra, payload) = ((docId / 2) % 5).toInt match {
         case 0 => ("/Filter/LZWDecode", ExtraFilters.lzwEncode(plain))
         case 1 => ("/Filter/ASCIIHexDecode", ExtraFilters.asciiHexEncode(plain))
         case 2 => ("/Filter/ASCII85Decode", ExtraFilters.ascii85Encode(plain))
+        case 3 => ("/Filter/RunLengthDecode", ExtraFilters.runLengthEncode(plain))
         case _ => ("/Filter[/ASCII85Decode/FlateDecode]",
           ExtraFilters.ascii85Encode(GoldenGen.zlib(plain)))
       }
       b.addStream(dictExtra, payload)
     }
     finishClassic(b, contentIds, text)
+  }
+
+  /** EXTENDED-mode predictor corpus: the exact chunk/page contract of
+    * variant 4 (cross-reference STREAM layout), but the xref stream's rows
+    * are encoded with the predictor surface the reference rejects
+    * (Token.cs:652-668 accepts only Predictor 12 + all-Up rows), routed by
+    * `(doc_id/2) % 3`: PNG Predictor 15 with per-row filter types rotating
+    * None/Sub/Up/Average/Paeth, TIFF Predictor 2 (horizontal differencing),
+    * and Predictor 1 (DecodeParms present, no prediction). Readable only
+    * under `extendedFilters = true`; expected extraction equals variant
+    * 4's, so the gate oracle is the same closed form. */
+  def pdfPredictorForDoc(docId: Long, text: String): Array[Byte] = {
+    val mode = ((docId / 2) % 3).toInt match {
+      case 0 => "png"
+      case 1 => "tiff"
+      case _ => "none"
+    }
+    val b = new GoldenGen.PdfBuilder("1.5")
+    val contentIds = rotatingShowContents(b, text)
+    val metaId = addMetadata(b, text)
+    GoldenGen.finishXrefStream(b, contentIds, infoContent(text),
+      metadataId = Some(metaId), trailerId = Some(docIdHex(text)), predictor = mode)
   }
 
   /** Expected PDF page count for [[pdfFromText]] under `text` —

@@ -111,6 +111,46 @@ class ExtraFiltersSpec extends AnyFunSuite {
     }
   }
 
+  test("RunLength round-trips arbitrary bytes") {
+    forAll(bytesGen) { data =>
+      val enc = ExtraFilters.runLengthEncode(data)
+      assert(ExtraFilters.runLengthDecode(enc, 0, enc.length).toSeq == data.toSeq)
+    }
+    // highly repetitive input stresses the 128-per-record split
+    val runs = Array.fill[Byte](1000)(7) ++ Array.tabulate[Byte](300)(i => (i % 7).toByte) ++ Array.fill[Byte](2)(9)
+    val enc = ExtraFilters.runLengthEncode(runs)
+    assert(ExtraFilters.runLengthDecode(enc, 0, enc.length).toSeq == runs.toSeq)
+  }
+
+  test("RunLength decodes hand-built spec records (ISO 32000-1 §7.4.5)") {
+    // L=2 -> 3 literal bytes; L=254 -> 'X' repeated 257-254=3 times; EOD=128
+    val enc = Array[Byte](2, 'a', 'b', 'c', 254.toByte, 'X', 128.toByte, 'z')
+    assert(new String(ExtraFilters.runLengthDecode(enc, 0, enc.length), "ISO-8859-1") == "abcXXX")
+    // truncated literal record is tolerated (no EOD), like lzwDecode
+    val trunc = Array[Byte](5, 'a', 'b')
+    assert(new String(ExtraFilters.runLengthDecode(trunc, 0, trunc.length), "ISO-8859-1") == "ab")
+  }
+
+  test("full predictor surface (PNG per-row / TIFF / none) under extended mode; default mode errors like the reference") {
+    val text = "predictor coverage " * 40 // 760 chars -> multi-page variant-4 layout
+    Seq(0L -> "png rows", 2L -> "tiff rows", 4L -> "predictor 1").foreach { case (docId, label) =>
+      val pdf = graft.pipeline.Corpus.pdfPredictorForDoc(docId, text)
+      val ext = PdfExtract.extract(pdf, contentDelimiter = "", extendedFilters = true)
+      assert(ext.text == text, s"$label: ${ext.error}")
+      assert(ext.decodeFailures == 0, label)
+      // reference default (Token.cs:652-668): only Predictor 12 is accepted,
+      // and the xref stream is unreadable -> structured error row
+      val ref = PdfExtract.extract(pdf, contentDelimiter = "")
+      assert(ref.decodeFailures >= 1, label)
+      assert(ref.error.exists(_.contains("Predictor parameter should be 12")), s"$label: ${ref.error}")
+    }
+    // the default-mode Up layout must stay readable under extended mode too
+    // (Predictor 12 routes through the generic PNG path there)
+    val up = graft.pipeline.Corpus.pdfXrefStreamFromText(text)
+    val extUp = PdfExtract.extract(up, contentDelimiter = "", extendedFilters = true)
+    assert(extUp.text == text, extUp.error)
+  }
+
   private def pdfWithFilter(filterDict: String, payload: Array[Byte]): Array[Byte] = {
     val b = new GoldenGen.PdfBuilder()
     val id = b.registerObject()
@@ -127,6 +167,7 @@ class ExtraFiltersSpec extends AnyFunSuite {
       "/Filter/LZWDecode" -> ExtraFilters.lzwEncode(ops),
       "/Filter/ASCIIHexDecode" -> ExtraFilters.asciiHexEncode(ops),
       "/Filter/ASCII85Decode" -> ExtraFilters.ascii85Encode(ops),
+      "/Filter/RunLengthDecode" -> ExtraFilters.runLengthEncode(ops),
       "/Filter[/ASCII85Decode/FlateDecode]" -> ExtraFilters.ascii85Encode(GoldenGen.zlib(ops)))
     cases.foreach { case (dict, payload) =>
       val pdf = pdfWithFilter(dict, payload)
