@@ -516,6 +516,31 @@ object SparkEntry {
         }.toDF("doc_id", "text", "failures")
         .orderBy("doc_id")
     }),
+    "pdf_extract_type0" -> ((s, dir) => {
+      // Type0/Identity-H composite fonts (EXTENSION, opt-in extended mode):
+      // 2-byte CIDs decoded through the FULL ToUnicode CMap — multi-char
+      // destinations kept verbatim, surrogate-pair (non-BMP) destinations,
+      // 4-hex-digit bfranges above 0xFF, and Identity passthrough for
+      // unmapped CIDs. The reference parses these CMaps but never consults
+      // entries above 0xFF (PdfFont.cs:40 written, never read), so
+      // real-world Identity-H text is unreadable to it — default mode
+      // replicates that surface (unit-pinned); the oracle is
+      // Corpus.type0ExpectedText in SQL
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .filter(_._1 % 2 == 0)
+        .mapPartitions { it =>
+          val buffers = new graft.pdf.WorkBuffers()
+          it.map { case (id, t) =>
+            val r = graft.pdf.PdfExtract.extract(Corpus.pdfType0ForDoc(id, t),
+              contentDelimiter = "", buffers = buffers, captureFragments = false,
+              extendedFilters = true)
+            (id, r.text, r.decodeFailures.toLong)
+          }
+        }.toDF("doc_id", "text", "failures")
+        .orderBy("doc_id")
+    }),
     "pdf_extract_aes256" -> ((s, dir) => {
       // AES-256 decryption (V5/AESV3, ISO 32000-2) under the opt-in
       // extended mode — docs rotate the R6 hardened Algorithm-2.B hash, the
@@ -1297,6 +1322,13 @@ object SparkEntry {
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "pdf_extract_extended_aes" ->
       """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
+         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    // Corpus.type0ExpectedText: 'e' → "ff" (multi-char bfchar), 't' → U+1F600
+    // (surrogate-pair bfchar); everything else round-trips through the
+    // bfrange / Identity passthrough
+    "pdf_extract_type0" ->
+      """SELECT doc_id, replace(replace(text, 'e', 'ff'), 't', chr(128512)) AS text,
+           CAST(0 AS BIGINT) AS failures
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "pdf_extract_aes256" ->
       """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures

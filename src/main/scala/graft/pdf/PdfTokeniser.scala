@@ -21,6 +21,8 @@ final class WorkBuffers(initialInflate: Int = 200_000, val maxInflateBytes: Int 
     * document of a partition — the only full-text copies left are the final
     * toString and Spark's UTF8String encode. */
   val docTextSb: java.lang.StringBuilder = new java.lang.StringBuilder(8192)
+  /** Scratch for the extended-mode CID remap (one shown string at a time). */
+  val cidSb: StringBuilder = new StringBuilder
   val inflater: java.util.zip.Inflater = new java.util.zip.Inflater(true) // nowrap: we skip the 2-byte zlib header
 }
 
@@ -1635,8 +1637,32 @@ final class PdfTokeniser(
     * caller appends, preserving the reference's no-partial-text semantics. */
   def getStreamStringScratch(font: PdfFont): CharSequence = {
     sb.setLength(0)
-    readStreamStringInto(font)
+    if (font != null && font.isCidKeyed) { readStreamStringInto(null); remapCidFrom(font, 0) }
+    else readStreamStringInto(font)
     sb
+  }
+
+  /** EXTENSION (extended mode, Type0/Identity fonts): re-interpret the raw
+    * string bytes decoded into `sb[from..)` as big-endian 2-BYTE codes and
+    * map each through the font's full ToUnicode map ([[PdfFont.cidToText]]).
+    * Unmapped CIDs pass through as the CID itself (Identity semantics: the
+    * code IS the CID; fonts built with CID == Unicode then still extract).
+    * A lone trailing byte is zero-padded into the high byte, mirroring
+    * common-reader behavior on malformed odd-length strings. */
+  private def remapCidFrom(font: PdfFont, from: Int): Unit = {
+    val cidSb = buffers.cidSb
+    cidSb.setLength(0)
+    val n = sb.length
+    var i = from
+    while (i < n) {
+      val hi = sb.charAt(i) & 0xff
+      val cid = if (i + 1 < n) (hi << 8) | (sb.charAt(i + 1) & 0xff) else hi << 8
+      val mapped = if (font.cidToText == null) null else font.cidToText.getOrElse(cid, null)
+      if (mapped == null) cidSb.append(cid.toChar) else cidSb.append(mapped)
+      i += 2
+    }
+    sb.setLength(from)
+    sb.append(cidSb)
   }
 
   private def appendDecoded(ch0: Char, font: PdfFont): Unit = {
@@ -1729,12 +1755,17 @@ final class PdfTokeniser(
     sb.setLength(0)
     var b = sByte(streamIdx); streamIdx += 1
     if (b != '[') throw streamException("Read string array in stream, '[' expected.")
+    val cid = font != null && font.isCidKeyed
     var done = false
     while (!done) {
       b = sByte(streamIdx); streamIdx += 1
       if (b == '(' || b == '<') {
         streamIdx -= 1
-        readStreamStringInto(font)
+        // CID pairing is per element: each shown string's bytes pair up
+        // independently (an odd-length element must not borrow its high
+        // byte from the next element's first byte)
+        if (cid) { val from = sb.length; readStreamStringInto(null); remapCidFrom(font, from) }
+        else readStreamStringInto(font)
         b = sByte(streamIdx); streamIdx += 1
       }
       if (b == ']') done = true
@@ -1802,6 +1833,78 @@ final class PdfTokeniser(
     if (value < 0 || value > 0xff)
       throw streamException("Reading Character IDentifier CID from stream, should have only 2 hex digits.")
     value
+  }
+
+  /** EXTENSION (extended mode, composite-font CMaps): source CID of up to 4
+    * hex digits `<1A>` / `<0120>` — the form every real-world Identity-H
+    * ToUnicode CMap writes; the reference's reader caps at 2 digits
+    * (Tokeniser.cs:2557-2587), which is why its Type0 handling dies at the
+    * first 4-digit bfrange. */
+  def getStreamCidWide(): Int = {
+    var value = 0
+    streamSkipWhiteSpace()
+    var b = sByte(streamIdx); streamIdx += 1
+    if (b != '<')
+      throw streamException("Hexadecimal CID expected in the form of '<0120>', but leading '<' was missing.")
+    b = sByte(streamIdx); streamIdx += 1
+    var done = false
+    while (!done) {
+      if (b >= '0' && b <= '9') value = 16 * value + b - '0'
+      else if (b >= 'A' && b <= 'F') value = 16 * value + b - 'A' + 10
+      else if (b >= 'a' && b <= 'f') value = 16 * value + b - 'a' + 10
+      else done = true
+      if (!done) { b = sByte(streamIdx); streamIdx += 1 }
+    }
+    if (b != '>')
+      throw streamException("Hexadecimal CID expected in the form of '<0120>', but closing '>' was missing.")
+    if (value < 0 || value > 0xffff)
+      throw streamException("Reading CID from stream, should have at most 4 hex digits.")
+    value
+  }
+
+  /** EXTENSION (extended mode, composite-font CMaps): destination hex string
+    * `<00660066>` of any length that is a whole number of UTF-16BE code
+    * units (4 hex digits each), returned verbatim as a String — multi-char
+    * targets and surrogate pairs preserved, no ligature packing. */
+  def getStreamHexUtf16(): String = {
+    streamSkipWhiteSpace()
+    var b = sByte(streamIdx); streamIdx += 1
+    if (b != '<')
+      throw streamException("Hexadecimal string expected, but leading '<' was missing.")
+    val out = new java.lang.StringBuilder(4)
+    var unit = 0
+    var digits = 0
+    b = sByte(streamIdx); streamIdx += 1
+    while (b != '>') {
+      val d =
+        if (b >= '0' && b <= '9') b - '0'
+        else if (b >= 'A' && b <= 'F') b - 'A' + 10
+        else if (b >= 'a' && b <= 'f') b - 'a' + 10
+        else if (isWhiteSpaceByte(b)) -1
+        else throw streamException("Invalid character in CMap destination hex string.")
+      if (d >= 0) {
+        unit = 16 * unit + d
+        digits += 1
+        if (digits == 4) { out.append(unit.toChar); unit = 0; digits = 0 }
+      }
+      b = sByte(streamIdx); streamIdx += 1
+    }
+    if (digits != 0)
+      throw streamException("CMap destination hex string is not a whole number of UTF-16 code units.")
+    out.toString
+  }
+
+  /** EXTENSION: next non-whitespace stream byte without consuming it
+    * (-1 at end of stream). */
+  def peekStreamNonWsByte(): Int =
+    if (!streamSkipWhiteSpace()) -1 else sByte(streamIdx) & 0xff
+
+  /** EXTENSION: consume one expected non-whitespace stream byte. */
+  def expectStreamByte(expected: Char): Unit = {
+    streamSkipWhiteSpace()
+    val b = sByte(streamIdx); streamIdx += 1
+    if (b != expected)
+      throw streamException(s"Expected '$expected' in CMap, found '${(b & 0xff).toChar}'.")
   }
 
   /** 4-hex-digit unicode `<89AB>`; multi-char ligature sequences are packed

@@ -903,6 +903,111 @@ object Corpus {
     finishClassic(b, contentIds, text)
   }
 
+  /** Source char the Type0 gate writes as CID 0x0001, whose ToUnicode
+    * destination <00660066> is the TWO-char "ff" — extended-mode composite
+    * decoding keeps multi-char targets verbatim (no ligature packing; the
+    * packing is a default-mode reference quirk, Tokeniser.cs:2616-2644).
+    * 'e' so essentially every gate doc exercises the multi-char arm. */
+  final val Type0MarkerFF = 'e'
+
+  /** Source char the Type0 gate writes as CID 0x0002, whose ToUnicode
+    * destination <D83DDE00> is a UTF-16 SURROGATE PAIR (U+1F600) — the
+    * non-BMP arm of the destination reader. 't' for the same reason. */
+  final val Type0MarkerEmoji = 't'
+
+  /** Expected extraction for [[pdfType0ForDoc]] (Scala twin of the SQL
+    * oracle `replace(replace(text,'e','ff'),'t',chr(128512))`). */
+  def type0ExpectedText(text: String): String = text.flatMap {
+    case Type0MarkerFF    => "ff"
+    case Type0MarkerEmoji => "😀"
+    case c                => c.toString
+  }
+
+  /** Per-char CID encoding of the Type0 gate: markers take the bfchar CIDs,
+    * printable ASCII rides the <0120> <017E> <0020> bfrange (cid = char +
+    * 0x100, all above the 8-bit table the reference is limited to), and
+    * anything else is written as its OWN codepoint with NO CMap entry — the
+    * reader's Identity-passthrough arm (unmapped cid → the cid itself). */
+  private def type0Cids(chunk: String): Array[Int] = chunk.map {
+    case Type0MarkerFF    => 0x0001
+    case Type0MarkerEmoji => 0x0002
+    case c if c >= 0x20 && c <= 0x7e => c + 0x100
+    case c => c.toInt
+  }.toArray
+
+  private def appendLiteralByte(ops: StringBuilder, v: Int): Unit = v match {
+    case '\\' => ops.append("\\\\")
+    case '('  => ops.append("\\(")
+    case ')'  => ops.append("\\)")
+    case b if b < 0x20 || b > 0x7e => ops.append(f"\\$b%03o")
+    case b => ops.append(b.toChar)
+  }
+
+  /** Type0/Identity-H composite-font corpus (gate for the beyond-reference
+    * CID capability): variant-0 chunking (64-char chunks, 8 per page), every
+    * chunk shown through a Type0 font with /Encoding/Identity-H, a
+    * CIDFontType2 descendant and a full-range ToUnicode CMap. Show ops
+    * rotate hex `Tj` / escaped-literal `'` / hex-inside-`TJ` on the global
+    * chunk index, so BOTH 2-byte code paths (hex nibbles and literal bytes
+    * with octal escapes) and the array form are gate-visible. The reference
+    * parses such CMaps into a map it never consults above 0xFF (PdfFont.cs:40,
+    * Tokeniser.cs:2464-2472) — real-world Identity-H text is unreadable to
+    * it; extended mode decodes codes as big-endian 2-byte CIDs through the
+    * full map. Expected extraction is [[type0ExpectedText]]. */
+  def pdfType0ForDoc(docId: Long, text: String): Array[Byte] = {
+    val b = new GoldenGen.PdfBuilder()
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |/CIDSystemInfo << /Registry(Adobe) /Ordering(UCS) /Supplement 0 >> def
+        |/CMapName /Adobe-Identity-UCS def
+        |/CMapType 2 def
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <00660066>
+        |<0002> <D83DDE00>
+        |endbfchar
+        |1 beginbfrange
+        |<0120> <017E> <0020>
+        |endbfrange
+        |endcmap
+        |CMapName currentdict /CMap defineresource pop
+        |end
+        |end""".stripMargin
+    val cmapId = b.addStream("", cmap.getBytes(ISO_8859_1), deflate = true)
+    val descId = b.addObject(
+      "<</Type/Font/Subtype/CIDFontType2/BaseFont/GraftCID" +
+        "/CIDSystemInfo<</Registry(Adobe)/Ordering(Identity)/Supplement 0>>" +
+        "/CIDToGIDMap/Identity>>")
+    val fontId = b.addObject(
+      s"<</Type/Font/Subtype/Type0/BaseFont/GraftCID/Encoding/Identity-H" +
+        s"/DescendantFonts[$descId 0 R]/ToUnicode $cmapId 0 R>>")
+    var gi = 0
+    val contentIds = text.grouped(64).toIndexedSeq.grouped(8).map { pageChunks =>
+      val ops = new StringBuilder("BT /F1 10 Tf ")
+      pageChunks.foreach { c =>
+        val cids = type0Cids(c)
+        gi % 3 match {
+          case 0 =>
+            ops.append('<'); cids.foreach(cid => ops.append(f"$cid%04X")); ops.append("> Tj ")
+          case 1 =>
+            ops.append('(')
+            cids.foreach { cid => appendLiteralByte(ops, cid >> 8); appendLiteralByte(ops, cid & 0xff) }
+            ops.append(") ' ")
+          case _ =>
+            ops.append("[<"); cids.foreach(cid => ops.append(f"$cid%04X")); ops.append("> -120] TJ ")
+        }
+        gi += 1
+      }
+      ops.append("ET")
+      b.addStream("", ops.toString.getBytes(ISO_8859_1), deflate = true)
+    }.toSeq
+    finishClassic(b, contentIds, text, fontObj = Some(("F1", fontId)))
+  }
+
   /** EXTENDED-mode predictor corpus: the exact chunk/page contract of
     * variant 4 (cross-reference STREAM layout), but the xref stream's rows
     * are encoded with the predictor surface the reference rejects

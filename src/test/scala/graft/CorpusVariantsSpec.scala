@@ -198,6 +198,71 @@ class CorpusVariantsSpec extends AnyFunSuite {
     assert(!r6.sameElements(PdfCrypto.hash2B(pwd, salt, Array.fill[Byte](48)(7), 6)))
   }
 
+  test("Type0/Identity-H corpus: extended mode decodes 2-byte CIDs through the full CMap; default mode keeps the reference surface") {
+    for ((t, i) <- texts.zipWithIndex) {
+      val docId = i.toLong * 2
+      val payload = Corpus.pdfType0ForDoc(docId, t)
+      val hay = new String(payload.map(b => (b & 0xff).toChar))
+      assert(hay.contains("/Subtype/Type0") && hay.contains("/Encoding/Identity-H")
+        && hay.contains("/Subtype/CIDFontType2"))
+      // extended: the full-CMap decode — multi-char "ff" target for 'e',
+      // surrogate-pair U+1F600 for 't', bfrange above 0xFF for the rest
+      val ext = PdfExtract.extract(payload, contentDelimiter = "",
+        captureFragments = false, extendedFilters = true)
+      assert(ext.decodeFailures == 0, s"text $i: ${ext.error}")
+      assert(ext.text == Corpus.type0ExpectedText(t), s"text $i")
+      // default mode: the reference parses the CMap but its readers cap
+      // CIDs at 2 hex digits and its decode never consults entries above
+      // 0xFF — the document "extracts", but not to the real text (and it
+      // must be an error-free-or-error-row surface, never a throw)
+      val default = PdfExtract.extract(payload, contentDelimiter = "",
+        captureFragments = false)
+      assert(default.text != Corpus.type0ExpectedText(t) || t.isEmpty, s"text $i")
+    }
+    // the expected-text twin matches the SQL oracle's replace chain shape
+    assert(Corpus.type0ExpectedText("tests") == "😀ff" + "s" + "😀" + "s")
+  }
+
+  test("Type0 decode details: Identity passthrough, odd-length strings, bfrange array form") {
+    import graft.fixtures.GoldenGen
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    // passthrough: a char outside the CMap (here U+00E9 é, written as its
+    // own codepoint with no entry) decodes to itself
+    val pass = PdfExtract.extract(Corpus.pdfType0ForDoc(0L, "café bar"),
+      contentDelimiter = "", captureFragments = false, extendedFilters = true)
+    assert(pass.text == Corpus.type0ExpectedText("café bar"))
+
+    // hand-built doc: odd-length hex string (lone trailing byte zero-pads
+    // into the high byte) and the bfrange ARRAY-destination form
+    def doc(ops: String, cmap: String): Array[Byte] = {
+      val b = new GoldenGen.PdfBuilder()
+      val cmapId = b.addStream("", cmap.getBytes(ISO_8859_1), deflate = false)
+      val fid = b.addObject(s"<</Type/Font/Subtype/Type0/Encoding/Identity-H/ToUnicode $cmapId 0 R>>")
+      val cid = b.addStream("", ops.getBytes(ISO_8859_1), deflate = false)
+      val catalog = GoldenGen.catalogFor(b, Seq(cid), fontObj = Some(("F1", fid)))
+      b.finish(s"/Root $catalog 0 R")
+    }
+    val arrayCmap =
+      """begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |1 beginbfrange
+        |<0041> <0042> [<005A0059> <0058>]
+        |endbfrange
+        |endcmap""".stripMargin
+    // <0041> → "ZY", <0042> → "X" via the array form; trailing lone byte
+    // 0x41 zero-pads to cid 0x4100 → unmapped → passthrough char U+4100
+    val r = PdfExtract.extract(doc("BT /F1 10 Tf <0041004241> Tj ET", arrayCmap),
+      contentDelimiter = "", captureFragments = false, extendedFilters = true)
+    assert(r.decodeFailures == 0, r.error)
+    assert(r.text == "ZYX\u4100", r.text)
+    // literal-string arm: same codes as escaped bytes (\000A = 0x00 0x41)
+    val r2 = PdfExtract.extract(doc("BT /F1 10 Tf (\\000A\\000B) Tj ET", arrayCmap),
+      contentDelimiter = "", captureFragments = false, extendedFilters = true)
+    assert(r2.text == "ZYX", r2.text)
+  }
+
   test("AES-256 corpus: R6 / R5 / EncryptMetadata-false dialects round-trip; wrong password + default mode error") {
     // dialect routing: (docId/2)%3 — 0: R6 (hardened Algorithm-2.B hash),
     // 1: deprecated R5 (single SHA-256), 2: R6 + /EncryptMetadata false
