@@ -516,6 +516,25 @@ object SparkEntry {
         }.toDF("doc_id", "text", "failures")
         .orderBy("doc_id")
     }),
+    "pdf_outline" -> ((s, dir) => {
+      // /Outlines bookmark-tree extraction (ADDITIVE surface — the reference
+      // never reads /Outlines): DFS "depth:title" walk over a tree whose
+      // sibling chain scales with the page count plus a fixed depth-3
+      // First-chain; oracle is Corpus.outlineExpectedText in closed form
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .filter(_._1 % 2 == 0)
+        .mapPartitions { it =>
+          val buffers = new graft.pdf.WorkBuffers()
+          it.map { case (id, t) =>
+            val r = graft.pdf.PdfExtract.extract(Corpus.pdfOutlineForDoc(id, t),
+              contentDelimiter = "", buffers = buffers, captureFragments = false)
+            (id, r.outline.getOrElse(""), r.decodeFailures.toLong)
+          }
+        }.toDF("doc_id", "outline", "failures")
+        .orderBy("doc_id")
+    }),
     "pdf_extract_type0" -> ((s, dir) => {
       // Type0/Identity-H composite fonts (EXTENSION, opt-in extended mode):
       // 2-byte CIDs decoded through the FULL ToUnicode CMap — multi-char
@@ -1323,6 +1342,19 @@ object SparkEntry {
     "pdf_extract_extended_aes" ->
       """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    // Corpus.outlineExpectedText: depth-3 subtree under chapter 0, then one
+    // top-level chapter per page (p from the variant-0 page-count formula)
+    "pdf_outline" ->
+      """WITH d AS (SELECT doc_id, length(text) AS len,
+                           greatest(((length(text)+63)//64 + 7)//8, 1) AS p
+                    FROM documents WHERE doc_id % 2 = 0)
+         SELECT doc_id,
+           '0:ch-0-'||len||'|1:sec-0-'||len||'|2:sub-0-'||len ||
+             coalesce('|' || array_to_string(
+               ['0:ch-'||i||'-'||len for i in generate_series(1, p-1)], '|'), '')
+             AS outline,
+           CAST(0 AS BIGINT) AS failures
+         FROM d ORDER BY doc_id""",
     // Corpus.type0ExpectedText: 'e' → "ff" (multi-char bfchar), 't' → U+1F600
     // (surrogate-pair bfchar); everything else round-trips through the
     // bfrange / Identity passthrough

@@ -100,14 +100,15 @@ object GoldenGen {
 
   /** Page tree + catalog for already-written content objects. */
   def catalogFor(b: PdfBuilder, contentIds: Seq[Int], fontObj: Option[(String, Int)] = None,
-      metadataId: Option[Int] = None): Int =
-    catalogForPages(b, contentIds.map(Seq(_)), fontObj, metadataId)
+      metadataId: Option[Int] = None, catalogExtra: String = ""): Int =
+    catalogForPages(b, contentIds.map(Seq(_)), fontObj, metadataId, catalogExtra)
 
   /** Page tree + catalog with one page per inner Seq; a page with several
     * content ids gets the `/Contents [a 0 R b 0 R]` ARRAY form (the
     * reference iterates it in array order — PdfPage.cs:60-72). */
   def catalogForPages(b: PdfBuilder, pageContents: Seq[Seq[Int]],
-      fontObj: Option[(String, Int)] = None, metadataId: Option[Int] = None): Int = {
+      fontObj: Option[(String, Int)] = None, metadataId: Option[Int] = None,
+      catalogExtra: String = ""): Int = {
     val pagesId = b.nextObjectNumber + pageContents.length
     val resources = fontObj.map { case (name, id) => s"/Resources<</Font<</$name $id 0 R>>>>" }.getOrElse("")
     val pageIds = pageContents.map { cids =>
@@ -118,7 +119,7 @@ object GoldenGen {
     }
     val realPagesId = b.addObject(s"<</Type/Pages /Kids[${pageIds.map(_ + " 0 R").mkString(" ")}] /Count ${pageIds.length}>>")
     require(realPagesId == pagesId, s"pages id mismatch: $realPagesId vs $pagesId")
-    b.addObject(s"<</Type/Catalog /Pages $pagesId 0 R${metadataEntry(metadataId)}>>")
+    b.addObject(s"<</Type/Catalog /Pages $pagesId 0 R${metadataEntry(metadataId)}$catalogExtra>>")
   }
 
   /** Minimal single-page uncompressed PDF: `(…) Tj` only — the reference

@@ -28,7 +28,11 @@ final case class ExtractResult(
     pdfVersion: Option[String],
     documentInfo: Option[String],
     documentId: Option[String],
-    metadata: Option[String])
+    metadata: Option[String],
+    /** Bookmark tree as "depth:title" items joined by "|" (DFS order);
+      * None when the document has no /Outlines. Additive surface — the
+      * reference never reads /Outlines. */
+    outline: Option[String] = None)
 
 /** E1 façade: the reference's `new PdfParser(bytes, …)` entry point as a pure
   * function (reference: PdfParser/PdfParser.cs:92-106). Per-document parse
@@ -121,7 +125,8 @@ object PdfExtract {
         pdfVersion = Some(tk.versionString),
         documentInfo = Option(tk.documentInfo),
         documentId = Option(tk.documentId),
-        metadata = Option(tk.metadata))
+        metadata = Option(tk.metadata),
+        outline = Option(tk.outline))
     } catch {
       case e: Throwable =>
         val msg = e match {

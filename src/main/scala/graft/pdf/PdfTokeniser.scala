@@ -149,6 +149,8 @@ final class PdfTokeniser(
   var documentId: String = null
   var documentInfo: String = null
   var metadata: String = null
+  /** Bookmark tree, "depth:title"-joined (see readOutline); null = no /Outlines. */
+  var outline: String = null
   var isDecryptionError: Boolean = false
   var isStringNeedsDecryption: Boolean = false
   private var globalEncryptionKey: Array[Byte] = null
@@ -493,6 +495,43 @@ final class PdfTokeniser(
       val root = rootToken.asInstanceOf[DictTok]
       root.get("Pages").foreach(readPages(_, mutable.HashSet.empty))
       root.get("Metadata").foreach(readMetadata)
+      root.get("Outlines").foreach(readOutline)
+    }
+  }
+
+  /** ADDITIVE SURFACE (nothing in the reference reads /Outlines — verified
+    * against all 16 PdfParser .cs files): the catalog's bookmark tree as
+    * "depth:title" items joined by "|", in first-child-then-next-sibling
+    * (DFS) order per ISO 32000-1 §12.3.3, cycle-guarded; null when the
+    * document has no /Outlines, "" when the tree is present but empty.
+    * Titles are [[StrTok]] values, so encrypted documents decrypt them
+    * through the normal string path. Training-data pipelines use this for
+    * section-aware chunking; it changes no reference-identical output. */
+  private def readOutline(outlinesToken: PdfTok): Unit = {
+    val out = new java.lang.StringBuilder
+    val visited = mutable.HashSet.empty[ObjectId]
+    def walk(first: PdfTok, depth: Int): Unit = {
+      var cur: DictTok = first match { case d: DictTok => d; case _ => null }
+      while (cur != null) {
+        if (!cur.objectId.forall(visited.add)) return
+        cur.get("Title").foreach {
+          case s: StrTok =>
+            if (out.length > 0) out.append('|')
+            out.append(depth).append(':').append(s.value)
+          case _ =>
+        }
+        cur.get("First").foreach(walk(_, depth + 1))
+        cur = cur.get("Next") match {
+          case Some(n: DictTok) => n
+          case _                => null
+        }
+      }
+    }
+    outlinesToken match {
+      case d: DictTok =>
+        d.get("First").foreach(walk(_, 0))
+        outline = out.toString
+      case _ =>
     }
   }
 

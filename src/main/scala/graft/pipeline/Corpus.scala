@@ -903,6 +903,50 @@ object Corpus {
     finishClassic(b, contentIds, text)
   }
 
+  /** Expected `pdf_outline` surface for [[pdfOutlineForDoc]] (Scala twin of
+    * the SQL oracle): a fixed depth-3 subtree under chapter 0, then one
+    * top-level chapter per page. */
+  def outlineExpectedText(text: String): String = {
+    val len = text.length
+    val p = math.max(1, pdfPageCount(text))
+    val head = s"0:ch-0-$len|1:sec-0-$len|2:sub-0-$len"
+    if (p == 1) head
+    else head + (1 until p).map(i => s"|0:ch-$i-$len").mkString
+  }
+
+  /** Outline gate corpus: a variant-0 document whose catalog carries an
+    * /Outlines bookmark tree — one top-level chapter per page (sibling chain
+    * scales with the document) and a depth-3 First-chain under chapter 0, so
+    * the DFS walk, the Next chain, and the recursion are all gate-visible.
+    * The reference never reads /Outlines (verified across all 16 PdfParser
+    * .cs files), so this is an ADDITIVE surface: it changes no
+    * reference-identical output, and no mode gate is needed. */
+  def pdfOutlineForDoc(docId: Long, text: String): Array[Byte] = {
+    val b = new GoldenGen.PdfBuilder()
+    val contentIds = rotatingShowContents(b, text)
+    val len = text.length
+    val p = math.max(1, pdfPageCount(text))
+    // sequential ids, computed up front so First/Next can point forward:
+    // root=r, ch0=r+1, sec0=r+2, sub0=r+3, ch_i (i>=1) = r+3+i
+    val r = b.nextObjectNumber
+    def chIdOf(i: Int): Int = if (i == 0) r + 1 else r + 3 + i
+    b.addObject(s"<</Type/Outlines/First ${chIdOf(0)} 0 R/Last ${chIdOf(p - 1)} 0 R/Count $p>>")
+    b.addObject(s"<</Title (ch-0-$len)/Parent $r 0 R/First ${r + 2} 0 R/Last ${r + 2} 0 R" +
+      (if (p > 1) s"/Next ${chIdOf(1)} 0 R" else "") + ">>")
+    b.addObject(s"<</Title (sec-0-$len)/Parent ${r + 1} 0 R/First ${r + 3} 0 R/Last ${r + 3} 0 R>>")
+    b.addObject(s"<</Title (sub-0-$len)/Parent ${r + 2} 0 R>>")
+    (1 until p).foreach { i =>
+      val id = b.addObject(s"<</Title (ch-$i-$len)/Parent $r 0 R" +
+        (if (i + 1 < p) s"/Next ${chIdOf(i + 1)} 0 R" else "") + ">>")
+      require(id == chIdOf(i), s"outline id drift: $id vs ${chIdOf(i)}")
+    }
+    val metaId = addMetadata(b, text)
+    val catalog = GoldenGen.catalogFor(b, contentIds, metadataId = Some(metaId),
+      catalogExtra = s"/Outlines $r 0 R")
+    val info = b.addObject(infoContent(text))
+    b.finish(s"/Root $catalog 0 R/Info $info 0 R/ID[<${docIdHex(text)}><${docIdHex(text)}>]")
+  }
+
   /** Source char the Type0 gate writes as CID 0x0001, whose ToUnicode
     * destination <00660066> is the TWO-char "ff" — extended-mode composite
     * decoding keeps multi-char targets verbatim (no ligature packing; the

@@ -198,6 +198,31 @@ class CorpusVariantsSpec extends AnyFunSuite {
     assert(!r6.sameElements(PdfCrypto.hash2B(pwd, salt, Array.fill[Byte](48)(7), 6)))
   }
 
+  test("outline corpus: DFS depth:title walk matches the closed form; cycles and absent trees are safe") {
+    import graft.fixtures.GoldenGen
+    for ((t, i) <- texts.zipWithIndex) {
+      val r = PdfExtract.extract(Corpus.pdfOutlineForDoc(i.toLong * 2, t),
+        contentDelimiter = "", captureFragments = false)
+      assert(r.decodeFailures == 0, s"text $i: ${r.error}")
+      assert(r.outline.contains(Corpus.outlineExpectedText(t)), s"text $i: ${r.outline}")
+      assert(r.text == t, s"text $i") // the page text is untouched by the outline
+    }
+    // no /Outlines → None (the common case; every other corpus builder)
+    assert(PdfExtract.extract(Corpus.pdfFromText(texts(0)),
+      contentDelimiter = "", captureFragments = false).outline.isEmpty)
+    // a CYCLIC Next chain must terminate via the visited guard, not hang
+    val b = new GoldenGen.PdfBuilder()
+    val cid = b.addStream("", "BT (x) Tj ET".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val r0 = b.nextObjectNumber
+    b.addObject(s"<</Type/Outlines/First ${r0 + 1} 0 R/Last ${r0 + 2} 0 R/Count 2>>")
+    b.addObject(s"<</Title (a)/Parent $r0 0 R/Next ${r0 + 2} 0 R>>")
+    b.addObject(s"<</Title (b)/Parent $r0 0 R/Next ${r0 + 1} 0 R>>") // cycle back to a
+    val catalog = GoldenGen.catalogFor(b, Seq(cid), catalogExtra = s"/Outlines $r0 0 R")
+    val cyc = PdfExtract.extract(b.finish(s"/Root $catalog 0 R"),
+      contentDelimiter = "", captureFragments = false)
+    assert(cyc.outline.contains("0:a|0:b"), cyc.outline)
+  }
+
   test("Type0/Identity-H corpus: extended mode decodes 2-byte CIDs through the full CMap; default mode keeps the reference surface") {
     for ((t, i) <- texts.zipWithIndex) {
       val docId = i.toLong * 2
