@@ -516,6 +516,49 @@ object SparkEntry {
         }.toDF("doc_id", "text", "failures")
         .orderBy("doc_id")
     }),
+    "pdf_attachments" -> ((s, dir) => {
+      // embedded-file extraction (/Names → /EmbeddedFiles name tree,
+      // ADDITIVE surface — attachments are documents too in a corpus
+      // pipeline): three per doc, payloads decoded through the normal
+      // filter chain; the oracle recomputes each payload's md5 from the
+      // closed-form transform of the document text
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .filter(_._1 % 2 == 0)
+        .mapPartitions { it =>
+          val buffers = new graft.pdf.WorkBuffers()
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, t) =>
+            val r = graft.pdf.PdfExtract.extract(Corpus.pdfAttachmentsForDoc(id, t),
+              contentDelimiter = "", buffers = buffers, captureFragments = false)
+            r.attachments.zipWithIndex.map { case ((name, bytes), i) =>
+              md.reset()
+              val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+              (id, i.toLong, name, bytes.length.toLong, hex)
+            }
+          }
+        }.toDF("doc_id", "att_idx", "name", "n_bytes", "content_md5")
+        .orderBy("doc_id", "att_idx")
+    }),
+    "pdf_form_fields" -> ((s, dir) => {
+      // AcroForm field-value extraction (ADDITIVE surface — form values ARE
+      // document text): dotted-name DFS over /Fields + /Kids; oracle is
+      // Corpus.formFieldsExpectedText in closed form
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .filter(_._1 % 2 == 0)
+        .mapPartitions { it =>
+          val buffers = new graft.pdf.WorkBuffers()
+          it.map { case (id, t) =>
+            val r = graft.pdf.PdfExtract.extract(Corpus.pdfFormFieldsForDoc(id, t),
+              contentDelimiter = "", buffers = buffers, captureFragments = false)
+            (id, r.formFields.getOrElse(""), r.decodeFailures.toLong)
+          }
+        }.toDF("doc_id", "form_fields", "failures")
+        .orderBy("doc_id")
+    }),
     "pdf_outline" -> ((s, dir) => {
       // /Outlines bookmark-tree extraction (ADDITIVE surface — the reference
       // never reads /Outlines): DFS "depth:title" walk over a tree whose
@@ -1341,6 +1384,22 @@ object SparkEntry {
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "pdf_extract_extended_aes" ->
       """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
+         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    // three attachments per doc, payloads are closed-form transforms of text
+    "pdf_attachments" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS att_idx,
+           CASE i WHEN 0 THEN 'att-0.txt' WHEN 1 THEN 'att-1.bin' ELSE 'att-2.txt' END AS name,
+           CAST(length(text) AS BIGINT) AS n_bytes,
+           CASE i WHEN 0 THEN md5(text) WHEN 1 THEN md5(reverse(text))
+                  ELSE md5(upper(text)) END AS content_md5
+         FROM documents, generate_series(0, 2) t(i)
+         WHERE doc_id % 2 = 0 ORDER BY doc_id, att_idx""",
+    // Corpus.formFieldsExpectedText in closed form
+    "pdf_form_fields" ->
+      """SELECT doc_id,
+           'title=t-'||length(text)||'|meta.lang=v1-'||length(text)
+             ||'|meta.count=v2-'||length(text) AS form_fields,
+           CAST(0 AS BIGINT) AS failures
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     // Corpus.outlineExpectedText: depth-3 subtree under chapter 0, then one
     // top-level chapter per page (p from the variant-0 page-count formula)

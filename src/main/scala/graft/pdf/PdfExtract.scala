@@ -32,7 +32,15 @@ final case class ExtractResult(
     /** Bookmark tree as "depth:title" items joined by "|" (DFS order);
       * None when the document has no /Outlines. Additive surface — the
       * reference never reads /Outlines. */
-    outline: Option[String] = None)
+    outline: Option[String] = None,
+    /** Embedded-file attachments (/Names → /EmbeddedFiles name tree) in
+      * tree order, payloads decoded through the normal filter chain.
+      * Additive surface — the reference never reads /Names. */
+    attachments: Seq[(String, Array[Byte])] = Nil,
+    /** AcroForm "dotted.name=value" pairs joined by "|" (DFS over /Fields
+      * and /Kids); None when the document has no /AcroForm. Additive
+      * surface — the reference never reads /AcroForm. */
+    formFields: Option[String] = None)
 
 /** E1 façade: the reference's `new PdfParser(bytes, …)` entry point as a pure
   * function (reference: PdfParser/PdfParser.cs:92-106). Per-document parse
@@ -126,7 +134,9 @@ object PdfExtract {
         documentInfo = Option(tk.documentInfo),
         documentId = Option(tk.documentId),
         metadata = Option(tk.metadata),
-        outline = Option(tk.outline))
+        outline = Option(tk.outline),
+        attachments = tk.attachments.toSeq,
+        formFields = Option(tk.formFields))
     } catch {
       case e: Throwable =>
         val msg = e match {

@@ -151,6 +151,10 @@ final class PdfTokeniser(
   var metadata: String = null
   /** Bookmark tree, "depth:title"-joined (see readOutline); null = no /Outlines. */
   var outline: String = null
+  /** Embedded-file attachments in name-tree order (see readAttachments). */
+  val attachments: mutable.ArrayBuffer[(String, Array[Byte])] = mutable.ArrayBuffer.empty
+  /** AcroForm "dotted.name=value" pairs, "|"-joined (see readFormFields); null = no /AcroForm. */
+  var formFields: String = null
   var isDecryptionError: Boolean = false
   var isStringNeedsDecryption: Boolean = false
   private var globalEncryptionKey: Array[Byte] = null
@@ -496,6 +500,98 @@ final class PdfTokeniser(
       root.get("Pages").foreach(readPages(_, mutable.HashSet.empty))
       root.get("Metadata").foreach(readMetadata)
       root.get("Outlines").foreach(readOutline)
+      root.get("Names").foreach {
+        case names: DictTok => names.get("EmbeddedFiles").foreach(readAttachments)
+        case _              =>
+      }
+      root.get("AcroForm").foreach(readFormFields)
+    }
+  }
+
+  /** ADDITIVE SURFACE (the reference never reads /Names — attachments are
+    * documents too in a corpus pipeline): walk the /EmbeddedFiles name tree
+    * (ISO 32000-1 §7.7.4: intermediate /Kids nodes, leaf /Names arrays of
+    * alternating name/filespec), decode each filespec's /EF /F stream with
+    * the normal filter chain, and collect (name, payload) in tree order.
+    * Cycle-guarded; individual bad filespecs are skipped, never thrown. */
+  private def readAttachments(treeToken: PdfTok): Unit = {
+    val visited = mutable.HashSet.empty[ObjectId]
+    def walk(node: DictTok): Unit = {
+      if (!node.objectId.forall(visited.add)) return
+      node.get("Kids").foreach {
+        case kids: ArrTok => kids.iterator.foreach {
+          case kid: DictTok => walk(kid)
+          case _            =>
+        }
+        case _ =>
+      }
+      node.get("Names").foreach {
+        case pairs: ArrTok =>
+          val it = pairs.iterator
+          while (it.hasNext) {
+            val nameTok = it.next()
+            if (it.hasNext) (nameTok, it.next()) match {
+              case (n: StrTok, spec: DictTok) =>
+                try {
+                  spec.getDictionary("EF").foreach { ef =>
+                    ef.getDictionary("F").orElse(ef.getDictionary("UF")).foreach { fileStream =>
+                      fileStream.loadStream()
+                      attachments += ((n.value, streamBytesCopy()))
+                    }
+                  }
+                } catch { case _: Exception => } // bad filespec: skip, keep walking
+              case _ =>
+            }
+          }
+        case _ =>
+      }
+    }
+    treeToken match {
+      case d: DictTok => walk(d)
+      case _          =>
+    }
+  }
+
+  /** ADDITIVE SURFACE (the reference never reads /AcroForm — form-field
+    * values ARE document text): DFS over /AcroForm /Fields, recursing /Kids,
+    * collecting "dotted.name=value" for every terminal field whose /V is a
+    * string; partial field names (/T) join with '.' per ISO 32000-1 §12.7.3.
+    * Cycle-guarded; results joined by "|" in tree order. */
+  private def readFormFields(formToken: PdfTok): Unit = {
+    val out = new java.lang.StringBuilder
+    val visited = mutable.HashSet.empty[ObjectId]
+    def walk(field: DictTok, prefix: String): Unit = {
+      if (!field.objectId.forall(visited.add)) return
+      val name = field.get("T") match {
+        case Some(t: StrTok) => if (prefix.isEmpty) t.value else prefix + "." + t.value
+        case _               => prefix
+      }
+      field.get("V") match {
+        case Some(v: StrTok) =>
+          if (out.length > 0) out.append('|')
+          out.append(name).append('=').append(v.value)
+        case _ =>
+      }
+      field.get("Kids").foreach {
+        case kids: ArrTok => kids.iterator.foreach {
+          case kid: DictTok => walk(kid, name)
+          case _            =>
+        }
+        case _ =>
+      }
+    }
+    formToken match {
+      case form: DictTok =>
+        form.get("Fields").foreach {
+          case fields: ArrTok =>
+            fields.iterator.foreach {
+              case f: DictTok => walk(f, "")
+              case _          =>
+            }
+            formFields = out.toString
+          case _ =>
+        }
+      case _ =>
     }
   }
 
@@ -691,6 +787,12 @@ final class PdfTokeniser(
     while (i < streamLen) { displayChar(sb, streamBuf(streamOff + i)); i += 1 }
     sb.toString
   }
+
+  /** Raw copy of the current (decoded) stream payload — attachments surface;
+    * the shared decode buffers are reused per document, so callers that keep
+    * payloads need their own copy. */
+  private[pdf] def streamBytesCopy(): Array[Byte] =
+    java.util.Arrays.copyOfRange(streamBuf, streamOff, streamOff + streamLen)
 
   // ------------------------------------------------------------- lexing
 

@@ -947,6 +947,62 @@ object Corpus {
     b.finish(s"/Root $catalog 0 R/Info $info 0 R/ID[<${docIdHex(text)}><${docIdHex(text)}>]")
   }
 
+  /** Attachment gate corpus: a variant-0 document carrying THREE embedded
+    * files behind a /Names → /EmbeddedFiles name tree whose root splits into
+    * two /Kids nodes (the intermediate-node walk is gate-visible, not just
+    * the leaf /Names form). Contents are SQL-computable transforms of the
+    * document text: att-0.txt = text (Flate), att-1.bin = reverse(text)
+    * (Flate), att-2.txt = upper(text) (unfiltered). ADDITIVE surface — the
+    * reference never reads /Names. */
+  def pdfAttachmentsForDoc(docId: Long, text: String): Array[Byte] = {
+    val b = new GoldenGen.PdfBuilder()
+    val contentIds = rotatingShowContents(b, text)
+    def bytesOf(s: String) = s.getBytes(ISO_8859_1)
+    val s0 = b.addStream("/Type/EmbeddedFile", bytesOf(text), deflate = true)
+    val s1 = b.addStream("/Type/EmbeddedFile", bytesOf(new StringBuilder(text).reverse.toString), deflate = true)
+    val s2 = b.addStream("/Type/EmbeddedFile", bytesOf(text.toUpperCase))
+    def filespec(name: String, sid: Int): Int =
+      b.addObject(s"<</Type/Filespec/F ($name)/EF<</F $sid 0 R>>>>")
+    val f0 = filespec("att-0.txt", s0)
+    val f1 = filespec("att-1.bin", s1)
+    val f2 = filespec("att-2.txt", s2)
+    val kid1 = b.addObject(s"<</Limits[(att-0.txt)(att-1.bin)]/Names[(att-0.txt) $f0 0 R (att-1.bin) $f1 0 R]>>")
+    val kid2 = b.addObject(s"<</Limits[(att-2.txt)(att-2.txt)]/Names[(att-2.txt) $f2 0 R]>>")
+    val treeRoot = b.addObject(s"<</Kids[$kid1 0 R $kid2 0 R]>>")
+    val metaId = addMetadata(b, text)
+    val catalog = GoldenGen.catalogFor(b, contentIds, metadataId = Some(metaId),
+      catalogExtra = s"/Names<</EmbeddedFiles $treeRoot 0 R>>")
+    val info = b.addObject(infoContent(text))
+    b.finish(s"/Root $catalog 0 R/Info $info 0 R/ID[<${docIdHex(text)}><${docIdHex(text)}>]")
+  }
+
+  /** Expected `pdf_form_fields` surface for [[pdfFormFieldsForDoc]]. */
+  def formFieldsExpectedText(text: String): String = {
+    val len = text.length
+    s"title=t-$len|meta.lang=v1-$len|meta.count=v2-$len"
+  }
+
+  /** AcroForm gate corpus: a variant-0 document whose catalog carries an
+    * /AcroForm with a flat text field and a non-terminal group whose /Kids
+    * hold two terminal fields — the dotted-name join (meta.lang) and the
+    * Kids recursion are gate-visible. Values are closed forms of
+    * length(text). ADDITIVE surface — the reference never reads /AcroForm. */
+  def pdfFormFieldsForDoc(docId: Long, text: String): Array[Byte] = {
+    val b = new GoldenGen.PdfBuilder()
+    val contentIds = rotatingShowContents(b, text)
+    val len = text.length
+    val f1 = b.addObject(s"<</FT/Tx/T (title)/V (t-$len)>>")
+    val k1 = b.addObject(s"<</FT/Tx/T (lang)/V (v1-$len)>>")
+    val k2 = b.addObject(s"<</FT/Tx/T (count)/V (v2-$len)>>")
+    val group = b.addObject(s"<</T (meta)/Kids[$k1 0 R $k2 0 R]>>")
+    val acro = b.addObject(s"<</Fields[$f1 0 R $group 0 R]>>")
+    val metaId = addMetadata(b, text)
+    val catalog = GoldenGen.catalogFor(b, contentIds, metadataId = Some(metaId),
+      catalogExtra = s"/AcroForm $acro 0 R")
+    val info = b.addObject(infoContent(text))
+    b.finish(s"/Root $catalog 0 R/Info $info 0 R/ID[<${docIdHex(text)}><${docIdHex(text)}>]")
+  }
+
   /** Source char the Type0 gate writes as CID 0x0001, whose ToUnicode
     * destination <00660066> is the TWO-char "ff" — extended-mode composite
     * decoding keeps multi-char targets verbatim (no ligature packing; the

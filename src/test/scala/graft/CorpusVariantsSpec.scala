@@ -223,6 +223,30 @@ class CorpusVariantsSpec extends AnyFunSuite {
     assert(cyc.outline.contains("0:a|0:b"), cyc.outline)
   }
 
+  test("attachments corpus: name-tree walk decodes all three payloads; forms corpus: dotted-name DFS") {
+    for ((t, i) <- texts.zipWithIndex) {
+      val r = PdfExtract.extract(Corpus.pdfAttachmentsForDoc(i.toLong * 2, t),
+        contentDelimiter = "", captureFragments = false)
+      assert(r.decodeFailures == 0, s"text $i: ${r.error}")
+      assert(r.text == t, s"text $i") // page text untouched
+      val atts = r.attachments
+      assert(atts.map(_._1) == Seq("att-0.txt", "att-1.bin", "att-2.txt"), atts.map(_._1))
+      assert(new String(atts(0)._2, "ISO-8859-1") == t)                                   // Flate
+      assert(new String(atts(1)._2, "ISO-8859-1") == new StringBuilder(t).reverse.toString) // Flate
+      assert(new String(atts(2)._2, "ISO-8859-1") == t.toUpperCase)                        // unfiltered
+
+      val f = PdfExtract.extract(Corpus.pdfFormFieldsForDoc(i.toLong * 2, t),
+        contentDelimiter = "", captureFragments = false)
+      assert(f.decodeFailures == 0, s"text $i: ${f.error}")
+      assert(f.formFields.contains(Corpus.formFieldsExpectedText(t)), f.formFields)
+      assert(f.text == t, s"text $i")
+    }
+    // plain docs expose neither surface
+    val none = PdfExtract.extract(Corpus.pdfFromText(texts(0)),
+      contentDelimiter = "", captureFragments = false)
+    assert(none.attachments.isEmpty && none.formFields.isEmpty)
+  }
+
   test("Type0/Identity-H corpus: extended mode decodes 2-byte CIDs through the full CMap; default mode keeps the reference surface") {
     for ((t, i) <- texts.zipWithIndex) {
       val docId = i.toLong * 2
