@@ -531,7 +531,8 @@ object SparkEntry {
           val md = java.security.MessageDigest.getInstance("MD5")
           it.flatMap { case (id, t) =>
             val r = graft.pdf.PdfExtract.extract(Corpus.pdfAttachmentsForDoc(id, t),
-              contentDelimiter = "", buffers = buffers, captureFragments = false)
+              contentDelimiter = "", buffers = buffers, captureFragments = false,
+              captureAttachments = true)
             r.attachments.zipWithIndex.map { case ((name, bytes), i) =>
               md.reset()
               val hex = md.digest(bytes).map(b => f"$b%02x").mkString

@@ -105,9 +105,12 @@ final class PdfFont(tk: PdfTokeniser, token: PdfTok) {
     dict.get("FontDescriptor").foreach(fontDescriptor = _)
     dict.getDictionary("ToUnicode") match {
       case Some(toUnicodeStream) =>
-        if (tk.extendedFilters && fontType == PdfFontType.Type0) {
-          // EXTENSION: composite fonts get the full-CID parse; the 8-bit
-          // table is never consulted for them (see isCidKeyed)
+        if (isCidKeyed) {
+          // EXTENSION: composite Identity fonts get the full-CID parse; the
+          // 8-bit table is never consulted for them (see isCidKeyed). A
+          // Type0 font with a predefined (non-Identity) CMap keeps the
+          // default overlay path — its decode reads encoding8Bit, so
+          // routing it here would silently drop the mapping.
           applyToUnicodeCid(toUnicodeStream)
         } else {
           if (encoding8Bit == null) encoding8Bit = Encodings.Standard.clone()

@@ -78,8 +78,12 @@ object PdfExtract {
       captureLines: Boolean = false,
       /** `false` = metrics-only: skip the final full-document text copy
         * (`nChars` still reports the assembled length). */
-      captureText: Boolean = true): ExtractResult = {
-    val tk = new PdfTokeniser(bytes, password, contentDelimiter, buffers, captureFragments, extendedFilters)
+      captureText: Boolean = true,
+      /** Opt-in embedded-file decoding (an attachment can be megabytes, so
+        * the /Names walk + payload copies only run when asked). */
+      captureAttachments: Boolean = false): ExtractResult = {
+    val tk = new PdfTokeniser(bytes, password, contentDelimiter, buffers, captureFragments,
+      extendedFilters, captureAttachments)
     try {
       tk.verifyFileHeader()
       tk.findPages()

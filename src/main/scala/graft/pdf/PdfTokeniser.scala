@@ -111,7 +111,10 @@ final class PdfTokeniser(
     /** Opt-in LZW/ASCIIHex/ASCII85 filters (the reference supports only
       * None/FlateDecode and throws otherwise — kept as the default so
       * byte-identity vs the reference is preserved unless asked). */
-    val extendedFilters: Boolean = false) {
+    val extendedFilters: Boolean = false,
+    /** Opt-in embedded-file decoding: an attachment can be megabytes, so
+      * the /Names walk + payload copy only runs when a consumer asks. */
+    val captureAttachments: Boolean = false) {
 
   private val CR: Byte = '\r'
   private val LF: Byte = '\n'
@@ -499,14 +502,27 @@ final class PdfTokeniser(
       val root = rootToken.asInstanceOf[DictTok]
       root.get("Pages").foreach(readPages(_, mutable.HashSet.empty))
       root.get("Metadata").foreach(readMetadata)
-      root.get("Outlines").foreach(readOutline)
-      root.get("Names").foreach {
-        case names: DictTok => names.get("EmbeddedFiles").foreach(readAttachments)
-        case _              =>
+      // the additive structure surfaces must never cost page text: a
+      // malformed /Outlines / /Names / /AcroForm degrades that surface to
+      // null/empty, not the document to an error row (the reference reads
+      // none of these keys, so its extraction succeeds on such docs)
+      try root.get("Outlines").foreach(readOutline)
+      catch { case _: Exception => outline = null }
+      if (captureAttachments) {
+        try root.get("Names").foreach {
+          case names: DictTok => names.get("EmbeddedFiles").foreach(readAttachments)
+          case _              =>
+        } catch { case _: Exception => }
       }
-      root.get("AcroForm").foreach(readFormFields)
+      try root.get("AcroForm").foreach(readFormFields)
+      catch { case _: Exception => formFields = null }
     }
   }
+
+  /** Recursion bound for the additive structure walks (outline First
+    * chains, name-tree Kids, form-field Kids): an adversarial 100k-deep
+    * chain must exhaust this counter, not the JVM stack. */
+  private val MaxStructureDepth = 64
 
   /** ADDITIVE SURFACE (the reference never reads /Names — attachments are
     * documents too in a corpus pipeline): walk the /EmbeddedFiles name tree
@@ -516,11 +532,12 @@ final class PdfTokeniser(
     * Cycle-guarded; individual bad filespecs are skipped, never thrown. */
   private def readAttachments(treeToken: PdfTok): Unit = {
     val visited = mutable.HashSet.empty[ObjectId]
-    def walk(node: DictTok): Unit = {
+    def walk(node: DictTok, depth: Int): Unit = {
+      if (depth > MaxStructureDepth) return
       if (!node.objectId.forall(visited.add)) return
       node.get("Kids").foreach {
         case kids: ArrTok => kids.iterator.foreach {
-          case kid: DictTok => walk(kid)
+          case kid: DictTok => walk(kid, depth + 1)
           case _            =>
         }
         case _ =>
@@ -547,7 +564,7 @@ final class PdfTokeniser(
       }
     }
     treeToken match {
-      case d: DictTok => walk(d)
+      case d: DictTok => walk(d, 0)
       case _          =>
     }
   }
@@ -560,7 +577,8 @@ final class PdfTokeniser(
   private def readFormFields(formToken: PdfTok): Unit = {
     val out = new java.lang.StringBuilder
     val visited = mutable.HashSet.empty[ObjectId]
-    def walk(field: DictTok, prefix: String): Unit = {
+    def walk(field: DictTok, prefix: String, depth: Int): Unit = {
+      if (depth > MaxStructureDepth) return
       if (!field.objectId.forall(visited.add)) return
       val name = field.get("T") match {
         case Some(t: StrTok) => if (prefix.isEmpty) t.value else prefix + "." + t.value
@@ -574,7 +592,7 @@ final class PdfTokeniser(
       }
       field.get("Kids").foreach {
         case kids: ArrTok => kids.iterator.foreach {
-          case kid: DictTok => walk(kid, name)
+          case kid: DictTok => walk(kid, name, depth + 1)
           case _            =>
         }
         case _ =>
@@ -585,7 +603,7 @@ final class PdfTokeniser(
         form.get("Fields").foreach {
           case fields: ArrTok =>
             fields.iterator.foreach {
-              case f: DictTok => walk(f, "")
+              case f: DictTok => walk(f, "", 0)
               case _          =>
             }
             formFields = out.toString
@@ -607,6 +625,7 @@ final class PdfTokeniser(
     val out = new java.lang.StringBuilder
     val visited = mutable.HashSet.empty[ObjectId]
     def walk(first: PdfTok, depth: Int): Unit = {
+      if (depth > MaxStructureDepth) return
       var cur: DictTok = first match { case d: DictTok => d; case _ => null }
       while (cur != null) {
         if (!cur.objectId.forall(visited.add)) return
@@ -923,7 +942,7 @@ final class PdfTokeniser(
         offs(i) = (getStreamInt(), getStreamInt() + first)
         i += 1
       }
-      (offs, java.util.Arrays.copyOfRange(streamBuf, streamOff, streamOff + streamLen))
+      (offs, streamBytesCopy())
     })
     bytes = content
     val (memberId, offset) = offsets(streamObjectIndex)
@@ -1468,7 +1487,7 @@ final class PdfTokeniser(
               val dict = parseDictionary(Some(objectId))
               xref.addToken(dict)
               dict.loadStream()
-              return Some((None, java.util.Arrays.copyOfRange(streamBuf, streamOff, streamOff + streamLen)))
+              return Some((None, streamBytesCopy()))
             }
           } else if (searchIndex != 0) searchIndex = 0
           idx += 1
@@ -1478,7 +1497,7 @@ final class PdfTokeniser(
         if (dict.streamLengthProblem != null) Some((Some(dict), null))
         else {
           dict.loadStream()
-          Some((Some(dict), java.util.Arrays.copyOfRange(streamBuf, streamOff, streamOff + streamLen)))
+          Some((Some(dict), streamBytesCopy()))
         }
       case _ => None
     }
@@ -1799,7 +1818,11 @@ final class PdfTokeniser(
       val hi = sb.charAt(i) & 0xff
       val cid = if (i + 1 < n) (hi << 8) | (sb.charAt(i + 1) & 0xff) else hi << 8
       val mapped = if (font.cidToText == null) null else font.cidToText.getOrElse(cid, null)
-      if (mapped == null) cidSb.append(cid.toChar) else cidSb.append(mapped)
+      if (mapped != null) cidSb.append(mapped)
+      // passthrough must stay a VALID string: a CID in the surrogate range
+      // would be an unpaired UTF-16 unit that diverges on UTF-8 encode
+      else if (cid >= 0xd800 && cid <= 0xdfff) cidSb.append('�')
+      else cidSb.append(cid.toChar)
       i += 2
     }
     sb.setLength(from)
@@ -1988,12 +2011,17 @@ final class PdfTokeniser(
     if (b != '<')
       throw streamException("Hexadecimal CID expected in the form of '<0120>', but leading '<' was missing.")
     b = sByte(streamIdx); streamIdx += 1
+    var digits = 0
     var done = false
     while (!done) {
-      if (b >= '0' && b <= '9') value = 16 * value + b - '0'
-      else if (b >= 'A' && b <= 'F') value = 16 * value + b - 'A' + 10
-      else if (b >= 'a' && b <= 'f') value = 16 * value + b - 'a' + 10
+      if (b >= '0' && b <= '9') { value = 16 * value + b - '0'; digits += 1 }
+      else if (b >= 'A' && b <= 'F') { value = 16 * value + b - 'A' + 10; digits += 1 }
+      else if (b >= 'a' && b <= 'f') { value = 16 * value + b - 'a' + 10; digits += 1 }
       else done = true
+      // count digits, not magnitude: 9+ digits would wrap the Int back
+      // into the accepted range and silently poison the map
+      if (digits > 4)
+        throw streamException("Reading CID from stream, should have at most 4 hex digits.")
       if (!done) { b = sByte(streamIdx); streamIdx += 1 }
     }
     if (b != '>')

@@ -960,7 +960,9 @@ object Corpus {
     def bytesOf(s: String) = s.getBytes(ISO_8859_1)
     val s0 = b.addStream("/Type/EmbeddedFile", bytesOf(text), deflate = true)
     val s1 = b.addStream("/Type/EmbeddedFile", bytesOf(new StringBuilder(text).reverse.toString), deflate = true)
-    val s2 = b.addStream("/Type/EmbeddedFile", bytesOf(text.toUpperCase))
+    // Locale.ROOT: the oracle is DuckDB's upper(); a tr_TR default locale
+    // would dot-map 'i' and break the md5 (corpus contract is ASCII anyway)
+    val s2 = b.addStream("/Type/EmbeddedFile", bytesOf(text.toUpperCase(java.util.Locale.ROOT)))
     def filespec(name: String, sid: Int): Int =
       b.addObject(s"<</Type/Filespec/F ($name)/EF<</F $sid 0 R>>>>")
     val f0 = filespec("att-0.txt", s0)
@@ -1027,12 +1029,21 @@ object Corpus {
     * printable ASCII rides the <0120> <017E> <0020> bfrange (cid = char +
     * 0x100, all above the 8-bit table the reference is limited to), and
     * anything else is written as its OWN codepoint with NO CMap entry — the
-    * reader's Identity-passthrough arm (unmapped cid → the cid itself). */
+    * reader's Identity-passthrough arm (unmapped cid → the cid itself).
+    *
+    * Supported text domain (require-pinned, LOUD not silently wrong): no
+    * chars in {U+0001, U+0002} ∪ [U+0120, U+017E] — those codepoints
+    * collide with the marker/bfrange CID windows and would decode through
+    * the CMap instead of passing through. The gate corpus is printable
+    * ASCII (verified 32..121 at every sf), far inside the domain. */
   private def type0Cids(chunk: String): Array[Int] = chunk.map {
     case Type0MarkerFF    => 0x0001
     case Type0MarkerEmoji => 0x0002
     case c if c >= 0x20 && c <= 0x7e => c + 0x100
-    case c => c.toInt
+    case c =>
+      require(c > 0x02 && !(c >= 0x120 && c <= 0x17e),
+        f"type0 gate: char U+${c.toInt}%04X collides with a CID window")
+      c.toInt
   }.toArray
 
   private def appendLiteralByte(ops: StringBuilder, v: Int): Unit = v match {

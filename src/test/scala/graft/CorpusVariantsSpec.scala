@@ -226,7 +226,7 @@ class CorpusVariantsSpec extends AnyFunSuite {
   test("attachments corpus: name-tree walk decodes all three payloads; forms corpus: dotted-name DFS") {
     for ((t, i) <- texts.zipWithIndex) {
       val r = PdfExtract.extract(Corpus.pdfAttachmentsForDoc(i.toLong * 2, t),
-        contentDelimiter = "", captureFragments = false)
+        contentDelimiter = "", captureFragments = false, captureAttachments = true)
       assert(r.decodeFailures == 0, s"text $i: ${r.error}")
       assert(r.text == t, s"text $i") // page text untouched
       val atts = r.attachments
@@ -243,8 +243,67 @@ class CorpusVariantsSpec extends AnyFunSuite {
     }
     // plain docs expose neither surface
     val none = PdfExtract.extract(Corpus.pdfFromText(texts(0)),
-      contentDelimiter = "", captureFragments = false)
+      contentDelimiter = "", captureFragments = false, captureAttachments = true)
     assert(none.attachments.isEmpty && none.formFields.isEmpty)
+    // attachment decoding is opt-in: the bulk pipeline never pays the
+    // inflate + payload copy for attachments it doesn't read
+    val off = PdfExtract.extract(Corpus.pdfAttachmentsForDoc(0L, texts(0)),
+      contentDelimiter = "", captureFragments = false)
+    assert(off.attachments.isEmpty && off.text == texts(0))
+  }
+
+  test("review fixes: malformed additive structures never cost page text; non-Identity Type0 keeps the overlay; CID overflow throws; surrogate passthrough is replaced") {
+    import graft.fixtures.GoldenGen
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    // a dangling /Outlines ref (and /AcroForm, /Names) must degrade that
+    // surface only — the page text extracts exactly as the reference would
+    val b1 = new GoldenGen.PdfBuilder()
+    val c1 = b1.addStream("", "BT (kept text) Tj ET".getBytes(ISO_8859_1))
+    val cat1 = GoldenGen.catalogFor(b1, Seq(c1),
+      catalogExtra = "/Outlines 99 0 R/AcroForm 98 0 R/Names<</EmbeddedFiles 97 0 R>>")
+    val broken = PdfExtract.extract(b1.finish(s"/Root $cat1 0 R"),
+      contentDelimiter = "", captureFragments = false, captureAttachments = true)
+    assert(broken.text == "kept text", broken.error)
+    assert(broken.outline.isEmpty && broken.formFields.isEmpty && broken.attachments.isEmpty)
+
+    def fontDoc(fontBody: String, cmap: String, ops: String): Array[Byte] = {
+      val b = new GoldenGen.PdfBuilder()
+      val cmapId = b.addStream("", cmap.getBytes(ISO_8859_1))
+      val fid = b.addObject(s"<<$fontBody/ToUnicode $cmapId 0 R>>")
+      val cid = b.addStream("", ops.getBytes(ISO_8859_1))
+      val cat = GoldenGen.catalogFor(b, Seq(cid), fontObj = Some(("F1", fid)))
+      b.finish(s"/Root $cat 0 R")
+    }
+    val overlayCmap =
+      "begincmap\n1 begincodespacerange\n<00> <FF>\nendcodespacerange\n" +
+        "1 beginbfchar\n<41> <0042>\nendbfchar\nendcmap"
+    // a NON-Identity Type0 font (here: no /Encoding key — a predefined-CMap
+    // name would fail the 8-bit table lookup in both modes, faithfully)
+    // must keep the default overlay path in extended mode, not be silently
+    // routed to the CID parse its decode never consults
+    val nonIdentity = PdfExtract.extract(
+      fontDoc("/Type/Font/Subtype/Type0", overlayCmap, "BT /F1 10 Tf (A) Tj ET"),
+      contentDelimiter = "", captureFragments = false, extendedFilters = true)
+    assert(nonIdentity.text == "B", nonIdentity.text)
+
+    // a 9-digit CID would wrap the Int back into range: must throw into the
+    // font exception (decode failure), never silently poison the map
+    val overflowCmap =
+      "begincmap\n1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+        "1 beginbfchar\n<100000000> <0041>\nendbfchar\nendcmap"
+    val overflow = PdfExtract.extract(
+      fontDoc("/Type/Font/Subtype/Type0/Encoding/Identity-H", overflowCmap, "BT /F1 10 Tf <0041> Tj ET"),
+      contentDelimiter = "", captureFragments = false, extendedFilters = true)
+    assert(overflow.decodeFailures >= 1)
+
+    // unmapped surrogate-range CIDs pass through as U+FFFD, keeping the
+    // text a valid UTF-16 string
+    val idCmap =
+      "begincmap\n1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\nendcmap"
+    val sur = PdfExtract.extract(
+      fontDoc("/Type/Font/Subtype/Type0/Encoding/Identity-H", idCmap, "BT /F1 10 Tf <D800 0041> Tj ET"),
+      contentDelimiter = "", captureFragments = false, extendedFilters = true)
+    assert(sur.text == "�A", sur.text.map(_.toInt).mkString(","))
   }
 
   test("Type0/Identity-H corpus: extended mode decodes 2-byte CIDs through the full CMap; default mode keeps the reference surface") {
