@@ -516,6 +516,23 @@ object SparkEntry {
         }.toDF("doc_id", "text", "failures")
         .orderBy("doc_id")
     }),
+    "html_meta" -> ((s, dir) => {
+      // head-metadata extraction (ADDITIVE surface): canonical link (the
+      // strongest dedup key a page can carry), meta/og descriptions, and
+      // robots noindex/nofollow — quoted/unquoted/swapped-order attribute
+      // forms and a forged meta inside a <script> string are all
+      // gate-visible; every value is a closed form of (doc_id, len)
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .filter(_._1 % 2 == 1)
+        .map { case (id, t) =>
+          val m = graft.html.Meta.extract(Corpus.htmlMetaProbe(id, t))
+          (id, m.canonical, m.description, m.ogTitle, m.ogDescription, m.noindex, m.nofollow)
+        }
+        .toDF("doc_id", "canonical", "description", "og_title", "og_description", "noindex", "nofollow")
+        .orderBy("doc_id")
+    }),
     "pdf_attachments" -> ((s, dir) => {
       // embedded-file extraction (/Names → /EmbeddedFiles name tree,
       // ADDITIVE surface — attachments are documents too in a corpus
@@ -1386,6 +1403,16 @@ object SparkEntry {
     "pdf_extract_extended_aes" ->
       """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    // Corpus.htmlMetaProbe values are closed forms of (doc_id, length(text))
+    "html_meta" ->
+      """SELECT doc_id,
+           'https://example'||(doc_id % 7)||'.com/p'||(doc_id % 5) AS canonical,
+           'desc-'||length(text)||' & more' AS description,
+           'og-'||length(text) AS og_title,
+           'ogd-'||length(text) AS og_description,
+           doc_id % 3 = 0 AS noindex,
+           doc_id % 3 = 0 AS nofollow
+         FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""",
     // three attachments per doc, payloads are closed-form transforms of text
     "pdf_attachments" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS att_idx,

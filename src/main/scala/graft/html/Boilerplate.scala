@@ -306,7 +306,9 @@ object Boilerplate {
   // number, so a longer entity added there is automatically scanned
   private val MaxEntityBody = math.max(Entities.maxNameLength, 8)
 
-  private def entity(html: String, i: Int): (Char, Char, Int) = {
+  /** Decode the entity starting at `html(i) == '&'`: (char, optional low
+    * surrogate, next index). Shared with the head-metadata scanner. */
+  private[html] def entity(html: String, i: Int): (Char, Char, Int) = {
     val semi = html.indexOf(';', i + 1)
     if (semi < 0 || semi - i - 1 > MaxEntityBody) return ('&', 0, i + 1)
     val body = html.substring(i + 1, semi)

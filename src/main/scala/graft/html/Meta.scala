@@ -1,0 +1,133 @@
+package graft.html
+
+/** Head metadata of a web page: the dedup/curation signals a corpus
+  * pipeline reads before (or instead of) the body — the canonical URL is a
+  * stronger dedup key than any URL heuristic, the robots directives gate
+  * whether a page may be kept at all, and description/og fields are
+  * document-level summaries. ADDITIVE surface: the reference has no HTML
+  * code; this module follows the HTML5 parsing rules for attributes
+  * (quoted/unquoted values, any order, case-insensitive names, character
+  * references decoded in values). */
+final case class HtmlMeta(
+    canonical: String,      // <link rel="canonical" href=…>, "" when absent
+    description: String,    // <meta name="description" content=…>
+    ogTitle: String,        // <meta property="og:title" content=…>
+    ogDescription: String,  // <meta property="og:description" content=…>
+    noindex: Boolean,       // <meta name="robots"> content token
+    nofollow: Boolean)
+
+object Meta {
+
+  /** Scan `<meta>` and `<link>` tags (first occurrence wins per field, as
+    * browsers resolve duplicates) over the whole page — malformed pages
+    * put head tags after `<body>` often enough that stopping at `</head>`
+    * loses real metadata. Skips `<script>`/`<style>` bodies so embedded
+    * markup strings can't forge tags. */
+  def extract(html: String): HtmlMeta = {
+    var canonical, description, ogTitle, ogDescription: String = null
+    var noindex = false
+    var nofollow = false
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        val (name, attrEnd) = tagName(html, i + 1)
+        name match {
+          case "script" | "style" =>
+            val close = html.indexOf("</" + name, attrEnd)
+            i = if (close < 0) n else close
+          case "meta" =>
+            val (a, next) = attrs(html, attrEnd)
+            // meta names/properties are case-insensitive in the wild
+            val key = a.getOrElse("name", a.getOrElse("property", "")).toLowerCase
+            val content = a.getOrElse("content", "")
+            key match {
+              case "description"    => if (description == null) description = content
+              case "og:title"       => if (ogTitle == null) ogTitle = content
+              case "og:description" => if (ogDescription == null) ogDescription = content
+              case "robots" =>
+                val tokens = content.toLowerCase.split("[,\\s]+")
+                if (tokens.contains("noindex") || tokens.contains("none")) noindex = true
+                if (tokens.contains("nofollow") || tokens.contains("none")) nofollow = true
+              case _ =>
+            }
+            i = next
+          case "link" =>
+            val (a, next) = attrs(html, attrEnd)
+            if (a.getOrElse("rel", "").equalsIgnoreCase("canonical") && canonical == null)
+              a.get("href").foreach(h => canonical = h)
+            i = next
+          case _ =>
+            i = i + 1
+        }
+      } else i += 1
+    }
+    HtmlMeta(
+      canonical = Option(canonical).getOrElse(""),
+      description = Option(description).getOrElse(""),
+      ogTitle = Option(ogTitle).getOrElse(""),
+      ogDescription = Option(ogDescription).getOrElse(""),
+      noindex = noindex,
+      nofollow = nofollow)
+  }
+
+  def extract(bytes: Array[Byte]): HtmlMeta = extract(Boilerplate.decode(bytes))
+
+  /** (lowercased tag name, index of the first char after it). */
+  private def tagName(html: String, from: Int): (String, Int) = {
+    var i = from
+    val n = html.length
+    val sb = new java.lang.StringBuilder(8)
+    while (i < n && (html.charAt(i).isLetterOrDigit || html.charAt(i) == '!' || html.charAt(i) == '/')) {
+      sb.append(Character.toLowerCase(html.charAt(i)))
+      i += 1
+    }
+    (sb.toString, i)
+  }
+
+  /** HTML5-rules attribute scan from `from` (just after the tag name) to
+    * the closing '>': names case-folded, `=` optional, values single-,
+    * double- or un-quoted, character references decoded in values.
+    * Returns (attributes, index after '>'). */
+  private def attrs(html: String, from: Int): (Map[String, String], Int) = {
+    val out = Map.newBuilder[String, String]
+    var i = from
+    val n = html.length
+    def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+    while (i < n && html.charAt(i) != '>') {
+      while (i < n && (ws(html.charAt(i)) || html.charAt(i) == '/')) i += 1
+      if (i < n && html.charAt(i) != '>') {
+        val nameStart = i
+        while (i < n && !ws(html.charAt(i)) && html.charAt(i) != '=' && html.charAt(i) != '>' && html.charAt(i) != '/')
+          i += 1
+        val name = html.substring(nameStart, i).toLowerCase
+        while (i < n && ws(html.charAt(i))) i += 1
+        if (i < n && html.charAt(i) == '=') {
+          i += 1
+          while (i < n && ws(html.charAt(i))) i += 1
+          val sb = new java.lang.StringBuilder(16)
+          if (i < n && (html.charAt(i) == '"' || html.charAt(i) == '\'')) {
+            val q = html.charAt(i); i += 1
+            while (i < n && html.charAt(i) != q) i = appendDecoded(html, i, sb)
+            if (i < n) i += 1 // closing quote
+          } else {
+            while (i < n && !ws(html.charAt(i)) && html.charAt(i) != '>') i = appendDecoded(html, i, sb)
+          }
+          if (name.nonEmpty) out += name -> sb.toString
+        } else if (name.nonEmpty) out += name -> ""
+      }
+    }
+    (out.result(), if (i < n) i + 1 else n)
+  }
+
+  private def appendDecoded(html: String, i: Int, sb: java.lang.StringBuilder): Int =
+    if (html.charAt(i) == '&') {
+      val (c, lo, next) = Boilerplate.entity(html, i)
+      sb.append(c)
+      if (lo != 0) sb.append(lo)
+      next
+    } else {
+      sb.append(html.charAt(i))
+      i + 1
+    }
+}

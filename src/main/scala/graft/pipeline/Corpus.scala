@@ -1190,6 +1190,26 @@ object Corpus {
     sb.toString.getBytes(UTF_8)
   }
 
+  /** Head-metadata gate page (`html_meta`): canonical link, description
+    * (with an entity in the value), og:title, og:description with the
+    * attribute ORDER swapped and single quotes, robots noindex,nofollow as
+    * an UNQUOTED value on every doc_id % 3 == 0, and a forged meta inside
+    * a <script> string that the scanner must skip. All values closed forms
+    * of (doc_id, length(text)). */
+  def htmlMetaProbe(docId: Long, text: String): Array[Byte] = {
+    val len = text.length
+    val sb = new StringBuilder("<!DOCTYPE html>\n<html><head>\n")
+    sb.append(s"<title>t-$len</title>\n")
+    sb.append(s"""<link rel="canonical" href="https://example${docId % 7}.com/p${docId % 5}">""").append('\n')
+    sb.append(s"""<meta name="description" content="desc-$len &amp; more">""").append('\n')
+    sb.append(s"""<meta property="og:title" content="og-$len">""").append('\n')
+    sb.append(s"""<meta content='ogd-$len' property='og:description'>""").append('\n')
+    if (docId % 3 == 0) sb.append("<meta name=robots content=noindex,nofollow>\n")
+    sb.append("""<script>var forged = "<meta name=\"description\" content=\"forged\">";</script>""").append('\n')
+    sb.append("</head><body>\n<p>").append(text).append("</p>\n</body></html>")
+    sb.toString.getBytes(UTF_8)
+  }
+
   def htmlSpanProbePageRowFor(docId: Long, text: String, lang: String): PageRow =
     PageRow(
       url = UrlPrefix + docId,

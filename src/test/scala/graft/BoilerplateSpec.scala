@@ -147,4 +147,35 @@ class BoilerplateSpec extends AnyFunSuite {
     assert(Boilerplate.extract("<p").text == "")
     assert(Boilerplate.extract("plain text with no tags at all but quite a few words so it counts as content for the rules").text.nonEmpty)
   }
+
+  test("head metadata: probe closed forms, attribute forms, script forging, robots tokens") {
+    import graft.html.Meta
+    import graft.pipeline.Corpus
+    for (docId <- Seq(1L, 3L, 5L, 9L); text <- Seq("x", "some longer body text here")) {
+      val m = Meta.extract(Corpus.htmlMetaProbe(docId, text))
+      val len = text.length
+      assert(m.canonical == s"https://example${docId % 7}.com/p${docId % 5}", m.canonical)
+      assert(m.description == s"desc-$len & more", m.description) // entity decoded
+      assert(m.ogTitle == s"og-$len")
+      assert(m.ogDescription == s"ogd-$len") // swapped attr order, single quotes
+      assert(m.noindex == (docId % 3 == 0) && m.nofollow == (docId % 3 == 0))
+    }
+    // absent surfaces -> empty/false; robots 'none' implies both flags;
+    // first-wins duplicate resolution; forged meta inside <script> ignored
+    val none = Meta.extract("<html><head></head><body>hi</body></html>")
+    assert(none.canonical == "" && none.description == "" && !none.noindex && !none.nofollow)
+    val both = Meta.extract("""<meta name="ROBOTS" content="NONE">""")
+    assert(both.noindex && both.nofollow)
+    val dup = Meta.extract(
+      """<meta name=description content=first><meta name=description content=second>""")
+    assert(dup.description == "first")
+    val forged = Meta.extract(
+      """<script>var x = "<meta name=\"description\" content=\"forged\">";</script>
+        |<meta name="description" content="real">""".stripMargin)
+    assert(forged.description == "real")
+    // pathological: unterminated tag, attr with no value, never throws
+    Meta.extract("<meta name=description content")
+    Meta.extract("<link rel")
+    Meta.extract("")
+  }
 }
