@@ -516,6 +516,25 @@ object SparkEntry {
         }.toDF("doc_id", "text", "failures")
         .orderBy("doc_id")
     }),
+    "text_dedup_lines" -> ((s, dir) => {
+      // within-document duplicate-line removal (RefinedWeb-style
+      // preprocessing) as the native codegen'd `dedup_lines` expression —
+      // a pure per-row rewrite, ZERO shuffles at any corpus size. Both
+      // engines build the same multi-line input from `text` (planted
+      // duplicate lines + empty lines, plus a prefix line that collapses
+      // into a duplicate when the text is short), so first-wins order,
+      // empty-line preservation and the trailing-empty split contract are
+      // all gate-visible
+      graft.functions.GraftFunctions.register(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .where("doc_id % 2 = 0")
+        .selectExpr(
+          "doc_id",
+          """dedup_lines(concat(text, chr(10), 'dup-line', chr(10), substr(text, 1, 20),
+            |  chr(10), 'dup-line', chr(10), chr(10), 'dup-line', chr(10), chr(10), text)) AS text"""
+            .stripMargin)
+        .orderBy("doc_id")
+    }),
     "html_meta" -> ((s, dir) => {
       // head-metadata extraction (ADDITIVE surface): canonical link (the
       // strongest dedup key a page can carry), meta/og descriptions, and
@@ -1403,6 +1422,22 @@ object SparkEntry {
     "pdf_extract_extended_aes" ->
       """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    // independent restatement: same constructed input, dedup via a
+    // first-occurrence window (empty lines always kept)
+    "text_dedup_lines" ->
+      """WITH d AS (SELECT doc_id,
+             text || chr(10) || 'dup-line' || chr(10) || substr(text, 1, 20)
+               || chr(10) || 'dup-line' || chr(10) || chr(10) || 'dup-line'
+               || chr(10) || chr(10) || text AS input
+           FROM documents WHERE doc_id % 2 = 0),
+         l AS (SELECT doc_id, unnest(string_split(input, chr(10))) AS line,
+                      unnest(generate_series(1, len(string_split(input, chr(10))))) AS ord
+               FROM d),
+         r AS (SELECT doc_id, line, ord,
+                      row_number() OVER (PARTITION BY doc_id, line ORDER BY ord) AS rn
+               FROM l)
+         SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text
+         FROM r WHERE rn = 1 OR line = '' GROUP BY doc_id ORDER BY doc_id""",
     // Corpus.htmlMetaProbe values are closed forms of (doc_id, length(text))
     "html_meta" ->
       """SELECT doc_id,

@@ -166,6 +166,57 @@ object MinhashBands {
   }
 }
 
+/** `dedup_lines(text)` → STRING: within-document duplicate-line removal —
+  * the RefinedWeb/CCNet-style preprocessing step that drops repeated exact
+  * lines (navigation remnants, boilerplate echoes) keeping the FIRST
+  * occurrence in order. Empty lines are never treated as duplicates: they
+  * carry paragraph structure, not content. Pure per-row rewrite — a native
+  * `doGenCode` expression, so at 10^12 rows it runs inside WholeStageCodegen
+  * with ZERO shuffles (contrast the corpus-wide operators in
+  * [[graft.dedup.Dedup]], which this composes with, not replaces). */
+case class DedupLinesExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"dedup_lines expects STRING, got ${child.dataType.catalogString}")
+  override def prettyName: String = "dedup_lines"
+
+  override def nullSafeEval(input: Any): Any =
+    DedupLines.dedup(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.DedupLines.dedup($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): DedupLinesExpr =
+    copy(child = newChild)
+}
+
+object DedupLines {
+  /** Java-static entry (called from generated code). Split limit -1 keeps
+    * trailing empty lines (DuckDB string_split parity — Java's default
+    * limit 0 silently drops them). */
+  def dedup(s: UTF8String): UTF8String = {
+    val text = s.toString
+    if (text.indexOf('\n') < 0) return s // fast path: single line, no copy
+    val lines = text.split("\n", -1)
+    val seen = new java.util.HashSet[String](lines.length * 2)
+    val out = new java.lang.StringBuilder(text.length)
+    var first = true
+    var i = 0
+    while (i < lines.length) {
+      val line = lines(i)
+      if (line.isEmpty || seen.add(line)) {
+        if (!first) out.append('\n')
+        out.append(line)
+        first = false
+      }
+      i += 1
+    }
+    UTF8String.fromString(out.toString)
+  }
+}
+
 /** Function registration: either through `SparkSessionExtensions` (config
   * `spark.sql.extensions=graft.functions.GraftExtensions`) or imperatively
   * on a live session via [[GraftFunctions.register]]. */
@@ -175,6 +226,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.rollingHashDesc)
     ext.injectFunction(GraftFunctions.simHashDesc)
     ext.injectFunction(GraftFunctions.minhashBandsDesc)
+    ext.injectFunction(GraftFunctions.dedupLinesDesc)
   }
 }
 
@@ -202,6 +254,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[MinhashBandsExpr].getName, "minhash_bands"),
     (children: Seq[Expression]) => MinhashBandsExpr(children.head))
 
+  val dedupLinesDesc: FunctionDescription = (
+    FunctionIdentifier("dedup_lines"),
+    new ExpressionInfo(classOf[DedupLinesExpr].getName, "dedup_lines"),
+    (children: Seq[Expression]) => DedupLinesExpr(children.head))
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -209,5 +266,6 @@ object GraftFunctions {
     reg.registerFunction(rollingHashDesc._1, rollingHashDesc._2, rollingHashDesc._3)
     reg.registerFunction(simHashDesc._1, simHashDesc._2, simHashDesc._3)
     reg.registerFunction(minhashBandsDesc._1, minhashBandsDesc._2, minhashBandsDesc._3)
+    reg.registerFunction(dedupLinesDesc._1, dedupLinesDesc._2, dedupLinesDesc._3)
   }
 }

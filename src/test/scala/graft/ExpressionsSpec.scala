@@ -1,6 +1,6 @@
 package graft
 
-import graft.functions.{GraftFunctions, RollingHash64}
+import graft.functions.{DedupLines, GraftFunctions, RollingHash64}
 import graft.pipeline.Corpus
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.unsafe.types.UTF8String
@@ -106,6 +106,26 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.linesIterator.next().trim.startsWith("*(") &&
       plan.contains("rolling_hash64"), plan)
+  }
+
+  test("dedup_lines: first-wins order, empty lines kept, trailing empties preserved, codegen'd") {
+    def d(s: String): String =
+      DedupLines.dedup(UTF8String.fromString(s)).toString
+    assert(d("a\nb\na\n\n\nb") == "a\nb\n\n")       // dups dropped, empties kept
+    assert(d("single line no newline") == "single line no newline") // fast path
+    assert(d("x\nx\nx") == "x")                      // run of dups
+    assert(d("") == "")
+    assert(d("\n\n") == "\n\n")                      // empties are never dups
+    assert(d("a\n") == "a\n")                        // trailing empty survives (split -1)
+    // non-constant source so the projection stays a codegen'd stage
+    val df = spark.range(3)
+      .selectExpr("concat('l', id % 2, chr(10), 'l0', chr(10), 'l', id % 2) AS t")
+      .selectExpr("t", "dedup_lines(t) AS out")
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got("l0\nl0\nl0") == "l0")
+    assert(got("l1\nl0\nl1") == "l1\nl0")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().trim.startsWith("*(") && plan.contains("dedup_lines"), plan)
   }
 
   test("GraftExtensions wires both function builders") {
