@@ -21,8 +21,12 @@ object Meta {
   /** Scan `<meta>` and `<link>` tags (first occurrence wins per field, as
     * browsers resolve duplicates) over the whole page — malformed pages
     * put head tags after `<body>` often enough that stopping at `</head>`
-    * loses real metadata. Skips `<script>`/`<style>` bodies so embedded
-    * markup strings can't forge tags. */
+    * loses real metadata. Hardened like [[Boilerplate]]'s scanner:
+    * comments/CDATA are skipped (commented-out stale metadata must not
+    * latch), raw-text/RCDATA bodies (`script`/`style`/`title`/`textarea`)
+    * are skipped with CASE-INSENSITIVE close matching, and every other
+    * tag's attributes are consumed quote-aware — so markup-looking text
+    * inside attribute values or RCDATA can't forge metadata. */
   def extract(html: String): HtmlMeta = {
     var canonical, description, ogTitle, ogDescription: String = null
     var noindex = false
@@ -31,34 +35,53 @@ object Meta {
     val n = html.length
     while (i < n) {
       if (html.charAt(i) == '<') {
-        val (name, attrEnd) = tagName(html, i + 1)
-        name match {
-          case "script" | "style" =>
-            val close = html.indexOf("</" + name, attrEnd)
-            i = if (close < 0) n else close
-          case "meta" =>
-            val (a, next) = attrs(html, attrEnd)
-            // meta names/properties are case-insensitive in the wild
-            val key = a.getOrElse("name", a.getOrElse("property", "")).toLowerCase
-            val content = a.getOrElse("content", "")
-            key match {
-              case "description"    => if (description == null) description = content
-              case "og:title"       => if (ogTitle == null) ogTitle = content
-              case "og:description" => if (ogDescription == null) ogDescription = content
-              case "robots" =>
-                val tokens = content.toLowerCase.split("[,\\s]+")
-                if (tokens.contains("noindex") || tokens.contains("none")) noindex = true
-                if (tokens.contains("nofollow") || tokens.contains("none")) nofollow = true
-              case _ =>
-            }
-            i = next
-          case "link" =>
-            val (a, next) = attrs(html, attrEnd)
-            if (a.getOrElse("rel", "").equalsIgnoreCase("canonical") && canonical == null)
-              a.get("href").foreach(h => canonical = h)
-            i = next
-          case _ =>
-            i = i + 1
+        if (html.startsWith("<!--", i)) {
+          val close = html.indexOf("-->", i + 4)
+          i = if (close < 0) n else close + 3
+        } else if (html.startsWith("<![CDATA[", i)) {
+          val close = html.indexOf("]]>", i + 9)
+          i = if (close < 0) n else close + 3
+        } else {
+          val (name, attrEnd) = tagName(html, i + 1)
+          name match {
+            case "script" | "style" | "title" | "textarea" =>
+              // raw-text / RCDATA element: the body is text, not markup;
+              // close tag is matched case-insensitively (</SCRIPT> is legal)
+              val (_, afterOpen) = attrs(html, attrEnd)
+              val close = indexOfIgnoreCase(html, "</" + name, afterOpen)
+              i = if (close < 0) n else close + 2 + name.length
+            case "meta" =>
+              val (a, next) = attrs(html, attrEnd)
+              // meta names/properties are case-insensitive in the wild
+              val key = a.getOrElse("name", a.getOrElse("property", "")).toLowerCase
+              val content = a.getOrElse("content", "")
+              key match {
+                case "description"    => if (description == null) description = content
+                case "og:title"       => if (ogTitle == null) ogTitle = content
+                case "og:description" => if (ogDescription == null) ogDescription = content
+                case "robots" =>
+                  val tokens = content.toLowerCase.split("[,\\s]+")
+                  if (tokens.contains("noindex") || tokens.contains("none")) noindex = true
+                  if (tokens.contains("nofollow") || tokens.contains("none")) nofollow = true
+                case _ =>
+              }
+              i = next
+            case "link" =>
+              val (a, next) = attrs(html, attrEnd)
+              // rel is a space-separated TOKEN LIST (rel="canonical alternate")
+              val isCanonical = a.getOrElse("rel", "")
+                .split("\\s+").exists(_.equalsIgnoreCase("canonical"))
+              if (isCanonical && canonical == null)
+                a.get("href").foreach(h => canonical = h)
+              i = next
+            case "" =>
+              i += 1 // stray '<' in text
+            case _ =>
+              // consume the tag quote-aware: attribute values containing
+              // markup-looking text must not be re-scanned as tags
+              val (_, next) = attrs(html, attrEnd)
+              i = next
+          }
         }
       } else i += 1
     }
@@ -72,6 +95,16 @@ object Meta {
   }
 
   def extract(bytes: Array[Byte]): HtmlMeta = extract(Boilerplate.decode(bytes))
+
+  private def indexOfIgnoreCase(html: String, needle: String, from: Int): Int = {
+    var i = math.max(from, 0)
+    val last = html.length - needle.length
+    while (i <= last) {
+      if (html.regionMatches(true, i, needle, 0, needle.length)) return i
+      i += 1
+    }
+    -1
+  }
 
   /** (lowercased tag name, index of the first char after it). */
   private def tagName(html: String, from: Int): (String, Int) = {
@@ -87,13 +120,17 @@ object Meta {
 
   /** HTML5-rules attribute scan from `from` (just after the tag name) to
     * the closing '>': names case-folded, `=` optional, values single-,
-    * double- or un-quoted, character references decoded in values.
-    * Returns (attributes, index after '>'). */
+    * double- or un-quoted, character references decoded in values, and
+    * DUPLICATE attributes resolve first-wins (HTML5 ignores the repeat;
+    * a Map overwrite would take the last). Returns (attributes, index
+    * after '>'). */
   private def attrs(html: String, from: Int): (Map[String, String], Int) = {
-    val out = Map.newBuilder[String, String]
+    var out = Map.empty[String, String]
     var i = from
     val n = html.length
     def ws(c: Char) = c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f'
+    def put(name: String, value: String): Unit =
+      if (name.nonEmpty && !out.contains(name)) out = out.updated(name, value)
     while (i < n && html.charAt(i) != '>') {
       while (i < n && (ws(html.charAt(i)) || html.charAt(i) == '/')) i += 1
       if (i < n && html.charAt(i) != '>') {
@@ -113,11 +150,11 @@ object Meta {
           } else {
             while (i < n && !ws(html.charAt(i)) && html.charAt(i) != '>') i = appendDecoded(html, i, sb)
           }
-          if (name.nonEmpty) out += name -> sb.toString
-        } else if (name.nonEmpty) out += name -> ""
+          put(name, sb.toString)
+        } else put(name, "")
       }
     }
-    (out.result(), if (i < n) i + 1 else n)
+    (out, if (i < n) i + 1 else n)
   }
 
   private def appendDecoded(html: String, i: Int, sb: java.lang.StringBuilder): Int =

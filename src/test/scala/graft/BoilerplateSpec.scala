@@ -178,4 +178,40 @@ class BoilerplateSpec extends AnyFunSuite {
     Meta.extract("<link rel")
     Meta.extract("")
   }
+
+  test("head metadata hardening: case-insensitive raw-text close, comments, forging, dup attrs, rel tokens") {
+    import graft.html.Meta
+    // uppercase close tag must end the script skip — losing the rest of
+    // the document would drop the canonical key and miss a noindex
+    val upper = Meta.extract(
+      """<script>x</SCRIPT><meta name="robots" content="noindex">
+        |<link rel="canonical" href="https://a.example/x">""".stripMargin)
+    assert(upper.noindex && upper.canonical == "https://a.example/x")
+    // commented-out stale metadata must not latch (first-wins would
+    // otherwise shadow the live values)
+    val commented = Meta.extract(
+      """<!-- <meta name="robots" content="noindex">
+        |     <meta name="description" content="stale"> -->
+        |<meta name="description" content="live">""".stripMargin)
+    assert(!commented.noindex && commented.description == "live")
+    // markup-looking text inside attribute values and RCDATA bodies is
+    // text, never a tag
+    val forged = Meta.extract(
+      """<img alt='see <meta name=robots content=noindex> docs'>
+        |<title>writing <meta name="description" content="forged"> tags</title>
+        |<meta name="description" content="real">""".stripMargin)
+    assert(!forged.noindex && forged.description == "real")
+    // duplicate attributes resolve first-wins (HTML5 ignores the repeat)
+    val dupAttr = Meta.extract("""<meta name="description" content="real" content="">""")
+    assert(dupAttr.description == "real")
+    // rel is a space-separated token list
+    val relList = Meta.extract("""<link rel="canonical alternate" href="https://b.example/y">""")
+    assert(relList.canonical == "https://b.example/y")
+    // CDATA skipped like comments
+    val cdata = Meta.extract("""<![CDATA[<meta name=robots content=noindex>]]><meta name=description content=ok>""")
+    assert(!cdata.noindex && cdata.description == "ok")
+    // unterminated comment / rawtext never throw
+    Meta.extract("<!-- never closed <meta name=robots content=noindex>")
+    Meta.extract("<script>never closed")
+  }
 }
