@@ -181,6 +181,7 @@ class BoilerplateSpec extends AnyFunSuite {
 
   test("head metadata hardening: case-insensitive raw-text close, comments, forging, dup attrs, rel tokens") {
     import graft.html.Meta
+    import graft.pipeline.Corpus
     // uppercase close tag must end the script skip — losing the rest of
     // the document would drop the canonical key and miss a noindex
     val upper = Meta.extract(
@@ -213,5 +214,14 @@ class BoilerplateSpec extends AnyFunSuite {
     // unterminated comment / rawtext never throw
     Meta.extract("<!-- never closed <meta name=robots content=noindex>")
     Meta.extract("<script>never closed")
+    // fuzz: mutated and truncated probe pages never throw
+    val rnd = new java.util.Random(0x4d455441L) // "META"
+    val base = Corpus.htmlMetaProbe(3L, "fuzz body words for the meta probe page here")
+    (1 to 200).foreach { _ =>
+      val m = base.clone()
+      (0 until 1 + rnd.nextInt(6)).foreach(_ => m(rnd.nextInt(m.length)) = rnd.nextInt(256).toByte)
+      Meta.extract(m)
+    }
+    (1 to 30).foreach(_ => Meta.extract(java.util.Arrays.copyOf(base, 1 + rnd.nextInt(base.length))))
   }
 }

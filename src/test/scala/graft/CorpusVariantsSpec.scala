@@ -501,14 +501,21 @@ class CorpusVariantsSpec extends AnyFunSuite {
     // under random corruption — one bad doc must never kill an executor
     val rnd = new java.util.Random(20260817L)
     val t = ("fuzz base corpus words repeated for a couple of pages worth " * 12).trim
-    val bases = (0 until Corpus.NumPdfVariants).map(v => Corpus.pdfForDoc(v.toLong * 2, t))
+    val bases = (0 until Corpus.NumPdfVariants).map(v => Corpus.pdfForDoc(v.toLong * 2, t)) ++
+      // the structure-surface builders: corrupted outlines / name trees /
+      // form fields must degrade (surface null or error row), never throw
+      Seq(Corpus.pdfOutlineForDoc(0L, t), Corpus.pdfAttachmentsForDoc(0L, t),
+        Corpus.pdfFormFieldsForDoc(0L, t), Corpus.pdfType0ForDoc(0L, t))
     var errorRows = 0
     (1 to 320).foreach { i =>
       val mutated = bases(i % bases.length).clone()
       (1 to 1 + rnd.nextInt(8)).foreach { _ =>
         mutated(rnd.nextInt(mutated.length)) = rnd.nextInt(256).toByte
       }
-      val r = PdfExtract.extract(mutated, captureFragments = false) // must not throw
+      // alternate extended mode so the CID-decode and extended-filter
+      // paths fuzz too; captureAttachments exercises the name-tree walk
+      val r = PdfExtract.extract(mutated, captureFragments = false,
+        extendedFilters = i % 2 == 0, captureAttachments = true) // must not throw
       if (r.error.isDefined) errorRows += 1
     }
     (1 to 40).foreach { i =>
