@@ -160,6 +160,13 @@ final class PdfTokeniser(
   var formFields: String = null
   var isDecryptionError: Boolean = false
   var isStringNeedsDecryption: Boolean = false
+  /** EXTENSION (extended mode only): the indirect object currently being
+    * parsed — ISO 32000-1 §7.6.2 keys string decryption by the CONTAINING
+    * indirect object, whose id the reference never threads to nested
+    * tokens (its nested decrypt crashes, Token.cs:269). Set only for
+    * regular `n g obj` parses: object-stream members' strings are not
+    * individually encrypted, so they keep the default surface. */
+  private var containingObjectId: Option[ObjectId] = None
   private var globalEncryptionKey: Array[Byte] = null
   private var encryptionIsAes: Boolean = false
   // V5/AESV3: the file key IS the object key (no MD5-sAlT derivation)
@@ -618,9 +625,12 @@ final class PdfTokeniser(
     * "depth:title" items joined by "|", in first-child-then-next-sibling
     * (DFS) order per ISO 32000-1 §12.3.3, cycle-guarded; null when the
     * document has no /Outlines, "" when the tree is present but empty.
-    * Titles are [[StrTok]] values, so encrypted documents decrypt them
-    * through the normal string path. Training-data pipelines use this for
-    * section-aware chunking; it changes no reference-identical output. */
+    * Encrypted documents: in DEFAULT mode nested-string decryption keeps
+    * the reference's crash surface (Token.cs:269), so the walk degrades to
+    * null; in extended mode titles decrypt with the containing object's
+    * key (see containingObjectId) and the outline extracts. Training-data
+    * pipelines use this for section-aware chunking; it changes no
+    * reference-identical output. */
   private def readOutline(outlinesToken: PdfTok): Unit = {
     val out = new java.lang.StringBuilder
     val visited = mutable.HashSet.empty[ObjectId]
@@ -894,7 +904,15 @@ final class PdfTokeniser(
           new RefTok(Some(refId))
         } else if ({ val ok = bytes(idx) == 'o' && bytes(idx + 1) == 'b' && bytes(idx + 2) == 'j'; idx += 3; ok }) {
           skipWhiteSpace()
-          val token = getNextToken(Some(refId), throwOnError)
+          // EXTENSION bookkeeping: remember the indirect object being
+          // parsed so extended-mode string decryption can key nested
+          // strings by their CONTAINING object (ISO 32000-1 §7.6.2); the
+          // save/restore keeps lazy cross-object resolution re-entrant
+          val savedContaining = containingObjectId
+          containingObjectId = Some(refId)
+          val token =
+            try getNextToken(Some(refId), throwOnError)
+            finally containingObjectId = savedContaining
           val e = skipWhiteSpace()
           if (e != 'e' || bytes(idx + 1) != 'n' || bytes(idx + 2) != 'd' || bytes(idx + 3) != 'o' ||
               bytes(idx + 4) != 'b' || bytes(idx + 5) != 'j')
@@ -1057,15 +1075,20 @@ final class PdfTokeniser(
     } else throw fileException(s"String format error, '(' or '<' expected as leading character, but was '${(b0 & 0xff).toChar}'.")
 
     val raw = sb.toString
-    // `objectId.get` throws for strings NESTED in dicts/arrays parsed after
-    // encryption setup — replicated AS-IS from the reference, whose nested
-    // tokens also carry no id and whose `objectId!.Value` throws the same
-    // way (Token.cs:269 + DictionaryToken/ArrayToken passing no id to
-    // children); the failure is captured as the document's error row.
-    // Top-level trailer dicts (/Info) are covered by the
-    // decrypt-strings-parsed-before-the-key-existed fix-up loop.
+    // Default mode: `objectId.get` throws for strings NESTED in dicts/
+    // arrays parsed after encryption setup — replicated AS-IS from the
+    // reference, whose nested tokens also carry no id and whose
+    // `objectId!.Value` throws the same way (Token.cs:269 +
+    // DictionaryToken/ArrayToken passing no id to children); the failure
+    // is captured as the document's error row. Top-level trailer dicts
+    // (/Info) are covered by the decrypt-strings-parsed-before-the-key-
+    // existed fix-up loop. EXTENSION (extended mode): nested strings fall
+    // back to the CONTAINING object's id — the key ISO 32000-1 §7.6.2
+    // actually prescribes — so encrypted outlines/annotations/forms decode.
     val value =
-      if (isStringNeedsDecryption) decryptString(objectId.get, raw)
+      if (isStringNeedsDecryption)
+        decryptString(
+          objectId.orElse(if (extendedFilters) containingObjectId else None).get, raw)
       else raw
     idx += 1
     new StrTok(value, hexBytes, objectId)

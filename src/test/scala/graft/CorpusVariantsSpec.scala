@@ -223,6 +223,56 @@ class CorpusVariantsSpec extends AnyFunSuite {
     assert(cyc.outline.contains("0:a|0:b"), cyc.outline)
   }
 
+  test("encrypted outline: extended mode decrypts titles with the containing-object key; default keeps the reference crash surface") {
+    import graft.fixtures.GoldenGen
+    import graft.pdf.{ObjectId, PdfCrypto}
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    // V1/R2 empty-password chain, like variant 3
+    val docIdHex = "0123456789abcdef0123456789abcdef"
+    val docId = docIdHex.grouped(2).map(h => Integer.parseInt(h, 16).toByte).toArray
+    val ownerHash = PdfCrypto.md5(PdfCrypto.pad(""))
+    val o = PdfCrypto.rc4(java.util.Arrays.copyOf(ownerHash, 5), PdfCrypto.pad(""))
+    val key = PdfCrypto.computeEncryptionKey(PdfCrypto.pad(""), o, -44, docId, 5)
+    val u = PdfCrypto.computeEncryptU(PdfCrypto.pad(""), docId, key)
+    val b = new GoldenGen.PdfBuilder()
+    val cid = b.addStream("", "BT (body) Tj ET".getBytes(ISO_8859_1), encryptKey = key)
+    val title = "chapter-one"
+    def cipher(id: Int): Array[Byte] = {
+      val d = title.getBytes(ISO_8859_1)
+      PdfCrypto.rc4InPlace(PdfCrypto.objectKey(key, ObjectId(id, 0)), d, 0, d.length)
+      d
+    }
+    // shift ids until the ciphertext is escape-free (variant 3's trick:
+    // the reference decrypts the RAW literal form, so no ()\ allowed)
+    var r = b.nextObjectNumber
+    var tries = 0
+    while (cipher(r + 1).exists(x => x == 0x28 || x == 0x29 || x == 0x5c)) {
+      b.addObject("<</Type/GraftPad>>")
+      r = b.nextObjectNumber
+      tries += 1
+      assert(tries < 64)
+    }
+    b.addObject(s"<</Type/Outlines/First ${r + 1} 0 R/Last ${r + 1} 0 R/Count 1>>")
+    val raw = new String(cipher(r + 1).map(x => (x & 0xff).toChar))
+    b.addObject(s"<</Title ($raw)/Parent $r 0 R>>")
+    val catalog = GoldenGen.catalogFor(b, Seq(cid), catalogExtra = s"/Outlines $r 0 R")
+    val encId = b.addObject(
+      s"<</Filter/Standard/V 1/R 2/P -44/O <${o.map(x => f"${x & 0xff}%02x").mkString}>" +
+        s"/U <${u.map(x => f"${x & 0xff}%02x").mkString}>>>")
+    val pdf = b.finish(s"/Root $catalog 0 R/Encrypt $encId 0 R/ID[<$docIdHex><$docIdHex>]")
+    // extended mode: nested strings decrypt with the CONTAINING object's
+    // key (ISO 32000-1 §7.6.2) — the outline extracts decrypted
+    val ext = PdfExtract.extract(pdf, contentDelimiter = "", captureFragments = false,
+      extendedFilters = true)
+    assert(ext.text == "body", ext.error)
+    assert(ext.outline.contains("0:" + title), ext.outline)
+    // default mode: the reference's nested-string decrypt crash surface
+    // (Token.cs:269) is kept — the walk degrades to None, page text intact
+    val dft = PdfExtract.extract(pdf, contentDelimiter = "", captureFragments = false)
+    assert(dft.text == "body", dft.error)
+    assert(dft.outline.isEmpty, dft.outline)
+  }
+
   test("attachments corpus: name-tree walk decodes all three payloads; forms corpus: dotted-name DFS") {
     for ((t, i) <- texts.zipWithIndex) {
       val r = PdfExtract.extract(Corpus.pdfAttachmentsForDoc(i.toLong * 2, t),
