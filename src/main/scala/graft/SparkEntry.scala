@@ -552,6 +552,25 @@ object SparkEntry {
         .toDF("doc_id", "canonical", "description", "og_title", "og_description", "noindex", "nofollow")
         .orderBy("doc_id")
     }),
+    "pdf_annotations" -> ((s, dir) => {
+      // per-page annotation extraction (ADDITIVE surface — annotation text
+      // IS document text, Link URIs feed the URL graph): FreeText
+      // /Contents and Link /A /URI per page, all closed forms of
+      // (doc_id, page, length(text))
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .filter(_._1 % 2 == 0)
+        .mapPartitions { it =>
+          val buffers = new graft.pdf.WorkBuffers()
+          it.flatMap { case (id, t) =>
+            val r = graft.pdf.PdfExtract.extract(Corpus.pdfAnnotsForDoc(id, t),
+              contentDelimiter = "", buffers = buffers, captureFragments = false)
+            r.annotations.map { case (page, sub, txt) => (id, page.toLong, sub, txt) }
+          }
+        }.toDF("doc_id", "page", "subtype", "content")
+        .orderBy("doc_id", "page", "subtype")
+    }),
     "pdf_attachments" -> ((s, dir) => {
       // embedded-file extraction (/Names → /EmbeddedFiles name tree,
       // ADDITIVE surface — attachments are documents too in a corpus
@@ -1448,6 +1467,20 @@ object SparkEntry {
            doc_id % 3 = 0 AS noindex,
            doc_id % 3 = 0 AS nofollow
          FROM documents WHERE doc_id % 2 = 1 ORDER BY doc_id""",
+    // one FreeText + one Link per page, closed forms of (doc_id, page, len)
+    "pdf_annotations" ->
+      """WITH d AS (SELECT doc_id, length(text) AS len,
+                           ((length(text)+63)//64 + 7)//8 AS p
+                    FROM documents WHERE doc_id % 2 = 0),
+         e AS (SELECT doc_id, len, unnest(generate_series(1, p)) AS i FROM d)
+         SELECT doc_id, CAST(i AS BIGINT) AS page, 'FreeText' AS subtype,
+                'note-'||i||'-'||len AS content
+         FROM e
+         UNION ALL
+         SELECT doc_id, CAST(i AS BIGINT), 'Link',
+                'https://ann'||(doc_id % 5)||'.example/p'||i
+         FROM e
+         ORDER BY doc_id, page, subtype""",
     // three attachments per doc, payloads are closed-form transforms of text
     "pdf_attachments" ->
       """SELECT doc_id, CAST(i AS BIGINT) AS att_idx,

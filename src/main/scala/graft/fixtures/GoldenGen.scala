@@ -100,22 +100,23 @@ object GoldenGen {
 
   /** Page tree + catalog for already-written content objects. */
   def catalogFor(b: PdfBuilder, contentIds: Seq[Int], fontObj: Option[(String, Int)] = None,
-      metadataId: Option[Int] = None, catalogExtra: String = ""): Int =
-    catalogForPages(b, contentIds.map(Seq(_)), fontObj, metadataId, catalogExtra)
+      metadataId: Option[Int] = None, catalogExtra: String = "",
+      pageExtra: Int => String = _ => ""): Int =
+    catalogForPages(b, contentIds.map(Seq(_)), fontObj, metadataId, catalogExtra, pageExtra)
 
   /** Page tree + catalog with one page per inner Seq; a page with several
     * content ids gets the `/Contents [a 0 R b 0 R]` ARRAY form (the
     * reference iterates it in array order — PdfPage.cs:60-72). */
   def catalogForPages(b: PdfBuilder, pageContents: Seq[Seq[Int]],
       fontObj: Option[(String, Int)] = None, metadataId: Option[Int] = None,
-      catalogExtra: String = ""): Int = {
+      catalogExtra: String = "", pageExtra: Int => String = _ => ""): Int = {
     val pagesId = b.nextObjectNumber + pageContents.length
     val resources = fontObj.map { case (name, id) => s"/Resources<</Font<</$name $id 0 R>>>>" }.getOrElse("")
-    val pageIds = pageContents.map { cids =>
+    val pageIds = pageContents.zipWithIndex.map { case (cids, pi) =>
       val contents =
         if (cids.lengthCompare(1) == 0) s"/Contents ${cids.head} 0 R"
         else s"/Contents[${cids.map(_ + " 0 R").mkString(" ")}]"
-      b.addObject(s"<</Type/Page /Parent $pagesId 0 R$contents$resources>>")
+      b.addObject(s"<</Type/Page /Parent $pagesId 0 R$contents$resources${pageExtra(pi)}>>")
     }
     val realPagesId = b.addObject(s"<</Type/Pages /Kids[${pageIds.map(_ + " 0 R").mkString(" ")}] /Count ${pageIds.length}>>")
     require(realPagesId == pagesId, s"pages id mismatch: $realPagesId vs $pagesId")

@@ -149,9 +149,34 @@ final class PdfContent(tk: PdfTokeniser, contentsDict: DictTok, fonts: collectio
 final class PdfPage(tk: PdfTokeniser, pageToken: DictTok) {
   val fonts: mutable.LinkedHashMap[String, PdfFont] = mutable.LinkedHashMap.empty
   val contents: mutable.ArrayBuffer[PdfContent] = mutable.ArrayBuffer.empty
+  /** ADDITIVE SURFACE (the reference never reads /Annots — annotation text
+    * IS document text, and Link URIs feed the URL graph): (subtype, text)
+    * per annotation in array order — /Contents strings for markup
+    * annotations, the /A /URI action target for Links. Exception-isolated:
+    * a malformed annotation costs only this surface, never the page. */
+  val annotations: mutable.ArrayBuffer[(String, String)] = mutable.ArrayBuffer.empty
   var exception: String = null
 
   pageToken.pdfObject = this
+
+  try {
+    pageToken.get("Annots").foreach {
+      case arr: ArrTok => arr.iterator.foreach {
+        case a: DictTok =>
+          val subtype = a.getName("Subtype").getOrElse("")
+          a.get("Contents") match {
+            case Some(s: StrTok) => annotations += ((subtype, s.value))
+            case _ =>
+              a.getDictionary("A").foreach(_.get("URI").foreach {
+                case s: StrTok => annotations += ((subtype, s.value))
+                case _         =>
+              })
+          }
+        case _ =>
+      }
+      case _ =>
+    }
+  } catch { case _: Exception => annotations.clear() }
 
   try {
     pageToken.getDictionary("Resources").foreach { resources =>

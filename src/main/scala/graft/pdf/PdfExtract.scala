@@ -40,7 +40,11 @@ final case class ExtractResult(
     /** AcroForm "dotted.name=value" pairs joined by "|" (DFS over /Fields
       * and /Kids); None when the document has no /AcroForm. Additive
       * surface — the reference never reads /AcroForm. */
-    formFields: Option[String] = None)
+    formFields: Option[String] = None,
+    /** Per-page annotations: (1-based page, subtype, text) — /Contents of
+      * markup annotations and /A /URI of Links, in page/array order.
+      * Additive surface — the reference never reads /Annots. */
+    annotations: Seq[(Int, String, String)] = Nil)
 
 /** E1 façade: the reference's `new PdfParser(bytes, …)` entry point as a pure
   * function (reference: PdfParser/PdfParser.cs:92-106). Per-document parse
@@ -140,7 +144,10 @@ object PdfExtract {
         metadata = Option(tk.metadata),
         outline = Option(tk.outline),
         attachments = tk.attachments.toSeq,
-        formFields = Option(tk.formFields))
+        formFields = Option(tk.formFields),
+        annotations = tk.pageList.iterator.zipWithIndex.flatMap { case (p, i) =>
+          p.annotations.iterator.map { case (sub, txt) => (i + 1, sub, txt) }
+        }.toSeq)
     } catch {
       case e: Throwable =>
         val msg = e match {

@@ -978,6 +978,26 @@ object Corpus {
     b.finish(s"/Root $catalog 0 R/Info $info 0 R/ID[<${docIdHex(text)}><${docIdHex(text)}>]")
   }
 
+  /** Annotation gate corpus: variant-0 pages each carrying an INLINE
+    * /Annots array with one FreeText note (/Contents a closed form of the
+    * 1-based page number and length(text)) and one Link whose /A /URI is a
+    * closed form of (doc_id, page). ADDITIVE surface — the reference never
+    * reads /Annots. */
+  def pdfAnnotsForDoc(docId: Long, text: String): Array[Byte] = {
+    val len = text.length
+    val b = new GoldenGen.PdfBuilder()
+    val contentIds = rotatingShowContents(b, text)
+    val metaId = addMetadata(b, text)
+    val catalog = GoldenGen.catalogFor(b, contentIds, metadataId = Some(metaId),
+      pageExtra = pi => {
+        val page = pi + 1
+        s"/Annots[<</Subtype/FreeText/Contents (note-$page-$len)>>" +
+          s"<</Subtype/Link/A<</S/URI/URI (https://ann${docId % 5}.example/p$page)>>>>]"
+      })
+    val info = b.addObject(infoContent(text))
+    b.finish(s"/Root $catalog 0 R/Info $info 0 R/ID[<${docIdHex(text)}><${docIdHex(text)}>]")
+  }
+
   /** Expected `pdf_form_fields` surface for [[pdfFormFieldsForDoc]]. */
   def formFieldsExpectedText(text: String): String = {
     val len = text.length

@@ -273,6 +273,24 @@ class CorpusVariantsSpec extends AnyFunSuite {
     assert(dft.outline.isEmpty, dft.outline)
   }
 
+  test("annotations corpus: FreeText contents + Link URIs per page; plain docs expose none") {
+    for ((t, i) <- texts.zipWithIndex) {
+      val docId = i.toLong * 2
+      val r = PdfExtract.extract(Corpus.pdfAnnotsForDoc(docId, t),
+        contentDelimiter = "", captureFragments = false)
+      assert(r.decodeFailures == 0, s"text $i: ${r.error}")
+      assert(r.text == t, s"text $i") // page text untouched
+      val p = Corpus.pdfPageCount(t)
+      val want = (1 to p).flatMap { page =>
+        Seq((page, "FreeText", s"note-$page-${t.length}"),
+          (page, "Link", s"https://ann${docId % 5}.example/p$page"))
+      }
+      assert(r.annotations == want, s"text $i: ${r.annotations}")
+    }
+    assert(PdfExtract.extract(Corpus.pdfFromText(texts(0)),
+      contentDelimiter = "", captureFragments = false).annotations.isEmpty)
+  }
+
   test("attachments corpus: name-tree walk decodes all three payloads; forms corpus: dotted-name DFS") {
     for ((t, i) <- texts.zipWithIndex) {
       val r = PdfExtract.extract(Corpus.pdfAttachmentsForDoc(i.toLong * 2, t),
