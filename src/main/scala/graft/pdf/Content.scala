@@ -164,14 +164,16 @@ final class PdfPage(tk: PdfTokeniser, pageToken: DictTok) {
       case arr: ArrTok => arr.iterator.foreach {
         case a: DictTok =>
           val subtype = a.getName("Subtype").getOrElse("")
-          a.get("Contents") match {
-            case Some(s: StrTok) => annotations += ((subtype, s.value))
-            case _ =>
-              a.getDictionary("A").foreach(_.get("URI").foreach {
-                case s: StrTok => annotations += ((subtype, s.value))
-                case _         =>
-              })
-          }
+          def strOf(d: DictTok, key: String): Option[String] =
+            d.get(key).collect { case s: StrTok => s.text }
+          // Links carry their TARGET in /A /URI; /Contents on a Link is
+          // only alternate-description text, so the URI must win there —
+          // everything else emits its /Contents text
+          val text =
+            if (subtype == "Link")
+              a.getDictionary("A").flatMap(strOf(_, "URI")).orElse(strOf(a, "Contents"))
+            else strOf(a, "Contents")
+          text.foreach(t => annotations += ((subtype, t)))
         case _ =>
       }
       case _ =>

@@ -167,6 +167,11 @@ final class PdfTokeniser(
     * regular `n g obj` parses: object-stream members' strings are not
     * individually encrypted, so they keep the default surface. */
   private var containingObjectId: Option[ObjectId] = None
+  /** True while parsing an object-stream member (save/restored in
+    * tokenInObjectStream): ISO 32000-1 §7.5.7 — strings there are covered
+    * by the stream's encryption and are ALREADY plaintext after the stream
+    * decode, so extended mode must not "decrypt" them again. */
+  private var parsingObjectStream: Boolean = false
   private var globalEncryptionKey: Array[Byte] = null
   private var encryptionIsAes: Boolean = false
   // V5/AESV3: the file key IS the object key (no MD5-sAlT derivation)
@@ -560,7 +565,7 @@ final class PdfTokeniser(
                   spec.getDictionary("EF").foreach { ef =>
                     ef.getDictionary("F").orElse(ef.getDictionary("UF")).foreach { fileStream =>
                       fileStream.loadStream()
-                      attachments += ((n.value, streamBytesCopy()))
+                      attachments += ((n.text, streamBytesCopy()))
                     }
                   }
                 } catch { case _: Exception => } // bad filespec: skip, keep walking
@@ -588,13 +593,13 @@ final class PdfTokeniser(
       if (depth > MaxStructureDepth) return
       if (!field.objectId.forall(visited.add)) return
       val name = field.get("T") match {
-        case Some(t: StrTok) => if (prefix.isEmpty) t.value else prefix + "." + t.value
+        case Some(t: StrTok) => if (prefix.isEmpty) t.text else prefix + "." + t.text
         case _               => prefix
       }
       field.get("V") match {
         case Some(v: StrTok) =>
           if (out.length > 0) out.append('|')
-          out.append(name).append('=').append(v.value)
+          out.append(name).append('=').append(v.text) // PDF text strings (§7.9.2)
         case _ =>
       }
       field.get("Kids").foreach {
@@ -947,30 +952,39 @@ final class PdfTokeniser(
   private[pdf] def tokenInObjectStream(id: ObjectId, streamId: Int, streamObjectIndex: Int): PdfTok = {
     val savedBytes = bytes
     val savedIdx = idx
-    val (offsets, content) = objectStreams.getOrElseUpdate(streamId, {
-      val objStream = xref(ObjectId(streamId, 0)).asInstanceOf[DictTok]
-      val first = objStream.getNumber("First")
-        .getOrElse(throw fileException("Pdf object stream: 'First' entry is missing.")).integer.get
-      val n = objStream.getNumber("N")
-        .getOrElse(throw fileException("Pdf object stream: 'N' entry is missing.")).integer.get
-      objStream.loadStream()
-      val offs = new Array[(Int, Int)](n)
-      var i = 0
-      while (i < n) {
-        offs(i) = (getStreamInt(), getStreamInt() + first)
-        i += 1
-      }
-      (offs, streamBytesCopy())
-    })
-    bytes = content
-    val (memberId, offset) = offsets(streamObjectIndex)
-    if (memberId != id.objectNumber)
-      throw fileException(s"Pdf object stream: stream $streamId should contain ${id.objectNumber} at $streamObjectIndex, but was $memberId.")
-    idx = offset
-    val token = getNextToken(Some(id))
-    bytes = savedBytes
-    idx = savedIdx
-    token
+    val savedInObjStm = parsingObjectStream
+    // restore MUST run on the failure path too: a caller that swallows a
+    // failed member parse (the additive surfaces do) would otherwise leave
+    // the main cursor pointing into the decompressed ObjStm buffer and
+    // corrupt every subsequent parse of the document
+    try {
+      val (offsets, content) = objectStreams.getOrElseUpdate(streamId, {
+        val objStream = xref(ObjectId(streamId, 0)).asInstanceOf[DictTok]
+        val first = objStream.getNumber("First")
+          .getOrElse(throw fileException("Pdf object stream: 'First' entry is missing.")).integer.get
+        val n = objStream.getNumber("N")
+          .getOrElse(throw fileException("Pdf object stream: 'N' entry is missing.")).integer.get
+        objStream.loadStream()
+        val offs = new Array[(Int, Int)](n)
+        var i = 0
+        while (i < n) {
+          offs(i) = (getStreamInt(), getStreamInt() + first)
+          i += 1
+        }
+        (offs, streamBytesCopy())
+      })
+      bytes = content
+      val (memberId, offset) = offsets(streamObjectIndex)
+      if (memberId != id.objectNumber)
+        throw fileException(s"Pdf object stream: stream $streamId should contain ${id.objectNumber} at $streamObjectIndex, but was $memberId.")
+      idx = offset
+      parsingObjectStream = true
+      getNextToken(Some(id))
+    } finally {
+      bytes = savedBytes
+      idx = savedIdx
+      parsingObjectStream = savedInObjStm
+    }
   }
 
   // -------------------------------------------------------- token parsers
@@ -1084,12 +1098,15 @@ final class PdfTokeniser(
     // (/Info) are covered by the decrypt-strings-parsed-before-the-key-
     // existed fix-up loop. EXTENSION (extended mode): nested strings fall
     // back to the CONTAINING object's id — the key ISO 32000-1 §7.6.2
-    // actually prescribes — so encrypted outlines/annotations/forms decode.
+    // actually prescribes — so encrypted outlines/annotations/forms decode;
+    // and strings inside OBJECT-STREAM members are already plaintext
+    // (§7.5.7, the stream itself was decrypted), so they are left as-is
+    // instead of being "decrypted" into garbage.
     val value =
-      if (isStringNeedsDecryption)
-        decryptString(
-          objectId.orElse(if (extendedFilters) containingObjectId else None).get, raw)
-      else raw
+      if (!isStringNeedsDecryption) raw
+      else if (extendedFilters && parsingObjectStream) raw
+      else decryptString(
+        objectId.orElse(if (extendedFilters) containingObjectId else None).get, raw)
     idx += 1
     new StrTok(value, hexBytes, objectId)
   }

@@ -291,6 +291,28 @@ class CorpusVariantsSpec extends AnyFunSuite {
       contentDelimiter = "", captureFragments = false).annotations.isEmpty)
   }
 
+  test("annotation text-string semantics: hex UTF-16BE, escapes, Link URI precedence") {
+    import graft.fixtures.GoldenGen
+    import java.nio.charset.StandardCharsets.ISO_8859_1
+    val b = new GoldenGen.PdfBuilder()
+    val cid = b.addStream("", "BT (body) Tj ET".getBytes(ISO_8859_1))
+    val annots =
+      // UTF-16BE hex /Contents with BOM: <FEFF 0041 00E9> = "Aé"
+      "<</Subtype/FreeText/Contents <FEFF004100E9>>>" +
+        // literal escapes resolve: \( \) \\ \n and octal \101 = 'A'
+        "<</Subtype/Text/Contents (a\\(b\\)\\\\c\\n\\101)>>" +
+        // a Link with BOTH alternate text and a URI: the URI must win
+        "<</Subtype/Link/Contents (see website)/A<</S/URI/URI (https://u.example/x)>>>>"
+    val catalog = GoldenGen.catalogFor(b, Seq(cid), pageExtra = _ => s"/Annots[$annots]")
+    val r = PdfExtract.extract(b.finish(s"/Root $catalog 0 R"),
+      contentDelimiter = "", captureFragments = false)
+    assert(r.text == "body", r.error)
+    assert(r.annotations == Seq(
+      (1, "FreeText", "Aé"),
+      (1, "Text", "a(b)\\c\nA"),
+      (1, "Link", "https://u.example/x")), r.annotations)
+  }
+
   test("attachments corpus: name-tree walk decodes all three payloads; forms corpus: dotted-name DFS") {
     for ((t, i) <- texts.zipWithIndex) {
       val r = PdfExtract.extract(Corpus.pdfAttachmentsForDoc(i.toLong * 2, t),
