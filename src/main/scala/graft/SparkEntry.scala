@@ -535,6 +535,24 @@ object SparkEntry {
             .stripMargin)
         .orderBy("doc_id")
     }),
+    "dedup_corpus_lines" -> ((s, dir) => {
+      // CCNet-style CORPUS-WIDE line dedup (the cross-document complement
+      // of text_dedup_lines): both engines build the same 5-line input —
+      // a boilerplate line shared by every doc_id%7 class (cross-doc dup,
+      // planted twice so the within-doc repeat is also gate-visible), a
+      // unique content line, an empty line (always kept), and a second
+      // shared line keyed by doc_id%5 — so the corpus-wide
+      // first-occurrence-wins contract, empty-line preservation and
+      // whole-doc reassembly are all oracle-checked
+      s.read.parquet(s"$dir/documents.parquet")
+        .selectExpr("doc_id",
+          """concat('shared-', doc_id % 7, chr(10), md5(text), chr(10),
+            |  'shared-', doc_id % 7, chr(10), chr(10), 'tail-', doc_id % 5) AS text"""
+            .stripMargin)
+        .transform(d => graft.dedup.Dedup.dedupLinesAcrossCorpus(d, "doc_id", "text"))
+        .withColumnRenamed("id", "doc_id")
+        .orderBy("doc_id")
+    }),
     "html_meta" -> ((s, dir) => {
       // head-metadata extraction (ADDITIVE surface): canonical link (the
       // strongest dedup key a page can carry), meta/og descriptions, and
@@ -1457,6 +1475,29 @@ object SparkEntry {
                FROM l)
          SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text
          FROM r WHERE rn = 1 OR line = '' GROUP BY doc_id ORDER BY doc_id""",
+    // independent restatement: same constructed input, corpus-wide
+    // first-occurrence via a window over (doc_id, position); empty lines
+    // always kept; docs losing every line come back as empty husks
+    "dedup_corpus_lines" ->
+      """WITH d AS (SELECT doc_id,
+             'shared-'||(doc_id % 7)||chr(10)||md5(text)||chr(10)||'shared-'||(doc_id % 7)
+               ||chr(10)||chr(10)||'tail-'||(doc_id % 5) AS input
+           FROM documents),
+         l AS (SELECT doc_id, unnest(string_split(input, chr(10))) AS line,
+                      unnest(generate_series(1, len(string_split(input, chr(10))))) AS ord
+               FROM d),
+         r AS (SELECT doc_id, line, ord,
+                      row_number() OVER (PARTITION BY line ORDER BY doc_id, ord) AS rn
+               FROM l WHERE line <> ''),
+         k AS (SELECT doc_id, line, ord FROM r WHERE rn = 1
+               UNION ALL SELECT doc_id, line, ord FROM l WHERE line = ''),
+         g AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text,
+                      count(*) AS n_kept
+               FROM k GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(g.text, '') AS text,
+                CAST(len(string_split(d.input, chr(10))) AS BIGINT) AS n_lines,
+                coalesce(g.n_kept, 0) AS n_kept
+         FROM d LEFT JOIN g USING (doc_id) ORDER BY doc_id""",
     // Corpus.htmlMetaProbe values are closed forms of (doc_id, length(text))
     "html_meta" ->
       """SELECT doc_id,

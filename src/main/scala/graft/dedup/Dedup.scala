@@ -143,6 +143,60 @@ object Dedup {
           col(idCol).as("id"))).as("best"))
       .select(col("key"), col("best.id").as("kept_id"), col("n_docs"))
 
+  // ------------------------------------------- corpus-wide line dedup
+
+  /** CCNet-style corpus-wide paragraph dedup (Wenzek et al. 2020 §4.1):
+    * split every document into lines, keep each distinct non-empty line
+    * only at its FIRST occurrence corpus-wide (ordered by (doc id, line
+    * position) — deterministic regardless of partitioning), and rewrite
+    * each document from its surviving lines. Empty lines always survive:
+    * they carry paragraph structure, not content (same contract as the
+    * per-document `dedup_lines` expression this composes with — run the
+    * per-doc pass first to shrink the explode, then this pass to kill the
+    * cross-document boilerplate the per-doc pass cannot see).
+    *
+    * Shape at 10^12 docs — three bounded shuffles, no windows, no
+    * all-pairs step:
+    *  1. winner per distinct line: `groupBy(md5(line)).agg(min(struct(id,
+    *     pos)))` — map-side partials combine, so a line duplicated 10^9
+    *     times ships ONE candidate row per map task, not 10^9 rows;
+    *  2. survivor filter: LEFT SEMI join of the exploded lines against the
+    *     winner table on (line-key, id, pos) — the join key is unique on
+    *     both sides, so the boilerplate line that hits half the corpus
+    *     never concentrates on one reducer (contrast a join on the line
+    *     key alone, which would);
+    *  3. reassembly: `groupBy(id)` + sort-by-position array join — state
+    *     bounded by document length, never corpus size; the final stats
+    *     join reuses this exchange's hash partitioning on id.
+    *
+    * Returns (id, text, n_lines, n_kept) for EVERY input document —
+    * a document whose every line loses comes back with text "" and
+    * n_kept 0, so the caller can filter or keep husks explicitly. */
+  def dedupLinesAcrossCorpus(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val lines = docs.select(
+      col(idCol).cast("long").as("id"),
+      posexplode(split(col(textCol), "\n", -1)).as(Seq("pos", "line")))
+    val nonEmpty = lines.where(col("line") =!= "")
+    val winners = nonEmpty
+      .groupBy(md5(col("line")).as("lk"))
+      .agg(min(struct(col("id"), col("pos"))).as("w"))
+      .select(col("lk"), col("w.id").as("wid"), col("w.pos").as("wpos"))
+    val kept = nonEmpty.join(winners,
+        md5(col("line")) === col("lk") && col("id") === col("wid") &&
+          col("pos") === col("wpos"), "left_semi")
+      .unionByName(lines.where(col("line") === ""))
+    val rebuilt = kept.groupBy(col("id")).agg(
+      array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line")), "\n").as("text"),
+      count(lit(1)).as("n_kept"))
+    docs.select(col(idCol).cast("long").as("id"),
+        size(split(col(textCol), "\n", -1)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), coalesce(col("text"), lit("")).as("text"),
+        col("n_lines"), coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   // ------------------------------------------------------------- shingles
 
   /** Word k-shingles from a words-ARRAY column (codegen'd array

@@ -338,4 +338,24 @@ class DedupSpec extends AnyFunSuite with BeforeAndAfterAll {
       (1L, 0L, 30L, 21L),
       (2L, 0L, 30L, 21L), (2L, 30L, 60L, 21L)))
   }
+
+  test("dedupLinesAcrossCorpus: corpus-wide first-occurrence, empty lines kept, husks survive") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "boiler\nalpha\n\nboiler"),   // first doc: keeps boiler once (pos 0), empty kept
+      (2L, "boiler\nbeta"),              // cross-doc dup: boiler lost to doc 1
+      (3L, "boiler"),                    // loses its only line -> empty husk
+      (4L, "\n\n"),                      // only empties -> all kept (3 lines)
+      (5L, "beta\ngamma")                // beta lost to doc 2
+    ).toDF("doc_id", "text")
+    val got = Dedup.dedupLinesAcrossCorpus(rows, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .sortBy(_._1).toList
+    assert(got == List(
+      (1L, "boiler\nalpha\n", 4L, 3L),
+      (2L, "beta", 2L, 1L),
+      (3L, "", 1L, 0L),
+      (4L, "\n\n", 3L, 3L),
+      (5L, "gamma", 2L, 1L)))
+  }
 }
