@@ -495,6 +495,29 @@ object SparkEntry {
         }.toDF("doc_id", "text", "failures")
         .orderBy("doc_id")
     }),
+    "pdf_extract_hybrid_xref" -> ((s, dir) => {
+      // HYBRID-reference files (ISO 32000-1 §7.5.8.4): the classic table
+      // hides the whole page graph behind free entries; only the trailer's
+      // /XRefStm supplement (followed under extendedFilters) can resolve
+      // the catalog, so a resurrect bug loses every document here. Same
+      // chunk contract as variant 0 -> the oracle is the raw text. Default
+      // mode keeps the reference's ignore-the-key error surface
+      // (unit-pinned in PdfExtractSpec).
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .filter(_._1 % 2 == 0)
+        .mapPartitions { it =>
+          val buffers = new graft.pdf.WorkBuffers()
+          it.map { case (id, t) =>
+            val r = graft.pdf.PdfExtract.extract(Corpus.pdfHybridForDoc(id, t),
+              contentDelimiter = "", buffers = buffers, captureFragments = false,
+              extendedFilters = true)
+            (id, r.text, r.decodeFailures.toLong)
+          }
+        }.toDF("doc_id", "text", "failures")
+        .orderBy("doc_id")
+    }),
     "pdf_extract_extended_aes" -> ((s, dir) => {
       // REAL AES-128-CBC decryption (V4/R4 AESV2 crypt filter) under the
       // opt-in extended mode — the one beyond-reference PDF capability that
@@ -1457,6 +1480,9 @@ object SparkEntry {
       """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     "pdf_extract_extended_aes" ->
+      """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
+         FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
+    "pdf_extract_hybrid_xref" ->
       """SELECT doc_id, text, CAST(0 AS BIGINT) AS failures
          FROM documents WHERE doc_id % 2 = 0 ORDER BY doc_id""",
     // independent restatement: same constructed input, dedup via a

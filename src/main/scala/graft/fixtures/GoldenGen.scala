@@ -291,6 +291,61 @@ object GoldenGen {
     b.currentBytes
   }
 
+  /** HYBRID-reference file (ISO 32000-1 §7.5.8.4): a CLASSIC xref table
+    * whose trailer carries /XRefStm pointing at a supplementary /Type/XRef
+    * stream. The page tree (objects 3/4/5) lives in compressed object
+    * stream 2; the classic table lists only the content stream (1) as
+    * in-use and marks 2..6 FREE — the compatibility hiding the spec
+    * prescribes for old readers. A reader that ignores /XRefStm (the
+    * reference treats it as trailer bookkeeping, Tokeniser.cs:518) cannot
+    * resolve the /Root and errors; extendedFilters mode follows the
+    * supplement and extracts normally. */
+  def hybridXrefPdf(message: String = "hybrid xref works"): Array[Byte] = {
+    val b = new PdfBuilder("1.5")
+    val content = b.addStream("", s"BT /F1 24 Tf ($message) Tj ET".getBytes(ISO_8859_1))
+    require(content == 1)
+    val inner = Seq(
+      4 -> s"<</Type/Page /Parent 3 0 R/Contents $content 0 R>>",
+      3 -> "<</Type/Pages /Kids[4 0 R] /Count 1>>",
+      5 -> "<</Type/Catalog /Pages 3 0 R>>")
+    val payloadBody = inner.map(_._2).mkString(" ")
+    var off = 0
+    val header = inner.map { case (id, src) =>
+      val entry = s"$id $off"
+      off += src.length + 1
+      entry
+    }.mkString(" ") + " "
+    val objStmId = b.addStream(s"/Type/ObjStm/N ${inner.length}/First ${header.length}",
+      (header + payloadBody).getBytes(ISO_8859_1), deflate = true)
+    require(objStmId == 2)
+
+    // supplementary xref stream (object 6; 3..5 are ObjStm members, so the
+    // builder's counter never sees them — write the object manually)
+    def offRow(a: Int) = Array[Byte](1, ((a >> 16) & 0xff).toByte, ((a >> 8) & 0xff).toByte, (a & 0xff).toByte, 0)
+    val xrefStmAddress = b.size
+    val xrefStmId = 6
+    val rows: IndexedSeq[Array[Byte]] = IndexedSeq(
+      offRow(b.objectOffset(2)),  // obj 2: the ObjStm carrier
+      Array[Byte](2, 0, 0, 2, 1), // obj 3 → objStm 2, member index 1
+      Array[Byte](2, 0, 0, 2, 0), // obj 4 → member index 0
+      Array[Byte](2, 0, 0, 2, 2), // obj 5 → member index 2
+      offRow(xrefStmAddress))     // obj 6: itself
+    val body = zlib(rows.flatten.toArray)
+    b.raw(s"$xrefStmId 0 obj\n<</Type/XRef/Size 7/Index[2 5]/W[1 3 1]/Filter/FlateDecode/Length ${body.length}/Root 5 0 R>>stream\n")
+    b.raw(body)
+    b.raw("\nendstream\nendobj\n")
+
+    // classic table: object 1 in use, 2..6 hidden behind free marks
+    val tableAddress = b.size
+    b.raw("xref\n0 7\n")
+    b.raw("0000000000 65535 f \n")
+    b.raw(f"${b.objectOffset(1)}%010d 00000 n \n")
+    (2 to 6).foreach(_ => b.raw("0000000000 00000 f \n"))
+    b.raw(s"trailer<</Size 7/Root 5 0 R/XRefStm $xrefStmAddress>>\n")
+    b.raw(s"startxref\n$tableAddress\n%%EOF\n")
+    b.currentBytes
+  }
+
   /** NESTED page tree: leaf pages under intermediate /Pages nodes of
     * `groupSize`, all under one root — the reference's tree walk recurses
     * into Pages-type kids depth-first in Kids order

@@ -57,6 +57,16 @@ private[pdf] final class XRefTable(tk: PdfTokeniser) {
 
   def containsAddress(id: ObjectId): Boolean = addresses.contains(id)
 
+  /** True when the slot holds the dead marker a free entry wrote. Used only
+    * by the hybrid-reference extension (ISO 32000-1 §7.5.8.4): a /XRefStm
+    * entry may resurrect an id its OWN section's classic table freed. */
+  def isDead(id: ObjectId): Boolean =
+    addresses.get(id).exists(a => a.address == -1 && a.streamId < 0)
+  def overwriteAddress(id: ObjectId, address: Int): Unit =
+    addresses(id) = new ObjAddress(address, -1, -1)
+  def overwriteStreamAddress(id: ObjectId, streamId: Int, idx: Int): Unit =
+    addresses(id) = new ObjAddress(-1, streamId, idx)
+
   def addToken(t: PdfTok): Unit = {
     val id = t.objectId.get
     tokens.get(id) match {
@@ -321,7 +331,14 @@ final class PdfTokeniser(
         idx = continueAt
         var trailerDictionary: DictTok = null
         if (verify("xref")) {
-          // classic table: sections of "start count" + 20-byte rows
+          // classic table: sections of "start count" + 20-byte rows.
+          // `freedHere` (extended mode only) records ids THIS section freed
+          // without a newer section having defined them live — the only ids
+          // a hybrid /XRefStm supplement may resurrect (newest-wins across
+          // sections is preserved; within a section the stream's in-use
+          // entries beat the table's compatibility free marks, §7.5.8.4).
+          val freedHere =
+            if (extendedFilters) mutable.HashSet.empty[ObjectId] else null
           var sawTrailer = false
           while (!sawTrailer) {
             val startObjectNumber = parseNumber(None).integer.get
@@ -341,7 +358,12 @@ final class PdfTokeniser(
                   // spec says exactly 65535; InDesign writes 65536 (reference: Tokeniser.cs:373)
                   if (generation < 65535)
                     throw fileException(s"Xref table: entry 0000000000 should have the value 65535 but has '$generation' instead.")
-                } else xref.removeAddress(objectId)
+                } else {
+                  if (freedHere != null &&
+                      (!xref.containsAddress(objectId) || xref.isDead(objectId)))
+                    freedHere += objectId
+                  xref.removeAddress(objectId)
+                }
               } else throw fileException(s"'n' or 'f' missing after ref $address $generation.")
               i += 1
             }
@@ -352,52 +374,32 @@ final class PdfTokeniser(
             throw fileException("Pdf file format error: trailer was missing after xref table.")
           trailerDictionary = parseDictionary(None)
           trailerDictionaries += trailerDictionary
+          // EXTENSION (opt-in `extendedFilters` only): hybrid-reference files
+          // (ISO 32000-1 §7.5.8.4). The trailer's /XRefStm points at a
+          // supplementary /Type/XRef stream listing the objects the classic
+          // table hid (object-stream members marked 'f' for old readers).
+          // The reference ignores the key (Tokeniser.cs:518 bookkeeping
+          // set), losing every hidden object — default mode keeps that
+          // surface. The supplement's dict is NOT merged into the trailers:
+          // the classic trailer of the same section is authoritative, and
+          // only the classic /Prev drives the chain.
+          if (extendedFilters) trailerDictionary.getNumber("XRefStm")
+            .flatMap(_.integer).foreach { streamOffset =>
+              val saved = idx
+              idx = streamOffset
+              getNextToken() match {
+                case hybrid: DictTok =>
+                  readXrefStreamEntries(hybrid, mayResurrect = freedHere.contains)
+                case _ =>
+                  throw fileException("Hybrid /XRefStm does not point at an xref stream.")
+              }
+              idx = saved
+            }
         } else {
           // xref stream (reference: Tokeniser.cs:404-491)
           getNextToken() match {
             case xrefStream: DictTok =>
-              if (!xrefStream.tpe.contains("XRef"))
-                throw fileException(s"readXrefTable(); dictionary type of xrefStream should be 'XRef' but was '${xrefStream.tpe.orNull}'.")
-              val size = xrefStream.getNumber("Size")
-                .getOrElse(throw fileException("readXrefTable(); xrefStream is missing the 'Size' entry."))
-              val indexPairs: IndexedSeq[Int] = xrefStream.getArray("Index") match {
-                case Some(a) => a.iterator.map(_.asInstanceOf[NumTok].integer.get).toIndexedSeq
-                case None    => IndexedSeq(0, size.integer.get)
-              }
-              val w = xrefStream.getArray("W")
-                .getOrElse(throw fileException("readXrefTable(); xrefStream is missing the 'W' entry."))
-              if (w.length != 3)
-                throw fileException(s"readXrefTable(); xrefStream should have 3 integers in 'W' entry, but there were ${w.length}.")
-              val widths = Array(
-                w(0).asInstanceOf[NumTok].integer.get,
-                w(1).asInstanceOf[NumTok].integer.get,
-                w(2).asInstanceOf[NumTok].integer.get)
-
-              xrefStream.loadStream()
-              var objectCount = 0
-              var objectNumber = 0
-              var pairIdx = 0
-              while (streamIdx < streamLen) {
-                if (objectCount <= 0) {
-                  objectNumber = indexPairs(pairIdx); pairIdx += 1
-                  objectCount = indexPairs(pairIdx); pairIdx += 1
-                } else objectNumber += 1
-                objectCount -= 1
-                streamByteValue(widths(0)) match {
-                  case 0 => // free entry: skip the two payload columns
-                    streamByteValue(widths(1)); streamByteValue(widths(2))
-                  case 1 =>
-                    val byteOffset = streamByteValue(widths(1))
-                    val gen = streamByteValue(widths(2))
-                    xref.addAddress(ObjectId(objectNumber, gen), byteOffset)
-                  case 2 =>
-                    val streamObjectNumber = streamByteValue(widths(1))
-                    val streamObjectIndex = streamByteValue(widths(2))
-                    xref.addStreamAddress(ObjectId(objectNumber, 0), streamObjectNumber, streamObjectIndex)
-                  case other =>
-                    throw streamException(s"readXrefTable(); xrefStream first column can be 0..2, but $other was found.")
-                }
-              }
+              readXrefStreamEntries(xrefStream, mayResurrect = _ => false)
               trailerDictionary = xrefStream
               trailerDictionaries += trailerDictionary
             case _ =>
@@ -413,6 +415,63 @@ final class PdfTokeniser(
       case e: PdfException       => throw e
       case e: PdfStreamException => throw e
       case e: Exception          => throw fileException("Error in PdfParser Read Xref Table: " + e.getMessage)
+    }
+  }
+
+  /** Decode one /Type/XRef stream's entry rows into the xref table
+    * (reference: Tokeniser.cs:404-491). `mayResurrect` is the hybrid-file
+    * extension hook: the main startxref/Prev chain passes `_ => false`
+    * (first-seen-wins, reference parity); a /XRefStm supplement passes the
+    * ids its OWN section's classic table freed, which its in-use entries
+    * may then overwrite (ISO 32000-1 §7.5.8.4 — the table hides
+    * object-stream members behind free entries for old readers). */
+  private def readXrefStreamEntries(xrefStream: DictTok, mayResurrect: ObjectId => Boolean): Unit = {
+    if (!xrefStream.tpe.contains("XRef"))
+      throw fileException(s"readXrefTable(); dictionary type of xrefStream should be 'XRef' but was '${xrefStream.tpe.orNull}'.")
+    val size = xrefStream.getNumber("Size")
+      .getOrElse(throw fileException("readXrefTable(); xrefStream is missing the 'Size' entry."))
+    val indexPairs: IndexedSeq[Int] = xrefStream.getArray("Index") match {
+      case Some(a) => a.iterator.map(_.asInstanceOf[NumTok].integer.get).toIndexedSeq
+      case None    => IndexedSeq(0, size.integer.get)
+    }
+    val w = xrefStream.getArray("W")
+      .getOrElse(throw fileException("readXrefTable(); xrefStream is missing the 'W' entry."))
+    if (w.length != 3)
+      throw fileException(s"readXrefTable(); xrefStream should have 3 integers in 'W' entry, but there were ${w.length}.")
+    val widths = Array(
+      w(0).asInstanceOf[NumTok].integer.get,
+      w(1).asInstanceOf[NumTok].integer.get,
+      w(2).asInstanceOf[NumTok].integer.get)
+
+    xrefStream.loadStream()
+    var objectCount = 0
+    var objectNumber = 0
+    var pairIdx = 0
+    while (streamIdx < streamLen) {
+      if (objectCount <= 0) {
+        objectNumber = indexPairs(pairIdx); pairIdx += 1
+        objectCount = indexPairs(pairIdx); pairIdx += 1
+      } else objectNumber += 1
+      objectCount -= 1
+      streamByteValue(widths(0)) match {
+        case 0 => // free entry: skip the two payload columns
+          streamByteValue(widths(1)); streamByteValue(widths(2))
+        case 1 =>
+          val byteOffset = streamByteValue(widths(1))
+          val gen = streamByteValue(widths(2))
+          val id = ObjectId(objectNumber, gen)
+          if (xref.isDead(id) && mayResurrect(id)) xref.overwriteAddress(id, byteOffset)
+          else xref.addAddress(id, byteOffset)
+        case 2 =>
+          val streamObjectNumber = streamByteValue(widths(1))
+          val streamObjectIndex = streamByteValue(widths(2))
+          val id = ObjectId(objectNumber, 0)
+          if (xref.isDead(id) && mayResurrect(id))
+            xref.overwriteStreamAddress(id, streamObjectNumber, streamObjectIndex)
+          else xref.addStreamAddress(id, streamObjectNumber, streamObjectIndex)
+        case other =>
+          throw streamException(s"readXrefTable(); xrefStream first column can be 0..2, but $other was found.")
+      }
     }
   }
 

@@ -903,6 +903,74 @@ object Corpus {
     finishClassic(b, contentIds, text)
   }
 
+  /** HYBRID-reference gate corpus (ISO 32000-1 §7.5.8.4): the variant-0
+    * chunk/page contract, but the ENTIRE page graph (page dicts, pages
+    * root, catalog) hides inside a compressed object stream that only the
+    * trailer's /XRefStm supplement can resolve — the classic table lists
+    * just the content streams as in-use and marks every structural object
+    * FREE, exactly the compatibility shape Acrobat writes for pre-1.5
+    * readers. The reference ignores /XRefStm (Tokeniser.cs:518 bookkeeping
+    * set; default mode replicates that as an error row — unit-pinned), so
+    * extraction with `extendedFilters = true` gates the resurrect path on
+    * every page of every document. Content streams rotate raw/Flate on
+    * (doc_id/2) so the hybrid walk composes with the filter chain. */
+  def pdfHybridForDoc(docId: Long, text: String): Array[Byte] = {
+    val b = new GoldenGen.PdfBuilder("1.5")
+    val contentIds = rotatingOpsPerPage(text).map(ops =>
+      b.addStream("", ops.getBytes(ISO_8859_1), deflate = (docId / 2) % 2 == 0))
+    val p = contentIds.length
+    // hidden ids: objStm = p+1; page_i = p+2+i; pagesRoot = 2p+2;
+    // catalog = 2p+3; the supplement itself = 2p+4
+    val objStmId = p + 1
+    val pagesRootId = 2 * p + 2
+    val catalogId = 2 * p + 3
+    val xrefStmId = 2 * p + 4
+    val members: Seq[(Int, String)] =
+      (0 until p).map(i => (p + 2 + i,
+        s"<</Type/Page /Parent $pagesRootId 0 R/Contents ${contentIds(i)} 0 R>>")) :+
+      (pagesRootId,
+        s"<</Type/Pages /Kids[${(0 until p).map(i => s"${p + 2 + i} 0 R").mkString(" ")}] /Count $p>>") :+
+      (catalogId, s"<</Type/Catalog /Pages $pagesRootId 0 R>>")
+    val payloadBody = members.map(_._2).mkString(" ")
+    var off = 0
+    val header = members.map { case (id, src) =>
+      val entry = s"$id $off"
+      off += src.length + 1
+      entry
+    }.mkString(" ") + " "
+    val gotObjStm = b.addStream(s"/Type/ObjStm/N ${members.length}/First ${header.length}",
+      (header + payloadBody).getBytes(ISO_8859_1), deflate = true)
+    require(gotObjStm == objStmId, s"objStm id $gotObjStm != $objStmId")
+    require(p + 1 <= 255, s"member index is a 1-byte W column; $p pages overflow it")
+
+    def offRow(a: Int) = Array[Byte](1,
+      ((a >> 16) & 0xff).toByte, ((a >> 8) & 0xff).toByte, (a & 0xff).toByte, 0)
+    def stmRow(memberIdx: Int) = Array[Byte](2,
+      ((objStmId >> 16) & 0xff).toByte, ((objStmId >> 8) & 0xff).toByte,
+      (objStmId & 0xff).toByte, memberIdx.toByte)
+    val xrefStmAddress = b.size
+    val rows: Seq[Array[Byte]] =
+      offRow(b.objectOffset(objStmId)) +:                  // the carrier
+      (0 until p).map(i => stmRow(i)) :+                   // page dicts
+      stmRow(p) :+ stmRow(p + 1) :+                        // pages root, catalog
+      offRow(xrefStmAddress)                               // the supplement itself
+    val body = GoldenGen.zlib(rows.flatten.toArray)
+    b.raw(s"$xrefStmId 0 obj\n<</Type/XRef/Size ${xrefStmId + 1}/Index[$objStmId ${p + 4}]" +
+      s"/W[1 3 1]/Filter/FlateDecode/Length ${body.length}/Root $catalogId 0 R>>stream\n")
+    b.raw(body)
+    b.raw("\nendstream\nendobj\n")
+
+    // classic table: content streams in-use, everything structural FREE
+    val tableAddress = b.size
+    b.raw(s"xref\n0 ${xrefStmId + 1}\n")
+    b.raw("0000000000 65535 f \n")
+    (1 to p).foreach(i => b.raw(f"${b.objectOffset(i)}%010d 00000 n \n"))
+    (objStmId to xrefStmId).foreach(_ => b.raw("0000000000 00000 f \n"))
+    b.raw(s"trailer<</Size ${xrefStmId + 1}/Root $catalogId 0 R/XRefStm $xrefStmAddress>>\n")
+    b.raw(s"startxref\n$tableAddress\n%%EOF\n")
+    b.currentBytes
+  }
+
   /** Expected `pdf_outline` surface for [[pdfOutlineForDoc]] (Scala twin of
     * the SQL oracle): a fixed depth-3 subtree under chapter 0, then one
     * top-level chapter per page. */

@@ -140,6 +140,22 @@ class CorpusVariantsSpec extends AnyFunSuite {
       "EncryptMetadata=false must change the file key")
   }
 
+  test("hybrid /XRefStm corpus: every text shape extracts under extended mode, errors under default") {
+    for ((t, ti) <- texts.zipWithIndex; docId <- Seq(0L, 2L)) { // both deflate arms
+      val payload = Corpus.pdfHybridForDoc(docId, t)
+      val ext = PdfExtract.extract(payload, contentDelimiter = "",
+        captureFragments = false, extendedFilters = true)
+      assert(ext.decodeFailures == 0, s"text#$ti docId=$docId: ${ext.error}")
+      assert(ext.text == t, s"text#$ti docId=$docId")
+      assert(ext.pages == Corpus.pdfPageCount(t), s"text#$ti docId=$docId pages")
+      // reference parity: /XRefStm is trailer bookkeeping, the hidden
+      // catalog stays a free entry -> structured error row, no text
+      val default = PdfExtract.extract(payload, contentDelimiter = "",
+        captureFragments = false)
+      assert(default.error.isDefined && default.text == "", s"text#$ti docId=$docId default")
+    }
+  }
+
   test("owner-password-only doc: structured error row, no text, zero pages") {
     val t = texts(2)
     val r = PdfExtract.extract(Corpus.pdfOwnerOnlyFromText(t),

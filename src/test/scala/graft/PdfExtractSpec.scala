@@ -90,6 +90,42 @@ class PdfExtractSpec extends AnyFunSuite {
     assert(r.text == "xref stream works|", r.error.orNull)
   }
 
+  test("hybrid /XRefStm: extended mode resurrects table-freed objects, default errors") {
+    val bytes = GoldenGen.hybridXrefPdf("hybrid payload")
+    val ext = PdfExtract.extract(bytes, extendedFilters = true)
+    assert(ext.text == "hybrid payload|", ext.error.orNull)
+    assert(ext.pages == 1)
+    // default mode replicates the reference: /XRefStm is trailer
+    // bookkeeping, the hidden /Root stays a free entry -> error row
+    val dft = PdfExtract.extract(bytes)
+    assert(dft.error.isDefined)
+    assert(dft.text == "")
+  }
+
+  test("incremental update over a hybrid section: newest wins, supplement still resurrects") {
+    // update chain: newest section is a classic table REDEFINING the
+    // content stream (object 1) at a new address, /Prev -> the original
+    // hybrid section (whose table lists the OLD object 1 and hides 2..6
+    // behind its /XRefStm). First-seen-wins must keep the new object 1
+    // while the older supplement still resurrects the hidden page tree.
+    val base = GoldenGen.hybridXrefPdf("old payload")
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base)
+    // the original hybrid section's classic table offset (startxref value)
+    val tail = new String(base.takeRight(64).map(b => (b & 0xff).toChar))
+    val prevAt = tail.split("startxref")(1).trim.split("\\s+")(0).toInt
+    val newContentAt = out.size()
+    val payload = "BT /F1 24 Tf (new payload) Tj ET"
+    out.write(s"1 0 obj\n<</Length ${payload.length}>>stream\n$payload\nendstream\nendobj\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val tableAt = out.size()
+    out.write((s"xref\n1 1\n" + f"$newContentAt%010d 00000 n \n" +
+      s"trailer<</Size 7/Root 5 0 R/Prev $prevAt>>\nstartxref\n$tableAt\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val r = PdfExtract.extract(out.toByteArray, extendedFilters = true)
+    assert(r.text == "new payload|", r.error.orNull)
+  }
+
   test("malformed tolerances: junk before header, CR-only EOL, wrong /Length, trailing NULs") {
     val r = PdfExtract.extract(GoldenGen.malformedPdf())
     assert(r.text == "tolerant parse|", r.error.orNull)
