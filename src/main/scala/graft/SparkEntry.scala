@@ -558,6 +558,25 @@ object SparkEntry {
             .stripMargin)
         .orderBy("doc_id")
     }),
+    "text_normalize" -> ((s, dir) => {
+      // Unicode NFC normalization (UAX #15) as the native codegen'd
+      // nfc_normalize expression — the CCNet-style cleanup stage before
+      // any fingerprinting: byte-distinct spellings of the same text must
+      // hash identically downstream. Both engines prepend the same
+      // combining-mark-rich prefix (combining acute/diaeresis/ring that
+      // must COMPOSE, Hangul L+V jamo that must compose algorithmically,
+      // and an fi-ligature U+FB01 that must SURVIVE — NFC, not NFKC), so
+      // composition, the codepoint delta and the already-normalized
+      // passthrough are all gate-visible
+      graft.functions.GraftFunctions.register(s)
+      s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"),
+          concat(lit("cafe\u0301 nai\u0308ve A\u030A \u1100\u1161 \uFB01sh "),
+            col("text")).as("raw"))
+        .selectExpr("doc_id", "nfc_normalize(raw) AS text",
+          "CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT) AS n_composed")
+        .orderBy("doc_id")
+    }),
     "dedup_corpus_lines" -> ((s, dir) => {
       // CCNet-style CORPUS-WIDE line dedup (the cross-document complement
       // of text_dedup_lines): both engines build the same 5-line input —
@@ -1501,6 +1520,17 @@ object SparkEntry {
                FROM l)
          SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text
          FROM r WHERE rn = 1 OR line = '' GROUP BY doc_id ORDER BY doc_id""",
+    // same decomposed prefix (chr() is codepoint-based in DuckDB), same
+    // NFC function from DuckDB's utf8proc — two independent UAX #15
+    // implementations must produce byte-identical output
+    "text_normalize" ->
+      """WITH d AS (SELECT doc_id,
+             'cafe'||chr(769)||' nai'||chr(776)||'ve A'||chr(778)||' '||
+               chr(4352)||chr(4449)||' '||chr(64257)||'sh '||text AS raw
+           FROM documents)
+         SELECT doc_id, nfc_normalize(raw) AS text,
+                CAST(length(raw) - length(nfc_normalize(raw)) AS BIGINT) AS n_composed
+         FROM d ORDER BY doc_id""",
     // independent restatement: same constructed input, corpus-wide
     // first-occurrence via a window over (doc_id, position); empty lines
     // always kept; docs losing every line come back as empty husks

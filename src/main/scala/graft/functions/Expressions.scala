@@ -217,6 +217,42 @@ object DedupLines {
   }
 }
 
+/** `nfc_normalize(text)` → STRING: Unicode NFC normalization (canonical
+  * decomposition + canonical composition, UAX #15) — the standard first
+  * stage of a web-text cleaning pipeline (CCNet normalizes before hashing;
+  * two byte-distinct spellings of "café" must dedup together). NFC, not
+  * NFKC: compatibility characters (ligatures, full-width forms) are
+  * CONTENT and survive. Native `doGenCode` expression; the common
+  * already-normalized case is detected with `Normalizer.isNormalized` and
+  * returns the input UTF8String with no copy. */
+case class NfcNormalizeExpr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (child.dataType == StringType) org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"nfc_normalize expects STRING, got ${child.dataType.catalogString}")
+  override def prettyName: String = "nfc_normalize"
+
+  override def nullSafeEval(input: Any): Any =
+    NfcNormalize.normalize(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.NfcNormalize.normalize($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NfcNormalizeExpr =
+    copy(child = newChild)
+}
+
+object NfcNormalize {
+  /** Java-static entry (called from generated code). */
+  def normalize(s: UTF8String): UTF8String = {
+    val str = s.toString
+    if (java.text.Normalizer.isNormalized(str, java.text.Normalizer.Form.NFC)) s
+    else UTF8String.fromString(
+      java.text.Normalizer.normalize(str, java.text.Normalizer.Form.NFC))
+  }
+}
+
 /** Function registration: either through `SparkSessionExtensions` (config
   * `spark.sql.extensions=graft.functions.GraftExtensions`) or imperatively
   * on a live session via [[GraftFunctions.register]]. */
@@ -227,6 +263,7 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     ext.injectFunction(GraftFunctions.simHashDesc)
     ext.injectFunction(GraftFunctions.minhashBandsDesc)
     ext.injectFunction(GraftFunctions.dedupLinesDesc)
+    ext.injectFunction(GraftFunctions.nfcNormalizeDesc)
   }
 }
 
@@ -259,6 +296,11 @@ object GraftFunctions {
     new ExpressionInfo(classOf[DedupLinesExpr].getName, "dedup_lines"),
     (children: Seq[Expression]) => DedupLinesExpr(children.head))
 
+  val nfcNormalizeDesc: FunctionDescription = (
+    FunctionIdentifier("nfc_normalize"),
+    new ExpressionInfo(classOf[NfcNormalizeExpr].getName, "nfc_normalize"),
+    (children: Seq[Expression]) => NfcNormalizeExpr(children.head))
+
   /** Imperative registration on an existing session. */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
@@ -267,5 +309,6 @@ object GraftFunctions {
     reg.registerFunction(simHashDesc._1, simHashDesc._2, simHashDesc._3)
     reg.registerFunction(minhashBandsDesc._1, minhashBandsDesc._2, minhashBandsDesc._3)
     reg.registerFunction(dedupLinesDesc._1, dedupLinesDesc._2, dedupLinesDesc._3)
+    reg.registerFunction(nfcNormalizeDesc._1, nfcNormalizeDesc._2, nfcNormalizeDesc._3)
   }
 }

@@ -128,6 +128,32 @@ class ExpressionsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(plan.linesIterator.next().trim.startsWith("*(") && plan.contains("dedup_lines"), plan)
   }
 
+  test("nfc_normalize: composes combining marks and jamo, keeps ligatures, codegen'd") {
+    def n(x: String): String =
+      graft.functions.NfcNormalize.normalize(UTF8String.fromString(x)).toString
+    assert(n("cafe\u0301") == "caf\u00e9")         // e + combining acute -> e-acute
+    assert(n("A\u030A") == "\u00c5")               // A + combining ring
+    assert(n("\u1100\u1161") == "\uac00")          // Hangul L+V jamo compose
+    assert(n("\uFB01sh") == "\uFB01sh")             // NFC, not NFKC: ligature survives
+    assert(n("plain ascii") == "plain ascii")
+    assert(n("") == "")
+    // already-NFC input returns the SAME UTF8String (no copy)
+    val u = UTF8String.fromString("caf\u00e9 already")
+    assert(graft.functions.NfcNormalize.normalize(u) eq u)
+    // non-constant source (spark.range, like the other expression tests \u2014
+    // a local Seq folds into LocalTableScan) so the projection stays a
+    // codegen'd stage; the combining mark rides a SQL string literal
+    val df = spark.range(3)
+      .selectExpr("concat('v', id, '-e\u0301') AS t")
+      .selectExpr("t", "nfc_normalize(t) AS out")
+    val got = df.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    (0 until 3).foreach { i =>
+      assert(got(s"v$i-e\u0301") == s"v$i-\u00e9")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.linesIterator.next().trim.startsWith("*(") && plan.contains("nfc_normalize"), plan)
+  }
+
   test("GraftExtensions wires both function builders") {
     // getOrCreate would reuse the suite session and ignore the extensions
     // config, so apply the injector directly and check the builders.
