@@ -558,6 +558,32 @@ object SparkEntry {
             .stripMargin)
         .orderBy("doc_id")
     }),
+    "warc_roundtrip" -> ((s, dir) => {
+      // the WARC source (ISO 28500 — the on-disk format upstream of the
+      // page table): per document a 3-record crawl file (warcinfo/request/
+      // response, gzip-per-record member layout on even doc_ids) is parsed
+      // streaming; only the response's HTTP body may surface, headers
+      // stripped, URL/date/record counts all closed forms of doc_id
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, t) =>
+            val recs = graft.sources.Warc.records(
+              new java.io.ByteArrayInputStream(Corpus.warcForDoc(id, t))).toVector
+            val nErrors = recs.count(_.isLeft).toLong
+            val good = recs.collect { case Right(r) => r }
+            val resp = good.filter(_.warcType == "response")
+            val (url, date, body) = resp.headOption.map { r =>
+              val (_, b) = graft.sources.Warc.httpSplit(r.payload)
+              (r.targetUri, r.date,
+                new String(b, java.nio.charset.StandardCharsets.UTF_8))
+            }.getOrElse(("", "", ""))
+            (id, good.size.toLong, nErrors, url, date, body)
+          }
+        }.toDF("doc_id", "n_records", "n_errors", "url", "warc_date", "text")
+        .orderBy("doc_id")
+    }),
     "text_normalize" -> ((s, dir) => {
       // Unicode NFC normalization (UAX #15) as the native codegen'd
       // nfc_normalize expression — the CCNet-style cleanup stage before
@@ -1520,6 +1546,16 @@ object SparkEntry {
                FROM l)
          SELECT doc_id, string_agg(line, chr(10) ORDER BY ord) AS text
          FROM r WHERE rn = 1 OR line = '' GROUP BY doc_id ORDER BY doc_id""",
+    // every column is a closed form of doc_id/text — the builder and the
+    // reader are independent of this restatement
+    "warc_roundtrip" ->
+      """SELECT doc_id, CAST(3 AS BIGINT) AS n_records,
+                CAST(0 AS BIGINT) AS n_errors,
+                'https://example.org/doc/' || doc_id AS url,
+                strftime(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE,
+                         '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
+                text
+         FROM documents ORDER BY doc_id""",
     // same decomposed prefix (chr() is codepoint-based in DuckDB), same
     // NFC function from DuckDB's utf8proc — two independent UAX #15
     // implementations must produce byte-identical output

@@ -1,0 +1,91 @@
+package graft
+
+import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+
+import graft.sources.{Warc, WarcRecord}
+import org.scalatest.funsuite.AnyFunSuite
+
+class WarcSpec extends AnyFunSuite {
+
+  private def rec(tpe: String, uri: String, payload: Array[Byte]) =
+    (Seq("WARC-Type" -> tpe, "WARC-Target-URI" -> uri,
+      "WARC-Date" -> "2024-01-01T00:00:00Z"), payload)
+
+  private def parseAll(bytes: Array[Byte]): Vector[Either[String, WarcRecord]] =
+    Warc.records(new ByteArrayInputStream(bytes)).toVector
+
+  test("round-trip: encode -> parse, plain and gzip-per-record") {
+    val recs = Seq(
+      rec("warcinfo", "", "software: test\r\n".getBytes(ISO_8859_1)),
+      rec("request", "https://a/1", "GET /1 HTTP/1.1\r\n\r\n".getBytes(ISO_8859_1)),
+      rec("response", "https://a/1", Warc.httpResponse("hello body".getBytes(UTF_8))))
+    for (gz <- Seq(false, true)) {
+      val got = parseAll(Warc.encode(recs, gzipPerRecord = gz))
+      assert(got.forall(_.isRight), s"gz=$gz: ${got.find(_.isLeft)}")
+      val rs = got.collect { case Right(r) => r }
+      assert(rs.map(_.warcType) == Vector("warcinfo", "request", "response"))
+      assert(rs(2).targetUri == "https://a/1")
+      val (head, body) = Warc.httpSplit(rs(2).payload)
+      assert(head.startsWith("HTTP/1.1 200 OK"))
+      assert(new String(body, UTF_8) == "hello body")
+    }
+  }
+
+  test("header names are case-insensitive; values trimmed") {
+    val bytes = ("WARC/1.0\r\nwarc-type:   response\r\nWARC-TARGET-URI: https://x\r\n" +
+      "content-length: 2\r\n\r\nok\r\n\r\n").getBytes(ISO_8859_1)
+    val Vector(Right(r)) = parseAll(bytes)
+    assert(r.warcType == "response" && r.targetUri == "https://x")
+    assert(new String(r.payload, ISO_8859_1) == "ok")
+  }
+
+  test("body containing CRLFCRLF is not re-split (Content-Length bounds the block)") {
+    val body = "first\r\n\r\nsecond chunk".getBytes(UTF_8)
+    val bytes = Warc.encode(Seq(rec("response", "https://b", Warc.httpResponse(body))), gzipPerRecord = false)
+    val Vector(Right(r)) = parseAll(bytes)
+    val (_, got) = Warc.httpSplit(r.payload)
+    assert(new String(got, UTF_8) == "first\r\n\r\nsecond chunk")
+  }
+
+  test("truncated block: good prefix survives, one Left terminates the file") {
+    val full = Warc.encode(Seq(
+      rec("response", "https://c/1", Warc.httpResponse("one".getBytes(UTF_8))),
+      rec("response", "https://c/2", Warc.httpResponse("two".getBytes(UTF_8)))), gzipPerRecord = false)
+    val cut = java.util.Arrays.copyOf(full, full.length - 20) // inside record 2
+    val got = parseAll(cut)
+    assert(got.count(_.isRight) == 1)
+    assert(got.last.isLeft)
+    assert(got.collect { case Right(r) => r.targetUri } == Vector("https://c/1"))
+  }
+
+  test("garbage stream and corrupt gzip become a Left, never a throw") {
+    assert(parseAll("not a warc at all".getBytes(ISO_8859_1)).exists(_.isLeft))
+    val gz = Warc.encode(Seq(rec("response", "https://d", Array[Byte](1, 2, 3))), gzipPerRecord = true)
+    gz(gz.length / 2) = (gz(gz.length / 2) ^ 0x5a).toByte // flip a deflate byte
+    val got = parseAll(gz)
+    assert(got.nonEmpty && got.last.isLeft, got)
+  }
+
+  test("missing Content-Length and oversized Content-Length are structured errors") {
+    val noLen = "WARC/1.0\r\nWARC-Type: response\r\n\r\n".getBytes(ISO_8859_1)
+    assert(parseAll(noLen).head.swap.exists(_.contains("Content-Length")))
+    val huge = ("WARC/1.0\r\nWARC-Type: response\r\nContent-Length: 99999999999\r\n\r\n")
+      .getBytes(ISO_8859_1)
+    assert(parseAll(huge).head.swap.exists(_.contains("exceeds")))
+  }
+
+  test("corpus fixture: 3 records, http headers strip, gzip arm flips with doc_id") {
+    import graft.pipeline.Corpus
+    for (id <- Seq(6L, 7L)) {
+      val bytes = Corpus.warcForDoc(id, "warc gate text")
+      // even ids gzip each record: magic must (not) lead
+      assert(((bytes(0) & 0xff) == 0x1f) == (id % 2 == 0))
+      val rs = parseAll(bytes).collect { case Right(r) => r }
+      assert(rs.map(_.warcType) == Vector("warcinfo", "request", "response"))
+      val (_, body) = Warc.httpSplit(rs(2).payload)
+      assert(new String(body, UTF_8) == "warc gate text")
+      assert(rs(2).targetUri == Corpus.UrlPrefix + id)
+    }
+  }
+}
