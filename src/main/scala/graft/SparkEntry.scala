@@ -621,6 +621,40 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    "html_links" -> ((s, dir) => {
+      // out-link extraction (ADDITIVE surface — the edges of the web graph
+      // that feed URL frontiers and link-based quality priors): five kept
+      // anchors rotate every href form (absolute / path-relative /
+      // root-relative / protocol-relative / dot-dot+fragment), four
+      // non-links must vanish (javascript:, mailto:, commented-out,
+      // script-forged), and odd doc_ids add a first-wins <base> that
+      // rebases the relative arms; every resolved URL a closed form
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.html.Links.extract(Corpus.htmlLinksProbe(id, t), Corpus.UrlPrefix + id)
+            .zipWithIndex.map { case (href, ord) => (id, ord.toLong, href) }
+        }.toDF("doc_id", "ord", "href")
+        .orderBy("doc_id", "ord")
+    }),
+    "link_pagerank" -> ((s, dir) => {
+      // link-graph quality prior: EXACT INTEGER PageRank (8 rounds, d=85,
+      // scale 10^12 — floor-div recurrence, so the distributed sum is
+      // bit-reproducible on any partitioning and the oracle can restate
+      // the fixpoint exactly) over a synthetic functional graph whose
+      // three out-edges per doc are closed forms of doc_id mod N; N rides
+      // a 1-row broadcast cross join, never a driver-side count
+      val docs = s.read.parquet(s"$dir/documents.parquet")
+      val withN = docs.select("doc_id")
+        .crossJoin(docs.agg(count(lit(1)).as("n")))
+      val edges = withN.selectExpr("doc_id AS src", "(doc_id*31+7) % n AS dst")
+        .unionByName(withN.selectExpr("doc_id AS src", "(doc_id*17+3) % n AS dst"))
+        .unionByName(withN.selectExpr("doc_id AS src", "(doc_id+1) % n AS dst"))
+      graft.graph.PageRank.run(edges, "src", "dst", iterations = 8)
+        .withColumnRenamed("v", "doc_id")
+        .orderBy("doc_id")
+    }),
     "html_meta" -> ((s, dir) => {
       // head-metadata extraction (ADDITIVE surface): canonical link (the
       // strongest dedup key a page can carry), meta/og descriptions, and
@@ -1590,6 +1624,52 @@ object SparkEntry {
                 CAST(len(string_split(d.input, chr(10))) AS BIGINT) AS n_lines,
                 coalesce(g.n_kept, 0) AS n_kept
          FROM d LEFT JOIN g USING (doc_id) ORDER BY doc_id""",
+    // independent restatement of the integer fixpoint: the same
+    // floor-div recurrence unrolled as 8 chained CTEs (DuckDB SUM(BIGINT)
+    // widens to HUGEINT — exact — so only the final rank needs the cast)
+    "link_pagerank" -> {
+      val scale = "1000000000000"
+      val rounds = (1 to 8).map { t =>
+        s"""c$t AS (SELECT e.dst AS v, SUM(r${t - 1}.r // e.outdeg) AS s
+           |       FROM e JOIN r${t - 1} ON r${t - 1}.v = e.src GROUP BY e.dst),
+           |r$t AS (SELECT nodes.v,
+           |       (SELECT ($scale * 15) // 100 // n FROM nn)
+           |         + (85 * COALESCE(c$t.s, 0)) // 100 AS r
+           |       FROM nodes LEFT JOIN c$t USING (v))""".stripMargin
+      }.mkString(",\n")
+      s"""WITH nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents),
+         |nodes AS (SELECT doc_id AS v FROM documents),
+         |e0 AS (SELECT doc_id AS src, (doc_id*31+7) % (SELECT n FROM nn) AS dst FROM documents
+         |       UNION SELECT doc_id, (doc_id*17+3) % (SELECT n FROM nn) FROM documents
+         |       UNION SELECT doc_id, (doc_id+1) % (SELECT n FROM nn) FROM documents),
+         |deg AS (SELECT src, count(*) AS outdeg FROM e0 GROUP BY src),
+         |e AS (SELECT e0.src, e0.dst, deg.outdeg FROM e0 JOIN deg USING (src)),
+         |r0 AS (SELECT v, (SELECT $scale // n FROM nn) AS r FROM nodes),
+         |$rounds
+         |SELECT v AS doc_id, CAST(r AS BIGINT) AS rank FROM r8 ORDER BY doc_id""".stripMargin
+    },
+    // Corpus.htmlLinksProbe resolved URLs restated as closed forms of
+    // (doc_id, length(text)); the CASE arms are the <base>-rebased odd ids
+    "html_links" ->
+      """WITH d AS (SELECT doc_id, length(text) AS len FROM documents),
+         u AS (
+           SELECT doc_id, 0 AS ord, 'https://abs.example/a-' || len AS href FROM d
+           UNION ALL
+           SELECT doc_id, 1, CASE WHEN doc_id % 2 = 1
+             THEN 'https://base' || doc_id || '.example/b' || (doc_id % 3) || '/dir/rel-' || (doc_id % 5) || '/p'
+             ELSE 'https://example.org/doc/rel-' || (doc_id % 5) || '/p' END FROM d
+           UNION ALL
+           SELECT doc_id, 2, CASE WHEN doc_id % 2 = 1
+             THEN 'https://base' || doc_id || '.example/root-' || (doc_id % 7)
+             ELSE 'https://example.org/root-' || (doc_id % 7) END FROM d
+           UNION ALL
+           SELECT doc_id, 3, 'https://cdn.example/c-' || len FROM d
+           UNION ALL
+           SELECT doc_id, 4, CASE WHEN doc_id % 2 = 1
+             THEN 'https://base' || doc_id || '.example/b' || (doc_id % 3) || '/up-1'
+             ELSE 'https://example.org/up-0' END FROM d)
+         SELECT doc_id, CAST(ord AS BIGINT) AS ord, href
+         FROM u ORDER BY doc_id, ord""",
     // Corpus.htmlMetaProbe values are closed forms of (doc_id, length(text))
     "html_meta" ->
       """SELECT doc_id,

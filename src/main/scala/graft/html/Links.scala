@@ -1,0 +1,130 @@
+package graft.html
+
+/** Out-link extraction: the edges of the web graph a corpus pipeline feeds
+  * into URL frontiers and link-based quality priors (Common-Crawl publishes
+  * exactly this as its host/domain graph; harmonic-centrality and PageRank
+  * ranks derived from it are standard crawl-filtering signals). ADDITIVE
+  * surface — the reference has no HTML code.
+  *
+  * Shares [[Meta]]'s hardened scanner rules: comments/CDATA skipped,
+  * raw-text/RCDATA bodies skipped with case-insensitive close, every tag's
+  * attributes consumed quote-aware, entities decoded in attribute values. */
+object Links {
+
+  /** `<a href>` targets in document order, resolved to absolute URLs.
+    *
+    *  - a first `<base href>` (HTML5: the FIRST wins) rebases every
+    *    subsequent and PRECEDING relative link — per spec the base applies
+    *    document-wide, and browsers resolve lazily, so links before the
+    *    base tag still use it; this scanner replicates that by collecting
+    *    raw hrefs first and resolving after the walk;
+    *  - fragments are dropped (`#section` is the same document);
+    *  - `javascript:` / `mailto:` / `data:` / `tel:` schemes are not
+    *    links to documents and are skipped;
+    *  - fragment-only and empty hrefs are skipped. */
+  def extract(html: String, pageUrl: String): Seq[String] = {
+    var baseHref: String = null
+    val raw = Vector.newBuilder[String]
+    var i = 0
+    val n = html.length
+    while (i < n) {
+      if (html.charAt(i) == '<') {
+        if (html.startsWith("<!--", i)) {
+          val close = html.indexOf("-->", i + 4)
+          i = if (close < 0) n else close + 3
+        } else if (html.startsWith("<![CDATA[", i)) {
+          val close = html.indexOf("]]>", i + 9)
+          i = if (close < 0) n else close + 3
+        } else {
+          val (name, attrEnd) = Meta.tagName(html, i + 1)
+          name match {
+            case "script" | "style" | "title" | "textarea" =>
+              val (_, afterOpen) = Meta.attrs(html, attrEnd)
+              val close = Meta.indexOfIgnoreCase(html, "</" + name, afterOpen)
+              i = if (close < 0) n else close + 2 + name.length
+            case "a" =>
+              val (a, next) = Meta.attrs(html, attrEnd)
+              a.get("href").foreach(h => raw += h)
+              i = next
+            case "base" =>
+              val (a, next) = Meta.attrs(html, attrEnd)
+              if (baseHref == null) a.get("href").foreach(h => baseHref = h)
+              i = next
+            case "" =>
+              i += 1
+            case _ =>
+              val (_, next) = Meta.attrs(html, attrEnd)
+              i = next
+          }
+        }
+      } else i += 1
+    }
+    val base = if (baseHref == null) pageUrl else resolve(pageUrl, baseHref)
+    raw.result().flatMap(h => resolveLink(base, h))
+  }
+
+  def extract(bytes: Array[Byte], pageUrl: String): Seq[String] =
+    extract(Boilerplate.decode(bytes), pageUrl)
+
+  private val SkippedSchemes = Set("javascript", "mailto", "data", "tel")
+
+  /** One href against the (already absolute) base: None for non-document
+    * schemes, fragment-only and empty targets. */
+  def resolveLink(base: String, href0: String): Option[String] = {
+    val hash = href0.indexOf('#')
+    val href = (if (hash >= 0) href0.substring(0, hash) else href0).trim
+    if (href.isEmpty) return None
+    val colon = href.indexOf(':')
+    if (colon > 0 && href.substring(0, colon).forall(c => c.isLetter || c.isDigit || c == '+' || c == '-' || c == '.')) {
+      val scheme = href.substring(0, colon).toLowerCase(java.util.Locale.ROOT)
+      if (SkippedSchemes.contains(scheme)) return None
+    }
+    Some(resolve(base, href))
+  }
+
+  /** RFC 3986 §5 reference resolution for the http(s) subset a crawl
+    * meets: absolute, protocol-relative (`//host/x`), root-relative
+    * (`/x`), path-relative (`x/y`, `../x`, `./x`) and query-only (`?q`)
+    * references, with §5.2.4 dot-segment removal. `base` must itself be
+    * absolute (`scheme://authority/path`). */
+  def resolve(base: String, ref: String): String = {
+    if (ref.contains("://")) return ref                       // absolute
+    val schemeEnd = base.indexOf("://")
+    if (schemeEnd < 0) return ref                             // unresolvable base
+    val scheme = base.substring(0, schemeEnd)
+    if (ref.startsWith("//")) return scheme + ":" + ref       // protocol-relative
+    val authStart = schemeEnd + 3
+    val pathStart = {
+      val slash = base.indexOf('/', authStart)
+      if (slash < 0) base.length else slash
+    }
+    val origin = base.substring(0, pathStart)                 // scheme://host[:port]
+    val basePathAndQuery = base.substring(pathStart)
+    val baseQ = basePathAndQuery.indexOf('?')
+    val basePath = if (baseQ < 0) basePathAndQuery else basePathAndQuery.substring(0, baseQ)
+    if (ref.startsWith("/")) return origin + removeDotSegments(ref)
+    if (ref.startsWith("?"))                                   // query-only
+      return origin + (if (basePath.isEmpty) "/" else basePath) + ref
+    // path-relative: merge with everything up to the base path's last '/'
+    val dir = {
+      val lastSlash = basePath.lastIndexOf('/')
+      if (lastSlash < 0) "/" else basePath.substring(0, lastSlash + 1)
+    }
+    origin + removeDotSegments(dir + ref)
+  }
+
+  /** RFC 3986 §5.2.4 — `.` and `..` segments resolved; `..` never climbs
+    * above the root; a trailing `/`, `/.` or `/..` keeps the directory
+    * form. Empty segments (double slashes) collapse — the crawl subset. */
+  private def removeDotSegments(path: String): String = {
+    val out = new scala.collection.mutable.ArrayBuffer[String]()
+    path.split("/", -1).foreach {
+      case "" | "." => // collapse empty (leading/double slashes) and '.'
+      case ".."     => if (out.nonEmpty) out.remove(out.length - 1)
+      case seg      => out += seg
+    }
+    val dir = path.endsWith("/") || path.endsWith("/.") || path.endsWith("/..")
+    val joined = out.mkString("/")
+    if (dir && joined.nonEmpty) "/" + joined + "/" else "/" + joined
+  }
+}

@@ -96,7 +96,7 @@ object Meta {
 
   def extract(bytes: Array[Byte]): HtmlMeta = extract(Boilerplate.decode(bytes))
 
-  private def indexOfIgnoreCase(html: String, needle: String, from: Int): Int = {
+  private[html] def indexOfIgnoreCase(html: String, needle: String, from: Int): Int = {
     var i = math.max(from, 0)
     val last = html.length - needle.length
     while (i <= last) {
@@ -107,7 +107,7 @@ object Meta {
   }
 
   /** (lowercased tag name, index of the first char after it). */
-  private def tagName(html: String, from: Int): (String, Int) = {
+  private[html] def tagName(html: String, from: Int): (String, Int) = {
     var i = from
     val n = html.length
     val sb = new java.lang.StringBuilder(8)
@@ -124,7 +124,7 @@ object Meta {
     * DUPLICATE attributes resolve first-wins (HTML5 ignores the repeat;
     * a Map overwrite would take the last). Returns (attributes, index
     * after '>'). */
-  private def attrs(html: String, from: Int): (Map[String, String], Int) = {
+  private[html] def attrs(html: String, from: Int): (Map[String, String], Int) = {
     var out = Map.empty[String, String]
     var i = from
     val n = html.length

@@ -1321,6 +1321,35 @@ object Corpus {
     sb.toString.getBytes(UTF_8)
   }
 
+  /** Out-link gate page (`html_links`): five kept anchors rotating every
+    * href form (absolute; single-quoted path-relative; unquoted
+    * root-relative; protocol-relative; dot-dot with a fragment to drop),
+    * plus four that must NOT surface (javascript:, mailto:, a commented-out
+    * anchor, one forged inside a <script> string). Odd doc_ids carry a
+    * <base href> that rebases the relative arms — and a second base that
+    * must LOSE (first wins). Every resolved URL is a closed form of
+    * (doc_id, length(text)); the page URL is [[UrlPrefix]] + docId. */
+  def htmlLinksProbe(docId: Long, text: String): Array[Byte] = {
+    val len = text.length
+    val sb = new StringBuilder("<!DOCTYPE html>\n<html><head>\n")
+    if (docId % 2 == 1) {
+      sb.append(s"""<base href="https://base$docId.example/b${docId % 3}/dir/">""").append('\n')
+      sb.append("""<base href="https://ignored.example/">""").append('\n')
+    }
+    sb.append("</head><body>\n")
+    sb.append(s"""<a href="https://abs.example/a-$len">abs</a>""").append('\n')
+    sb.append(s"""<a href='rel-${docId % 5}/p'>rel</a>""").append('\n')
+    sb.append(s"""<a href=/root-${docId % 7}>root</a>""").append('\n')
+    sb.append(s"""<a href="//cdn.example/c-$len">proto</a>""").append('\n')
+    sb.append(s"""<a href="../up-${docId % 2}#sec">dotdot</a>""").append('\n')
+    sb.append("""<a href="javascript:void(0)">js</a>""").append('\n')
+    sb.append("""<a href="mailto:x@example.org">mail</a>""").append('\n')
+    sb.append("""<!-- <a href="commented-out">x</a> -->""").append('\n')
+    sb.append("""<script>var a = '<a href="forged-in-script">';</script>""").append('\n')
+    sb.append("<p>").append(escapeHtml(text)).append("</p>\n</body></html>")
+    sb.toString.getBytes(UTF_8)
+  }
+
   def htmlSpanProbePageRowFor(docId: Long, text: String, lang: String): PageRow =
     PageRow(
       url = UrlPrefix + docId,

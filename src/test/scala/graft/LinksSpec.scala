@@ -1,0 +1,66 @@
+package graft
+
+import graft.html.Links
+import org.scalatest.funsuite.AnyFunSuite
+
+class LinksSpec extends AnyFunSuite {
+
+  private val page = "https://example.org/doc/123"
+
+  test("RFC 3986 resolution subset") {
+    assert(Links.resolve(page, "https://other.net/x") == "https://other.net/x")
+    assert(Links.resolve(page, "//cdn.net/lib.js") == "https://cdn.net/lib.js")
+    assert(Links.resolve(page, "/rooted/path") == "https://example.org/rooted/path")
+    assert(Links.resolve(page, "sibling") == "https://example.org/doc/sibling")
+    assert(Links.resolve(page, "./sibling") == "https://example.org/doc/sibling")
+    assert(Links.resolve(page, "../up") == "https://example.org/up")
+    assert(Links.resolve(page, "../../../over") == "https://example.org/over") // never above root
+    assert(Links.resolve(page, "?q=1") == "https://example.org/doc/123?q=1")
+    assert(Links.resolve("https://host", "x") == "https://host/x") // empty base path
+    assert(Links.resolve("https://example.org/a/b?old=1", "new") == "https://example.org/a/new") // base query dropped
+    assert(Links.resolve(page, "dir/") == "https://example.org/doc/dir/")
+  }
+
+  test("resolveLink: fragments dropped, non-document schemes and empties skipped") {
+    assert(Links.resolveLink(page, "x#sec") == Some("https://example.org/doc/x"))
+    assert(Links.resolveLink(page, "#sec").isEmpty)
+    assert(Links.resolveLink(page, "").isEmpty)
+    assert(Links.resolveLink(page, "javascript:void(0)").isEmpty)
+    assert(Links.resolveLink(page, "MAILTO:a@b").isEmpty)
+    assert(Links.resolveLink(page, "tel:+123").isEmpty)
+    assert(Links.resolveLink(page, "data:text/plain,x").isEmpty)
+  }
+
+  test("extract: document order, base tag rebases even earlier links, scanner hardening") {
+    val html =
+      """<html><head>
+        |<a href="before-base">A</a>
+        |<base href="https://based.net/sub/dir/">
+        |<base href="https://ignored.net/">  <!-- first base wins -->
+        |</head><body>
+        |<a href="https://abs.net/p">B</a>
+        |<a HREF='single-quoted'>C</a>
+        |<a href=unquoted>D</a>
+        |<!-- <a href="commented-out">X</a> -->
+        |<script>document.write('<a href="forged-in-script">');</script>
+        |<textarea><a href="forged-in-rcdata"></textarea>
+        |<div title='<a href="forged-in-attr">'>E</div>
+        |<a href="../parent">F</a>
+        |<a href="#frag-only">G</a>
+        |<a href="mailto:x@y">H</a>
+        |<a name="anchor-without-href">I</a>
+        |</body></html>""".stripMargin
+    val got = Links.extract(html, page)
+    assert(got == Seq(
+      "https://based.net/sub/dir/before-base", // rebased despite appearing first
+      "https://abs.net/p",
+      "https://based.net/sub/dir/single-quoted",
+      "https://based.net/sub/dir/unquoted",
+      "https://based.net/sub/parent"))
+  }
+
+  test("extract without base resolves against the page url; entities decode in href") {
+    val got = Links.extract("""<a href="search?a=1&amp;b=2">q</a>""", page)
+    assert(got == Seq("https://example.org/doc/search?a=1&b=2"))
+  }
+}
