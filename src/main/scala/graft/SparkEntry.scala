@@ -944,6 +944,12 @@ object SparkEntry {
       // integer-scaled idf (no ln() — engine-portable BIGINT score)
       TextStats.tfidfTopTerms(docs(s, dir), "doc_id", "text", topN = 5)
         .orderBy("doc_id", "rank")),
+    "lm_score" -> ((s, dir) =>
+      // CCNet-style LM quality score (corpus-trained bigram model,
+      // add-one smoothing) as an EXACT INTEGER ppm surrogate — the per-doc
+      // sum is order-independent, so the fixpoint hash-gates where a float
+      // log-prob sum cannot
+      TextStats.lmScore(docs(s, dir), "doc_id", "text").orderBy("doc_id")),
     "vocab_bigrams_by_lang" -> ((s, dir) => {
       // per-language top-5 bigrams (training-mix phrase profile): one
       // explode -> map-side-combined groupBy -> per-lang WindowGroupLimit;
@@ -1839,6 +1845,24 @@ object SparkEntry {
       """SELECT lang, CAST(count(DISTINCT term) AS BIGINT) AS vocab FROM (
            SELECT lang, unnest(string_split(trim(text), ' ')) AS term FROM documents)
          GROUP BY lang ORDER BY lang""",
+    // independent restatement of the integer bigram-LM surrogate; DuckDB
+    // SUM(BIGINT) widens to HUGEINT (exact), so only the outputs cast
+    "lm_score" ->
+      """WITH d AS (SELECT doc_id, string_split(trim(text), ' ') AS ws FROM documents
+                    WHERE len(string_split(trim(text), ' ')) >= 2),
+         bg AS (SELECT doc_id, ws[i] AS w1, ws[i] || ' ' || ws[i+1] AS bgk
+                FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i FROM d)),
+         c2 AS (SELECT bgk, count(*) AS n2 FROM bg GROUP BY bgk),
+         c1 AS (SELECT w1, count(*) AS n1 FROM bg GROUP BY w1),
+         vv AS (SELECT count(DISTINCT term) AS v FROM (
+                  SELECT unnest(string_split(trim(text), ' ')) AS term FROM documents)),
+         sc AS (SELECT bg.doc_id,
+                       (1000000 * (c2.n2 + 1)) // (c1.n1 + (SELECT v FROM vv)) AS ppm
+                FROM bg JOIN c2 USING (bgk) JOIN c1 USING (w1))
+         SELECT doc_id, CAST(count(*) AS BIGINT) AS n_bigrams,
+                CAST(SUM(ppm) AS BIGINT) AS sum_ppm,
+                CAST(SUM(ppm) // count(*) AS BIGINT) AS avg_ppm
+         FROM sc GROUP BY doc_id ORDER BY doc_id""",
     "vocab_bigrams_by_lang" ->
       """WITH d AS (SELECT lang, string_split(trim(text), ' ') AS ws FROM documents
                     WHERE len(string_split(trim(text), ' ')) >= 2),

@@ -183,6 +183,57 @@ object TextStats {
       when(keep, 1L).otherwise(0L).as("keep"))
   }
 
+  /** CCNet-style language-model quality score (Wenzek et al. 2020 §4.3 use
+    * a KenLM 5-gram; this is the same filter shape with a corpus-trained
+    * bigram model): documents whose word transitions are common in the
+    * corpus score high, word-salad and boilerplate-shredded pages score
+    * low, and the caller keeps/buckets by the per-doc average.
+    *
+    * EXACT INTEGER surrogate instead of log-probabilities: each bigram
+    * contributes `(10^6 * (C2+1)) DIV (C1 + V)` — add-one-smoothed
+    * conditional probability in ppm with floor division (C2 = bigram
+    * count, C1 = prefix count, V = corpus vocabulary) — so the per-doc sum
+    * is order-independent and hash-gateable, where a float log-prob sum
+    * depends on partial-aggregation order (same trick as the tf-idf
+    * surrogate and the integer PageRank).
+    *
+    * Shape at 10^12 docs: the narrow (doc, w1, bigram) table is persisted
+    * and reused for BOTH count aggregations (map-side combined) and the
+    * score join — registered with the operator-cache lifecycle
+    * ([[graft.dedup.Dedup.clearCaches]] releases it between batches, the
+    * same discipline as the LSH index caches); the two count tables join
+    * back by plain equi-joins (hot bigrams are one row on the build side —
+    * AQE skew-split handles the probe side); V rides a 1-row broadcast
+    * cross join, never a driver count. Returns (doc_id, n_bigrams,
+    * sum_ppm, avg_ppm) for docs with >= 2 tokens. */
+  def lmScore(docs: DataFrame, idCol: String, textCol: String,
+      scale: Long = 1000000L): DataFrame = {
+    val bg = docs
+      .select(col(idCol).as("doc_id"), split(trim(col(textCol)), "\\s+").as("ws"))
+      .where(size(col("ws")) >= 2)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("ws")) - 2),
+        i => struct(
+          element_at(col("ws"), i + 1).as("w1"),
+          concat_ws(" ", element_at(col("ws"), i + 1), element_at(col("ws"), i + 2)).as("bgk"))))
+        .as("b"))
+      .select(col("doc_id"), col("b.w1").as("w1"), col("b.bgk").as("bgk"))
+      .persist()
+    graft.dedup.Dedup.registerCache(bg)
+    val c2 = bg.groupBy("bgk").agg(count(lit(1)).as("n2"))
+    val c1 = bg.groupBy("w1").agg(count(lit(1)).as("n1"))
+    val vocab = docs
+      .select(explode(split(trim(col(textCol)), "\\s+")).as("term"))
+      .agg(countDistinct(col("term")).as("v"))
+    bg.join(c2, "bgk").join(c1, "w1").crossJoin(vocab)
+      .select(col("doc_id"),
+        expr(s"(${scale}L * (n2 + 1L)) DIV (n1 + v)").as("ppm"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("ppm").as("sum_ppm"))
+      .select(col("doc_id"), col("n_bigrams"), col("sum_ppm"),
+        expr("sum_ppm DIV n_bigrams").as("avg_ppm"))
+  }
+
   def langId(text: Column): Column = {
     // score per language, pick argmax with lexicographic tie-break
     val scored = LangProfiles.toSeq.sortBy(_._1).map { case (lang, words) =>

@@ -123,4 +123,21 @@ class TextStatsSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(got(3L) == ((0L, 0L, 0L, "call 555 123 4567 maybe")))
     assert(got(4L) == ((2L, 0L, 0L, "<EMAIL> and <EMAIL> meet")))
   }
+
+  test("lmScore: hand-computed add-one bigram ppm; sub-bigram docs excluded") {
+    import spark.implicits._
+    // corpus: C2("a b")=3, C2("b a")=1; prefixes C1(a)=3, C1(b)=1; V=3
+    // ppm("a b") = 10^6*4 // (3+3) = 666666; ppm("b a") = 10^6*2 // 4 = 500000
+    val rows = Seq(
+      (1L, "a b a b"),  // bigrams: ab, ba, ab -> sum 1833332, avg 611110
+      (2L, "a b"),      // -> sum 666666
+      (3L, "c"))        // single token: excluded entirely
+      .toDF("doc_id", "text")
+    val got = TextStats.lmScore(rows, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == Map(
+      1L -> ((3L, 1833332L, 611110L)),
+      2L -> ((1L, 666666L, 666666L))))
+  }
 }
