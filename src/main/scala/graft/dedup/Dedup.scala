@@ -169,6 +169,12 @@ object Dedup {
     *     bounded by document length, never corpus size; the final stats
     *     join reuses this exchange's hash partitioning on id.
     *
+    * The exploded line table is deliberately NOT cached (three linear
+    * scans instead): unlike the NARROW md5/position tables the other
+    * operators persist, it carries the full line text — corpus-sized — so
+    * a MEMORY_AND_DISK copy would double the job's storage footprint for
+    * one saved scan per branch.
+    *
     * Returns (id, text, n_lines, n_kept) for EVERY input document —
     * a document whose every line loses comes back with text "" and
     * n_kept 0, so the caller can filter or keep husks explicitly. */
