@@ -291,6 +291,34 @@ object Bench {
         graft.functions.Sampling.mixByTokenBudget(
           docsDf, "lang", "doc_id", "text", budget = 2000L).count(); ()
       }),
+      // round-5 second-half operators (same shapes as their gate queries)
+      "dedup_corpus_lines" -> (() => {
+        Dedup.dedupLinesAcrossCorpus(
+          docsDf.select("doc_id", "text"), "doc_id", "text").count(); ()
+      }),
+      "lm_score" -> (() => {
+        TextStats.lmScore(docsDf, "doc_id", "text").count()
+        Dedup.clearCaches() // the bigram cache must not linger into later timings
+      }),
+      "link_pagerank" -> (() => {
+        val withN = docsDf.select("doc_id")
+          .crossJoin(docsDf.agg(count(lit(1)).as("n")))
+        val edges = withN.selectExpr("doc_id AS src", "(doc_id*31+7) % n AS dst")
+          .unionByName(withN.selectExpr("doc_id AS src", "(doc_id*17+3) % n AS dst"))
+          .unionByName(withN.selectExpr("doc_id AS src", "(doc_id+1) % n AS dst"))
+        graft.graph.PageRank.run(edges, "src", "dst", iterations = 8).count(); ()
+      }),
+      "warc_parse" -> (() => {
+        import spark.implicits._
+        docsDf.select("doc_id", "text").as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, t) =>
+              val recs = graft.sources.Warc.records(new java.io.ByteArrayInputStream(
+                graft.pipeline.Corpus.warcForDoc(id, t)))
+              recs.count(_.isRight).toLong
+            }
+          }.agg(sum("value")).collect(); ()
+      }),
       // metrics-only throughput at full cores (the scaling-tier job)
       "extract_metrics_only" -> (() => runMetricsJob(pages)))
 

@@ -59,18 +59,30 @@ object PageRank {
     val withDeg = e.join(
       e.groupBy("src").agg(count(lit(1)).as("outdeg")), "src").cache()
     val base = scale * (100 - dampingPct) / 100 / n
-    var ranks = nodes.select(col("v"), lit(scale / n).as("r")).localCheckpoint()
-    for (_ <- 1 to iterations) {
+    var ranks: DataFrame = nodes.select(col("v"), lit(scale / n).as("r"))
+    var lastCkpt: DataFrame = null
+    for (t <- 1 to iterations) {
       val sums = withDeg
         .join(ranks.withColumnRenamed("v", "src"), "src")
         .select(col("dst").as("v"), expr("r DIV outdeg").as("c"))
         .groupBy("v").agg(sum("c").as("s"))
-      val next = nodes.join(sums, Seq("v"), "left")
+      ranks = nodes.join(sums, Seq("v"), "left")
         .select(col("v"),
           expr(s"${base}L + ($dampingPct * coalesce(s, 0L)) DIV 100").as("r"))
-        .localCheckpoint() // eager: materialize + cut lineage
-      releaseLocalCheckpoint(ranks)
-      ranks = next
+      // Checkpoint every FOURTH round, not every round: `ranks` is
+      // referenced once per round, so the plan grows linearly (unlike
+      // connectedComponents' double reference), and each eager
+      // localCheckpoint is a full job barrier — per-round checkpointing
+      // made the 8-round fixpoint 8 sequential jobs dominated by
+      // orchestration floor (measured 2x the whole-op wall). The final
+      // round always checkpoints so the returned frame is materialized
+      // before the caches below are released.
+      if (t % 4 == 0 || t == iterations) {
+        val ck = ranks.localCheckpoint() // eager: materialize + cut lineage
+        if (lastCkpt != null) releaseLocalCheckpoint(lastCkpt)
+        lastCkpt = ck
+        ranks = ck
+      }
     }
     // the final round is already-materialized checkpoint blocks with no
     // dependency on the caches; the ContextCleaner reclaims them when the
