@@ -86,6 +86,13 @@ object OpScaling {
         graft.graph.PageRank.run(edges, "src", "dst", iterations = 8).count(); ()
       }))
 
+    // optional comma-list filter so a re-run for newly added ops doesn't
+    // pay for re-measuring the already-recorded ones
+    val opFilter = sys.env.get("SPARK_GRAFT_OPSCALE_OPS")
+      .map(_.split(",").map(_.trim).toSet)
+    val selected = ops.filter { case (n, _) => opFilter.forall(_.contains(n)) }
+    require(selected.nonEmpty, s"SPARK_GRAFT_OPSCALE_OPS matched none of ${ops.map(_._1)}")
+
     // stage all corpora once (any session)
     val stager = Bench.session(8)
     val dirs = repls.map(r => r -> stagedDir(stager, sfDir, r)).toMap
@@ -93,7 +100,7 @@ object OpScaling {
 
     for (cores <- tiers) {
       val spark = Bench.session(cores)
-      for ((name, op) <- ops) {
+      for ((name, op) <- selected) {
         var warmed = false
         for (repl <- repls) {
           Bench.preReadCorpus(dirs(repl))

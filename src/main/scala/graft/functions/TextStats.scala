@@ -227,7 +227,12 @@ object TextStats {
       .agg(countDistinct(col("term")).as("v"))
     bg.join(c2, "bgk").join(c1, "w1").crossJoin(vocab)
       .select(col("doc_id"),
-        expr(s"(${scale}L * (n2 + 1L)) DIV (n1 + v)").as("ppm"))
+        // the multiply rides DECIMAL(38,0): at 10^12-doc corpora a stopword
+        // bigram's count times the 10^6 scale overflows BIGINT silently
+        // (non-ANSI wrap → negative ppm). The quotient is bounded by
+        // ~2*scale (n1 >= n2 by construction: every bigram occurrence is a
+        // prefix occurrence), so the result is a safe BIGINT again.
+        expr(s"CAST((CAST($scale AS DECIMAL(38,0)) * (n2 + 1L)) DIV (n1 + v) AS BIGINT)").as("ppm"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("ppm").as("sum_ppm"))
       .select(col("doc_id"), col("n_bigrams"), col("sum_ppm"),

@@ -25,39 +25,12 @@ object Links {
   def extract(html: String, pageUrl: String): Seq[String] = {
     var baseHref: String = null
     val raw = Vector.newBuilder[String]
-    var i = 0
-    val n = html.length
-    while (i < n) {
-      if (html.charAt(i) == '<') {
-        if (html.startsWith("<!--", i)) {
-          val close = html.indexOf("-->", i + 4)
-          i = if (close < 0) n else close + 3
-        } else if (html.startsWith("<![CDATA[", i)) {
-          val close = html.indexOf("]]>", i + 9)
-          i = if (close < 0) n else close + 3
-        } else {
-          val (name, attrEnd) = Meta.tagName(html, i + 1)
-          name match {
-            case "script" | "style" | "title" | "textarea" =>
-              val (_, afterOpen) = Meta.attrs(html, attrEnd)
-              val close = Meta.indexOfIgnoreCase(html, "</" + name, afterOpen)
-              i = if (close < 0) n else close + 2 + name.length
-            case "a" =>
-              val (a, next) = Meta.attrs(html, attrEnd)
-              a.get("href").foreach(h => raw += h)
-              i = next
-            case "base" =>
-              val (a, next) = Meta.attrs(html, attrEnd)
-              if (baseHref == null) a.get("href").foreach(h => baseHref = h)
-              i = next
-            case "" =>
-              i += 1
-            case _ =>
-              val (_, next) = Meta.attrs(html, attrEnd)
-              i = next
-          }
-        }
-      } else i += 1
+    Meta.walkTags(html) { (name, a) =>
+      name match {
+        case "a"    => a.get("href").foreach(h => raw += h)
+        case "base" => if (baseHref == null) a.get("href").foreach(h => baseHref = h)
+        case _      =>
+      }
     }
     val base = if (baseHref == null) pageUrl else resolve(pageUrl, baseHref)
     raw.result().flatMap(h => resolveLink(base, h))
@@ -66,18 +39,39 @@ object Links {
   def extract(bytes: Array[Byte], pageUrl: String): Seq[String] =
     extract(Boilerplate.decode(bytes), pageUrl)
 
-  private val SkippedSchemes = Set("javascript", "mailto", "data", "tel")
+  /** Index of the ':' ending a valid RFC 3986 scheme prefix
+    * (ASCII `ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ) ":"`), or -1 when
+    * the string has no scheme and is a relative reference. ASCII-only on
+    * purpose — `Char.isLetter` is Unicode-wide and would accept schemes the
+    * grammar forbids. */
+  private def schemeEndOf(s: String): Int = {
+    val colon = s.indexOf(':')
+    def alpha(c: Char) = (c >= 'a' && c <= 'z') || (c >= 'A' && c <= 'Z')
+    if (colon <= 0 || !alpha(s.charAt(0))) return -1
+    var i = 1
+    while (i < colon) {
+      val c = s.charAt(i)
+      if (!(alpha(c) || (c >= '0' && c <= '9') || c == '+' || c == '-' || c == '.')) return -1
+      i += 1
+    }
+    colon
+  }
 
   /** One href against the (already absolute) base: None for non-document
-    * schemes, fragment-only and empty targets. */
+    * schemes, fragment-only and empty targets. Scheme handling is a
+    * WHITELIST — only http(s) URLs are edges a crawler follows; `about:`,
+    * `intent:`, `ftp:`, app schemes etc. would otherwise either pollute the
+    * link graph verbatim or (without `://`) be glued onto the base path as
+    * garbage path-relative URLs. */
   def resolveLink(base: String, href0: String): Option[String] = {
     val hash = href0.indexOf('#')
     val href = (if (hash >= 0) href0.substring(0, hash) else href0).trim
     if (href.isEmpty) return None
-    val colon = href.indexOf(':')
-    if (colon > 0 && href.substring(0, colon).forall(c => c.isLetter || c.isDigit || c == '+' || c == '-' || c == '.')) {
+    val colon = schemeEndOf(href)
+    if (colon > 0) {
       val scheme = href.substring(0, colon).toLowerCase(java.util.Locale.ROOT)
-      if (SkippedSchemes.contains(scheme)) return None
+      if (scheme != "http" && scheme != "https") return None
+      return Some(href) // absolute http(s) reference, emitted verbatim
     }
     Some(resolve(base, href))
   }
@@ -88,7 +82,10 @@ object Links {
     * references, with §5.2.4 dot-segment removal. `base` must itself be
     * absolute (`scheme://authority/path`). */
   def resolve(base: String, ref: String): String = {
-    if (ref.contains("://")) return ref                       // absolute
+    // absolute iff it STARTS with a scheme (RFC 3986 §4.3) — a mere
+    // "://" substring also matches relative hrefs that embed a URL in
+    // their query ("redirect?next=https://other.com/")
+    if (schemeEndOf(ref) > 0) return ref
     val schemeEnd = base.indexOf("://")
     if (schemeEnd < 0) return ref                             // unresolvable base
     val scheme = base.substring(0, schemeEnd)
@@ -102,7 +99,13 @@ object Links {
     val basePathAndQuery = base.substring(pathStart)
     val baseQ = basePathAndQuery.indexOf('?')
     val basePath = if (baseQ < 0) basePathAndQuery else basePathAndQuery.substring(0, baseQ)
-    if (ref.startsWith("/")) return origin + removeDotSegments(ref)
+    // dot-segment removal applies to the PATH only (§5.2.2 splits the
+    // reference first): a '?'-tail rides along untouched, so query values
+    // embedding URLs ("?next=https://x/") keep their double slash
+    val refQ = ref.indexOf('?')
+    val (refPath, refQuery) =
+      if (refQ < 0) (ref, "") else (ref.substring(0, refQ), ref.substring(refQ))
+    if (ref.startsWith("/")) return origin + removeDotSegments(refPath) + refQuery
     if (ref.startsWith("?"))                                   // query-only
       return origin + (if (basePath.isEmpty) "/" else basePath) + ref
     // path-relative: merge with everything up to the base path's last '/'
@@ -110,7 +113,7 @@ object Links {
       val lastSlash = basePath.lastIndexOf('/')
       if (lastSlash < 0) "/" else basePath.substring(0, lastSlash + 1)
     }
-    origin + removeDotSegments(dir + ref)
+    origin + removeDotSegments(dir + refPath) + refQuery
   }
 
   /** RFC 3986 §5.2.4 — `.` and `..` segments resolved; `..` never climbs

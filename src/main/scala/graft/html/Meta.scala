@@ -31,6 +31,52 @@ object Meta {
     var canonical, description, ogTitle, ogDescription: String = null
     var noindex = false
     var nofollow = false
+    walkTags(html) { (name, a) =>
+      name match {
+        case "meta" =>
+          // meta names/properties are case-insensitive in the wild
+          val key = a.getOrElse("name", a.getOrElse("property", "")).toLowerCase
+          val content = a.getOrElse("content", "")
+          key match {
+            case "description"    => if (description == null) description = content
+            case "og:title"       => if (ogTitle == null) ogTitle = content
+            case "og:description" => if (ogDescription == null) ogDescription = content
+            case "robots" =>
+              val tokens = content.toLowerCase.split("[,\\s]+")
+              if (tokens.contains("noindex") || tokens.contains("none")) noindex = true
+              if (tokens.contains("nofollow") || tokens.contains("none")) nofollow = true
+            case _ =>
+          }
+        case "link" =>
+          // rel is a space-separated TOKEN LIST (rel="canonical alternate")
+          val isCanonical = a.getOrElse("rel", "")
+            .split("\\s+").exists(_.equalsIgnoreCase("canonical"))
+          if (isCanonical && canonical == null)
+            a.get("href").foreach(h => canonical = h)
+        case _ =>
+      }
+    }
+    HtmlMeta(
+      canonical = Option(canonical).getOrElse(""),
+      description = Option(description).getOrElse(""),
+      ogTitle = Option(ogTitle).getOrElse(""),
+      ogDescription = Option(ogDescription).getOrElse(""),
+      noindex = noindex,
+      nofollow = nofollow)
+  }
+
+  def extract(bytes: Array[Byte]): HtmlMeta = extract(Boilerplate.decode(bytes))
+
+  /** Tag-event walk shared by [[Meta]] and [[Links]] — the ONE copy of the
+    * hardened scanner rules: comments and CDATA sections skipped,
+    * raw-text/RCDATA bodies (`script`/`style`/`title`/`textarea`) skipped
+    * with case-insensitive close matching (the body is text, not markup),
+    * every tag's attributes consumed quote-aware per HTML5 (markup-looking
+    * text inside attribute values or RCDATA can't forge tags). `onTag`
+    * fires once per real open tag with the lowercased name and first-wins
+    * attribute map; a scanner hardening fix lands here once for every
+    * consumer. */
+  private[html] def walkTags(html: String)(onTag: (String, Map[String, String]) => Unit): Unit = {
     var i = 0
     val n = html.length
     while (i < n) {
@@ -43,58 +89,21 @@ object Meta {
           i = if (close < 0) n else close + 3
         } else {
           val (name, attrEnd) = tagName(html, i + 1)
-          name match {
-            case "script" | "style" | "title" | "textarea" =>
-              // raw-text / RCDATA element: the body is text, not markup;
-              // close tag is matched case-insensitively (</SCRIPT> is legal)
-              val (_, afterOpen) = attrs(html, attrEnd)
-              val close = indexOfIgnoreCase(html, "</" + name, afterOpen)
-              i = if (close < 0) n else close + 2 + name.length
-            case "meta" =>
-              val (a, next) = attrs(html, attrEnd)
-              // meta names/properties are case-insensitive in the wild
-              val key = a.getOrElse("name", a.getOrElse("property", "")).toLowerCase
-              val content = a.getOrElse("content", "")
-              key match {
-                case "description"    => if (description == null) description = content
-                case "og:title"       => if (ogTitle == null) ogTitle = content
-                case "og:description" => if (ogDescription == null) ogDescription = content
-                case "robots" =>
-                  val tokens = content.toLowerCase.split("[,\\s]+")
-                  if (tokens.contains("noindex") || tokens.contains("none")) noindex = true
-                  if (tokens.contains("nofollow") || tokens.contains("none")) nofollow = true
-                case _ =>
-              }
-              i = next
-            case "link" =>
-              val (a, next) = attrs(html, attrEnd)
-              // rel is a space-separated TOKEN LIST (rel="canonical alternate")
-              val isCanonical = a.getOrElse("rel", "")
-                .split("\\s+").exists(_.equalsIgnoreCase("canonical"))
-              if (isCanonical && canonical == null)
-                a.get("href").foreach(h => canonical = h)
-              i = next
-            case "" =>
-              i += 1 // stray '<' in text
-            case _ =>
-              // consume the tag quote-aware: attribute values containing
-              // markup-looking text must not be re-scanned as tags
-              val (_, next) = attrs(html, attrEnd)
-              i = next
+          if (name.isEmpty) i += 1 // stray '<' in text
+          else {
+            val (a, next) = attrs(html, attrEnd)
+            onTag(name, a)
+            name match {
+              case "script" | "style" | "title" | "textarea" =>
+                val close = indexOfIgnoreCase(html, "</" + name, next)
+                i = if (close < 0) n else close + 2 + name.length
+              case _ => i = next
+            }
           }
         }
       } else i += 1
     }
-    HtmlMeta(
-      canonical = Option(canonical).getOrElse(""),
-      description = Option(description).getOrElse(""),
-      ogTitle = Option(ogTitle).getOrElse(""),
-      ogDescription = Option(ogDescription).getOrElse(""),
-      noindex = noindex,
-      nofollow = nofollow)
   }
-
-  def extract(bytes: Array[Byte]): HtmlMeta = extract(Boilerplate.decode(bytes))
 
   private[html] def indexOfIgnoreCase(html: String, needle: String, from: Int): Int = {
     var i = math.max(from, 0)

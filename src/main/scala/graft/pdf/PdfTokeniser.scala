@@ -359,10 +359,21 @@ final class PdfTokeniser(
                   if (generation < 65535)
                     throw fileException(s"Xref table: entry 0000000000 should have the value 65535 but has '$generation' instead.")
                 } else {
-                  if (freedHere != null &&
-                      (!xref.containsAddress(objectId) || xref.isDead(objectId)))
-                    freedHere += objectId
-                  xref.removeAddress(objectId)
+                  if (freedHere != null) {
+                    // EXTENSION (extended mode): newest-wins applies to free
+                    // marks too. Only an id NO newer section defined (live or
+                    // dead) takes the dead marker and becomes resurrectable by
+                    // THIS section's /XRefStm supplement. Without the guard,
+                    // an older hybrid section's compatibility free mark
+                    // clobbers a newer supplement's live entry (chained hybrid
+                    // updates lose their whole page graph), and an older
+                    // supplement can resurrect an object the newest update
+                    // genuinely deleted (stale text reappears).
+                    if (!xref.containsAddress(objectId)) {
+                      freedHere += objectId
+                      xref.removeAddress(objectId)
+                    }
+                  } else xref.removeAddress(objectId) // reference parity: unconditional clobber
                 }
               } else throw fileException(s"'n' or 'f' missing after ref $address $generation.")
               i += 1

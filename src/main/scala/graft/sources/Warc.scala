@@ -81,6 +81,10 @@ object Warc {
             case Right(Some(rec)) => Some(Right(rec))
             case Left(err)        => done = true; Some(Left(err))
           }
+          // end-of-iteration closes the stream: GZIPInputStream holds a
+          // native-memory Inflater that otherwise waits for the Cleaner —
+          // millions of parsed files would accumulate native RSS
+          if (done) try stream.close() catch { case _: Exception => }
         }
         override def hasNext: Boolean = {
           if (nextElem == null) advance()
@@ -146,21 +150,32 @@ object Warc {
       }
       Right(Some(WarcRecord(version, headers.result(), payload)))
     } catch {
+      case e: LineGuard => Left(s"warc: ${e.getMessage}")
       case e: EOFException => Left(s"warc: truncated gzip member: ${e.getMessage}")
       case e: java.util.zip.ZipException => Left(s"warc: corrupt gzip: ${e.getMessage}")
       case e: Exception => Left(s"warc: ${e.getClass.getSimpleName}: ${e.getMessage}")
     }
 
+  private final class LineGuard extends Exception("header line exceeds 1 MB guard")
+
   /** CRLF line (the spec's terminator; a bare LF is tolerated, the CR is
-    * stripped). Null at end of stream. */
+    * stripped). Null at end of stream. Bytes decode as UTF-8 — ISO 28500
+    * header values (WARC-Target-URI IRIs in particular) are UTF-8, and a
+    * byte-as-char copy would mojibake every multibyte URI. The guard fires
+    * DURING the read: a hostile newline-free stream must error out, not
+    * grow the buffer to the stream size. */
   private def readLine(in: InputStream): String = {
-    val sb = new java.lang.StringBuilder(64)
+    val buf = new ByteArrayOutputStream(64)
     var c = in.read()
     if (c < 0) return null
-    while (c >= 0 && c != '\n') { sb.append(c.toChar); c = in.read() }
-    var n = sb.length()
-    if (n > 0 && sb.charAt(n - 1) == '\r') n -= 1
-    sb.substring(0, n)
+    while (c >= 0 && c != '\n') {
+      if (buf.size() >= MaxHeaderBytes) throw new LineGuard
+      buf.write(c); c = in.read()
+    }
+    val bytes = buf.toByteArray
+    var n = bytes.length
+    if (n > 0 && bytes(n - 1) == '\r') n -= 1
+    new String(bytes, 0, n, UTF_8)
   }
 
   /** Split an HTTP message block into (status+header section, body): the
@@ -214,15 +229,17 @@ object Warc {
     val out = new ByteArrayOutputStream()
     records.foreach { case (headers, payload) =>
       val rec = new ByteArrayOutputStream()
-      rec.write("WARC/1.0\r\n".getBytes(ISO_8859_1))
-      headers.foreach { case (k, v) => rec.write(s"$k: $v\r\n".getBytes(ISO_8859_1)) }
-      rec.write(s"Content-Length: ${payload.length}\r\n\r\n".getBytes(ISO_8859_1))
+      rec.write("WARC/1.0\r\n".getBytes(UTF_8))
+      // UTF-8, the ISO 28500 header charset (ASCII-identical for the common
+      // case; IRIs in WARC-Target-URI need the multibyte arm)
+      headers.foreach { case (k, v) => rec.write(s"$k: $v\r\n".getBytes(UTF_8)) }
+      rec.write(s"Content-Length: ${payload.length}\r\n\r\n".getBytes(UTF_8))
       rec.write(payload)
       rec.write("\r\n\r\n".getBytes(ISO_8859_1))
       if (gzipPerRecord) {
         val gz = new GZIPOutputStream(out)
         gz.write(rec.toByteArray)
-        gz.finish()
+        gz.close() // finishes the member AND ends the native Deflater
       } else out.write(rec.toByteArray)
     }
     out.toByteArray

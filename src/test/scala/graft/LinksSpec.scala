@@ -31,6 +31,27 @@ class LinksSpec extends AnyFunSuite {
     assert(Links.resolveLink(page, "data:text/plain,x").isEmpty)
   }
 
+  test("scheme handling is a whitelist and absolute detection is prefix-only") {
+    // any non-http(s) scheme is not a crawl edge — neither emitted verbatim
+    // nor glued onto the base path as a bogus relative reference
+    assert(Links.resolveLink(page, "about:blank").isEmpty)
+    assert(Links.resolveLink(page, "intent://scan/#Intent;end").isEmpty)
+    assert(Links.resolveLink(page, "ftp://host/f.txt").isEmpty)
+    assert(Links.resolveLink(page, "itms-apps://apps.apple.com/x").isEmpty)
+    assert(Links.resolveLink(page, "urn:isbn:0451450523").isEmpty)
+    // a RELATIVE href embedding an absolute URL in its query must resolve
+    // path-relative, not be misread as absolute via the '://' substring
+    assert(Links.resolveLink(page, "redirect?next=https://other.com/") ==
+      Some("https://example.org/doc/redirect?next=https://other.com/"))
+    assert(Links.resolve(page, "redirect?next=https://other.com/") ==
+      "https://example.org/doc/redirect?next=https://other.com/")
+    // a digit-led "scheme" is not a scheme (ALPHA-first grammar): relative
+    assert(Links.resolveLink(page, "3:2-aspect") ==
+      Some("https://example.org/doc/3:2-aspect"))
+    // uppercase absolute http stays absolute
+    assert(Links.resolveLink(page, "HTTPS://other.net/X") == Some("HTTPS://other.net/X"))
+  }
+
   test("extract: document order, base tag rebases even earlier links, scanner hardening") {
     val html =
       """<html><head>

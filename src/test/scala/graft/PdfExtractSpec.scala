@@ -126,6 +126,61 @@ class PdfExtractSpec extends AnyFunSuite {
     assert(r.text == "new payload|", r.error.orNull)
   }
 
+  test("chained hybrid sections: an older compat free mark never clobbers a newer supplement's live entry") {
+    // the standard Acrobat shape: a hybrid incremental update OVER a hybrid
+    // base. The newest section's table frees 2..6 (compatibility) and its
+    // /XRefStm resurrects them; the OLDER hybrid section's table frees the
+    // same ids again. Newest-wins must leave the already-live entries
+    // untouched — before the fix the older free mark overwrote them with the
+    // dead marker and the older supplement could not re-resurrect
+    // (mayResurrect=false there), erroring the whole valid document.
+    val base = GoldenGen.hybridXrefPdf("old payload")
+    val baseStr = new String(base.map(b => (b & 0xff).toChar))
+    val prevAt = baseStr.split("startxref")(1).trim.split("\\s+")(0).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base)
+    // the update carries its OWN supplement (object 7, uncompressed
+    // /Type/XRef) re-listing the ObjStm carrier (2) and its members (3..5)
+    // at their base addresses — as Acrobat writes it
+    val stmAt = out.size()
+    val obj2At = baseStr.indexOf("2 0 obj")
+    def offRow(a: Int) = Array[Byte](1, ((a >> 16) & 0xff).toByte, ((a >> 8) & 0xff).toByte, (a & 0xff).toByte, 0)
+    val rows = offRow(obj2At) ++ Array[Byte](2, 0, 0, 2, 1) ++
+      Array[Byte](2, 0, 0, 2, 0) ++ Array[Byte](2, 0, 0, 2, 2)
+    out.write(s"7 0 obj\n<</Type/XRef/Size 8/Index[2 4]/W[1 3 1]/Length ${rows.length}/Root 5 0 R>>stream\n"
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    out.write(rows)
+    out.write("\nendstream\nendobj\n".getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val tableAt = out.size()
+    out.write((s"xref\n2 5\n" + "0000000000 00000 f \n" * 5 +
+      s"trailer<</Size 8/Root 5 0 R/Prev $prevAt/XRefStm $stmAt>>\nstartxref\n$tableAt\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val r = PdfExtract.extract(out.toByteArray, extendedFilters = true)
+    assert(r.text == "old payload|", r.error.orNull)
+    assert(r.pages == 1)
+  }
+
+  test("genuine deletion in a newer section is final: an older supplement must not resurrect it") {
+    // newest classic section genuinely frees the catalog (object 5, no
+    // /XRefStm of its own); the older hybrid section's table also frees 5
+    // and its supplement lists it. Newest-wins: the deletion stands and the
+    // document errors (the /Root is gone) — before the fix the older
+    // section re-recorded 5 as freed-here (the isDead arm) and its
+    // supplement resurrected the deleted catalog, extracting stale text.
+    val base = GoldenGen.hybridXrefPdf("old payload")
+    val baseStr = new String(base.map(b => (b & 0xff).toChar))
+    val prevAt = baseStr.split("startxref")(1).trim.split("\\s+")(0).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(base)
+    val tableAt = out.size()
+    out.write((s"xref\n5 1\n0000000000 00000 f \n" +
+      s"trailer<</Size 7/Root 5 0 R/Prev $prevAt>>\nstartxref\n$tableAt\n%%EOF\n")
+      .getBytes(java.nio.charset.StandardCharsets.ISO_8859_1))
+    val r = PdfExtract.extract(out.toByteArray, extendedFilters = true)
+    assert(r.error.isDefined)
+    assert(r.text == "")
+  }
+
   test("malformed tolerances: junk before header, CR-only EOL, wrong /Length, trailing NULs") {
     val r = PdfExtract.extract(GoldenGen.malformedPdf())
     assert(r.text == "tolerant parse|", r.error.orNull)

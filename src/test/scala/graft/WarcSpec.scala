@@ -75,6 +75,22 @@ class WarcSpec extends AnyFunSuite {
     assert(parseAll(huge).head.swap.exists(_.contains("exceeds")))
   }
 
+  test("UTF-8 WARC-Target-URI round-trips (IRIs are UTF-8 per ISO 28500)") {
+    val uri = "https://example.org/café/日本語"
+    val got = parseAll(Warc.encode(Seq(rec("response", uri,
+      Warc.httpResponse("x".getBytes(UTF_8)))), gzipPerRecord = false))
+    assert(got.head.toOption.get.targetUri == uri)
+  }
+
+  test("hostile newline-free stream errors at the 1 MB guard instead of buffering the file") {
+    val hostile = new java.io.InputStream {
+      private var n = 0L
+      override def read(): Int = { n += 1; if (n > (64L << 20)) -1 else 'A' }
+    }
+    val got = Warc.records(hostile).toVector
+    assert(got == Vector(Left("warc: header line exceeds 1 MB guard")))
+  }
+
   test("corpus fixture: 3 records, http headers strip, gzip arm flips with doc_id") {
     import graft.pipeline.Corpus
     for (id <- Seq(6L, 7L)) {
