@@ -584,6 +584,44 @@ object SparkEntry {
         }.toDF("doc_id", "n_records", "n_errors", "url", "warc_date", "text")
         .orderBy("doc_id")
     }),
+    "sitemap_entries" -> ((s, dir) => {
+      // sitemaps.org protocol (the crawl-seeding artifact robots.txt points
+      // at): per document a synthetic urlset (even ids, entity-escaped
+      // query strings + lastmod arms) or sitemapindex (odd ids), gzip
+      // transport on ids%3==0, namespace prefixes on ids%4==0 — every
+      // entry a closed form of (doc_id, idx)
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long]
+        .flatMap { id =>
+          val p = graft.sources.Sitemap.parse(Corpus.sitemapForDoc(id))
+            .fold(e => throw new IllegalStateException(e), identity)
+          p.entries.zipWithIndex.map { case (e, i) =>
+            (id, i.toLong, p.isIndex, e.loc, e.lastmod.orNull)
+          }
+        }.toDF("doc_id", "idx", "is_index", "loc", "lastmod")
+        .orderBy("doc_id", "idx")
+    }),
+    "robots_allow" -> ((s, dir) => {
+      // RFC 9309 robots.txt policy (the fetch-side keepability gate, twin
+      // of html_meta's robots directives): per document a synthetic policy
+      // file — specific graftbot group on EVEN ids only, so
+      // group-selection-vs-* is visible — evaluated against 5 probe paths;
+      // wildcard + $-anchor matching, longest-match-wins and the
+      // crawl-delay/sitemap surfaces are all closed forms of (doc_id, arm)
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long]
+        .flatMap { id =>
+          val policy = graft.sources.Robots.parse(Corpus.robotsForDoc(id), "graftbot")
+          (0 until 5).map { arm =>
+            (id, arm.toLong, policy.isAllowed(Corpus.robotsPathArm(id, arm)),
+              policy.crawlDelaySec.map(_.toLong),
+              policy.sitemaps.headOption.getOrElse(""))
+          }
+        }.toDF("doc_id", "arm", "allowed", "crawl_delay", "sitemap")
+        .orderBy("doc_id", "arm")
+    }),
     "text_normalize" -> ((s, dir) => {
       // Unicode NFC normalization (UAX #15) as the native codegen'd
       // nfc_normalize expression — the CCNet-style cleanup stage before
@@ -1596,6 +1634,37 @@ object SparkEntry {
                          '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
                 text
          FROM documents ORDER BY doc_id""",
+    // every entry restated as closed forms of (doc_id, idx): even ids a
+    // urlset of doc_id%5+1 page urls (decoded '&' query on even idx),
+    // odd ids a 2-entry index; lastmod on even idx only
+    "sitemap_entries" ->
+      """WITH k AS (SELECT unnest(range(5)) AS idx),
+         e AS (SELECT doc_id, idx FROM documents CROSS JOIN k
+               WHERE (doc_id % 2 = 0 AND idx < doc_id % 5 + 1)
+                  OR (doc_id % 2 = 1 AND idx < 2))
+         SELECT doc_id, CAST(idx AS BIGINT) AS idx,
+                (doc_id % 2 = 1) AS is_index,
+                CASE WHEN doc_id % 2 = 0
+                     THEN 'https://example.org/doc/' || doc_id || '/p' || idx
+                          || CASE WHEN idx % 2 = 0 THEN '?a=1&b=2' ELSE '' END
+                     ELSE 'https://example.org/' || doc_id || '/s' || (idx + 1) || '.xml.gz'
+                END AS loc,
+                CASE WHEN idx % 2 = 0
+                     THEN '2024-01-' || lpad(CAST((doc_id + idx) % 28 + 1 AS VARCHAR), 2, '0')
+                     ELSE NULL END AS lastmod
+         FROM e ORDER BY doc_id, idx""",
+    // independent restatement of every robots arm outcome as closed forms
+    // of (doc_id, arm): even ids carry the specific graftbot group (arms
+    // 0/3/4 allowed), odd ids fall to the * group (arms 2/3 allowed)
+    "robots_allow" ->
+      """WITH arms AS (SELECT unnest(range(5)) AS arm)
+         SELECT doc_id, CAST(arm AS BIGINT) AS arm,
+                CASE WHEN doc_id % 2 = 0 THEN arm IN (0, 3, 4)
+                     ELSE arm IN (2, 3) END AS allowed,
+                CASE WHEN doc_id % 2 = 0 THEN CAST(doc_id % 7 + 1 AS BIGINT)
+                     ELSE NULL END AS crawl_delay,
+                'https://example.org/' || doc_id || '/sitemap.xml' AS sitemap
+         FROM documents CROSS JOIN arms ORDER BY doc_id, arm""",
     // same decomposed prefix (chr() is codepoint-based in DuckDB), same
     // NFC function from DuckDB's utf8proc — two independent UAX #15
     // implementations must produce byte-identical output

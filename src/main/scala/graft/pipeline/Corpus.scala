@@ -994,6 +994,85 @@ object Corpus {
     graft.sources.Warc.encode(recs, gzipPerRecord = docId % 2 == 0)
   }
 
+  /** Robots gate corpus: one robots.txt per document exercising every
+    * RFC 9309 feature the parser implements — a specific `graftbot` group
+    * (present only on EVEN doc_ids, so group-selection-vs-`*` is
+    * gate-visible), wildcard + `$`-anchored rules, longest-match-wins
+    * allow/disallow overlap, a decoy group, crawl-delay and a sitemap.
+    * Every per-arm outcome is a closed form of (doc_id, arm) the DuckDB
+    * oracle restates independently. */
+  def robotsForDoc(docId: Long): String = {
+    val specific =
+      if (docId % 2 == 0)
+        s"""User-agent: graftbot
+           |Allow: /doc/$docId/keep*
+           |Disallow: /doc/$docId/
+           |Disallow: /tmp/*.dat$$
+           |Crawl-delay: ${docId % 7 + 1}
+           |""".stripMargin
+      else ""
+    s"""# corpus policy $docId
+       |User-agent: otherbot
+       |Disallow: /
+       |
+       |$specific
+       |User-agent: *
+       |Disallow: /doc/
+       |Disallow: /blocked
+       |
+       |Sitemap: https://example.org/$docId/sitemap.xml
+       |""".stripMargin
+  }
+
+  /** Sitemap gate corpus: per document a sitemap exercising every parser
+    * feature as closed forms of (doc_id, idx) — even ids a `<urlset>` of
+    * (id%5+1) page URLs (escaped `&amp;` query strings on even idx, the
+    * entity-decode arm; `<lastmod>` on even idx), odd ids a 2-entry
+    * `<sitemapindex>`; ids %3==0 ride gzip transport, ids %4==0 carry a
+    * namespace prefix on every element. */
+  def sitemapForDoc(docId: Long): Array[Byte] = {
+    val pre = if (docId % 4 == 0) "sm:" else ""
+    def lastmod(idx: Long): String =
+      if (idx % 2 == 0)
+        f"<${pre}lastmod>2024-01-${(docId + idx) % 28 + 1}%02d</${pre}lastmod>"
+      else ""
+    val body =
+      if (docId % 2 == 0) {
+        val n = docId % 5 + 1
+        val urls = (0L until n).map { k =>
+          val q = if (k % 2 == 0) "?a=1&amp;b=2" else ""
+          s"<${pre}url><${pre}loc>$UrlPrefix$docId/p$k$q</${pre}loc>${lastmod(k)}</${pre}url>"
+        }.mkString("\n")
+        s"""<?xml version="1.0" encoding="UTF-8"?>
+           |<${pre}urlset xmlns${if (pre.isEmpty) "" else ":sm"}="http://www.sitemaps.org/schemas/sitemap/0.9">
+           |$urls
+           |</${pre}urlset>""".stripMargin
+      } else {
+        val maps = (0L until 2L).map { k =>
+          s"<${pre}sitemap><${pre}loc>https://example.org/$docId/s${k + 1}.xml.gz</${pre}loc>${lastmod(k)}</${pre}sitemap>"
+        }.mkString("\n")
+        s"""<${pre}sitemapindex xmlns${if (pre.isEmpty) "" else ":sm"}="http://www.sitemaps.org/schemas/sitemap/0.9">
+           |$maps
+           |</${pre}sitemapindex>""".stripMargin
+      }
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (docId % 3 == 0) {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(bytes); g.close()
+      out.toByteArray
+    } else bytes
+  }
+
+  /** The five probe paths for [[robotsForDoc]], by arm. */
+  def robotsPathArm(docId: Long, arm: Int): String = arm match {
+    case 0 => s"/doc/$docId/keep/a"   // even: allow beats disallow (longer); odd: * group blocks /doc/
+    case 1 => s"/doc/$docId/x"        // blocked under both groups
+    case 2 => s"/tmp/$docId.dat"      // even: $-anchored block; odd: * group has no /tmp rule
+    case 3 => s"/tmp/$docId.dat?x=1"  // anchor mismatch: allowed under both
+    case _ => "/blocked"              // even: specific group shadows *; odd: blocked
+  }
+
   /** Expected `pdf_outline` surface for [[pdfOutlineForDoc]] (Scala twin of
     * the SQL oracle): a fixed depth-3 subtree under chapter 0, then one
     * top-level chapter per page. */

@@ -6,7 +6,19 @@ import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
 import graft.sources.{Warc, WarcRecord}
 import org.scalatest.funsuite.AnyFunSuite
 
-class WarcSpec extends AnyFunSuite {
+class WarcSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
+
+  private lazy val spark = {
+    val s = org.apache.spark.sql.SparkSession.builder()
+      .appName("graft-warc-spec")
+      .config("spark.sql.shuffle.partitions", 4)
+      .config("spark.ui.enabled", "false")
+      .master("local[4]")
+      .getOrCreate()
+    s.sparkContext.setLogLevel("ERROR")
+    s
+  }
+  override def afterAll(): Unit = if (spark != null) spark.stop()
 
   private def rec(tpe: String, uri: String, payload: Array[Byte]) =
     (Seq("WARC-Type" -> tpe, "WARC-Target-URI" -> uri,
@@ -89,6 +101,35 @@ class WarcSpec extends AnyFunSuite {
     }
     val got = Warc.records(hostile).toVector
     assert(got == Vector(Left("warc: header line exceeds 1 MB guard")))
+  }
+
+  test("pages(): binaryFile rows -> input_hint schema, per-file error rows, no file lost") {
+    // three real .warc/.warc.gz files on disk — two good (one per
+    // transport), one truncated mid-block: the adapter must surface both
+    // good responses as pages and the damaged file as its good prefix plus
+    // one diagnostic row, never fail the job
+    import graft.pipeline.Corpus
+    val dir = java.nio.file.Files.createTempDirectory("warc_pages_").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "a.warc").toPath,
+        Corpus.warcForDoc(1L, "plain body"))
+      java.nio.file.Files.write(new java.io.File(dir, "b.warc.gz").toPath,
+        Corpus.warcForDoc(2L, "gzip body"))
+      val full = Corpus.warcForDoc(3L, "will truncate")
+      java.nio.file.Files.write(new java.io.File(dir, "c.warc").toPath,
+        java.util.Arrays.copyOfRange(full, 0, full.length - 30))
+      val got = Warc.pages(spark, dir.getAbsolutePath + "/*")
+        .selectExpr("url", "cast(html as string) AS body", "warc_error")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      val good = got.filter(_._3 == null).sortBy(_._1)
+      assert(good.map(_._1).toSeq == Seq(Corpus.UrlPrefix + 1, Corpus.UrlPrefix + 2))
+      assert(good.map(_._2).toSeq == Seq("plain body", "gzip body"))
+      val errs = got.filter(_._3 != null)
+      assert(errs.length == 1 && errs.head._1 == null)
+      assert(errs.head._3.startsWith("warc:"), errs.head._3)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(); ()
+    }
   }
 
   test("corpus fixture: 3 records, http headers strip, gzip arm flips with doc_id") {
