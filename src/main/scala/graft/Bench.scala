@@ -319,6 +319,15 @@ object Bench {
             }
           }.agg(sum("value")).collect(); ()
       }),
+      "anchor_profile" -> (() => {
+        import spark.implicits._
+        val edges = docsDf.select("doc_id", "text").as[(Long, String)]
+          .flatMap { case (id, t) =>
+            graft.html.Links.extractAnchors(
+              Corpus.htmlAnchorProbe(id, t), Corpus.UrlPrefix + id)
+          }.toDF("dst", "anchor")
+        graft.html.Anchors.profile(edges, "dst", "anchor").count(); ()
+      }),
       // metrics-only throughput at full cores (the scaling-tier job)
       "extract_metrics_only" -> (() => runMetricsJob(pages)))
 

@@ -84,6 +84,21 @@ object OpScaling {
           .unionByName(withN.selectExpr("doc_id AS src", "(doc_id*17+3) % n AS dst"))
           .unionByName(withN.selectExpr("doc_id AS src", "(doc_id+1) % n AS dst"))
         graft.graph.PageRank.run(edges, "src", "dst", iterations = 8).count(); ()
+      }),
+      // identical replicas concentrate the probe's shared hub targets:
+      // replica-many in-links land on the SAME (dst, anchor) keys, the
+      // worst case for the profile's first agg — map-side combine must
+      // absorb the duplication or the second shuffle grows with the corpus
+      "anchor_profile" -> (df => {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val edges = df.select("doc_id", "text").as[(Long, String)]
+          .flatMap { case (id, t) =>
+            graft.html.Links.extractAnchors(
+              graft.pipeline.Corpus.htmlAnchorProbe(id, t),
+              graft.pipeline.Corpus.UrlPrefix + id)
+          }.toDF("dst", "anchor")
+        graft.html.Anchors.profile(edges, "dst", "anchor").count(); ()
       }))
 
     // optional comma-list filter so a re-run for newly added ops doesn't

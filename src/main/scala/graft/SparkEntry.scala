@@ -659,6 +659,38 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
         .orderBy("doc_id")
     }),
+    "html_anchor_text" -> ((s, dir) => {
+      // anchor-text extraction: the same edge walk as html_links, each
+      // edge keyed to its element's inner text — pins every innerText
+      // convention on closed forms (mid-word entity, transparent inline
+      // tag, <br> separator, comment skip, whitespace collapse, image-only
+      // empty anchor, HTML5 nested-<a> auto-close, javascript:-text and
+      // href-less-target suppression); probe at Corpus.htmlAnchorProbe
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.html.Links.extractAnchors(Corpus.htmlAnchorProbe(id, t), Corpus.UrlPrefix + id)
+            .zipWithIndex.map { case ((href, anchor), ord) => (id, ord.toLong, href, anchor) }
+        }.toDF("doc_id", "ord", "href", "anchor")
+        .orderBy("doc_id", "ord")
+    }),
+    "anchor_profile" -> ((s, dir) => {
+      // per-target anchor profile (Anchors.profile): in-link count,
+      // distinct-anchor count and most-frequent anchor per target over the
+      // whole corpus's htmlAnchorProbe edges — the shared hub targets give
+      // the argmax real cross-document frequency structure (the empty
+      // image-anchor ties ords 0 and 2 onto one hub target; the three
+      // "bold-K tail" variants contend on the example.org targets)
+      import s.implicits._
+      val edges = s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.html.Links.extractAnchors(Corpus.htmlAnchorProbe(id, t), Corpus.UrlPrefix + id)
+        }.toDF("dst", "anchor")
+      graft.html.Anchors.profile(edges, "dst", "anchor")
+        .orderBy("dst")
+    }),
     "html_links" -> ((s, dir) => {
       // out-link extraction (ADDITIVE surface — the edges of the web graph
       // that feed URL frontiers and link-based quality priors): five kept
@@ -1725,6 +1757,51 @@ object SparkEntry {
     },
     // Corpus.htmlLinksProbe resolved URLs restated as closed forms of
     // (doc_id, length(text)); the CASE arms are the <base>-rebased odd ids
+    // Corpus.htmlAnchorProbe edges: hrefs and anchor strings are closed
+    // forms of doc_id (the javascript: and href-less arms never surface)
+    "html_anchor_text" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+         u AS (
+           SELECT doc_id, 0 AS ord,
+                  'https://hub.example/t' || (doc_id % 4) AS href,
+                  'plain ' || (doc_id % 3) AS anchor FROM d
+           UNION ALL
+           SELECT doc_id, 1, 'https://example.org/t' || ((doc_id + 1) % 4),
+                  'bold-' || (doc_id % 3) || ' tail' FROM d
+           UNION ALL
+           SELECT doc_id, 2, 'https://hub.example/t' || (doc_id % 4), '' FROM d
+           UNION ALL
+           SELECT doc_id, 3, 'https://hub.example/n1', 'one' FROM d
+           UNION ALL
+           SELECT doc_id, 4, 'https://hub.example/n2', 'two' FROM d)
+         SELECT doc_id, CAST(ord AS BIGINT) AS ord, href, anchor
+         FROM u ORDER BY doc_id, ord""",
+    // same regenerated edges, aggregated the way Anchors.profile does —
+    // the window restatement is oracle-side only (DuckDB is single-node);
+    // the Spark side is two combinable hash aggs, never a window
+    "anchor_profile" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+         e AS (
+           SELECT 'https://hub.example/t' || (doc_id % 4) AS dst,
+                  'plain ' || (doc_id % 3) AS anchor FROM d
+           UNION ALL
+           SELECT 'https://example.org/t' || ((doc_id + 1) % 4),
+                  'bold-' || (doc_id % 3) || ' tail' FROM d
+           UNION ALL
+           SELECT 'https://hub.example/t' || (doc_id % 4), '' FROM d
+           UNION ALL
+           SELECT 'https://hub.example/n1', 'one' FROM d
+           UNION ALL
+           SELECT 'https://hub.example/n2', 'two' FROM d),
+         c AS (SELECT dst, anchor, count(*) AS cnt FROM e GROUP BY 1, 2),
+         r AS (SELECT dst, anchor, cnt,
+                 row_number() OVER (PARTITION BY dst ORDER BY cnt DESC, anchor ASC) AS rn,
+                 sum(cnt) OVER (PARTITION BY dst) AS n_refs,
+                 count(*) OVER (PARTITION BY dst) AS n_anchors
+               FROM c)
+         SELECT dst, CAST(n_refs AS BIGINT) AS n_refs,
+                CAST(n_anchors AS BIGINT) AS n_anchors, anchor AS top_anchor
+         FROM r WHERE rn = 1 ORDER BY dst""",
     "html_links" ->
       """WITH d AS (SELECT doc_id, length(text) AS len FROM documents),
          u AS (

@@ -22,22 +22,110 @@ object Links {
     *  - `javascript:` / `mailto:` / `data:` / `tel:` schemes are not
     *    links to documents and are skipped;
     *  - fragment-only and empty hrefs are skipped. */
-  def extract(html: String, pageUrl: String): Seq[String] = {
+  def extract(html: String, pageUrl: String): Seq[String] =
+    extractAnchors(html, pageUrl).map(_._1)
+
+  def extract(bytes: Array[Byte], pageUrl: String): Seq[String] =
+    extract(Boilerplate.decode(bytes), pageUrl)
+
+  /** `(resolved href, anchor text)` pairs in document order — the same
+    * edges as [[extract]], each keyed to its element's inner text. The
+    * per-TARGET aggregation of these strings (how the rest of the web
+    * describes a page — see [[Anchors.profile]]) is a classic relevance /
+    * quality / page-description signal (Craswell et al., SIGIR 2001) and a
+    * standard training-target surface for retrieval corpora.
+    *
+    * Href rules are [[extract]]'s (first-wins `<base>` resolved after the
+    * walk, http(s) whitelist, fragments dropped). Anchor text is the
+    * element's inner text via [[innerText]]. HTML5 forbids nested `<a>` —
+    * browsers auto-close the open anchor when the next one opens, and this
+    * scanner replicates that; an anchor still open at EOF runs to the end
+    * of the document (spec: it would run to the implied `</body>`); an
+    * href-less `<a name=…>` is a named target, not a link, so its text is
+    * no edge's anchor. */
+  def extractAnchors(html: String, pageUrl: String): Seq[(String, String)] = {
     var baseHref: String = null
-    val raw = Vector.newBuilder[String]
-    Meta.walkTags(html) { (name, a) =>
+    val raw = Vector.newBuilder[(String, String)]
+    var openHref: String = null
+    var textStart = 0
+    def closeAt(pos: Int): Unit =
+      if (openHref != null) {
+        raw += ((openHref, innerText(html, textStart, pos)))
+        openHref = null
+      }
+    Meta.walkTagsAt(html) { (name, a, tagStart, afterTag) =>
       name match {
-        case "a"    => a.get("href").foreach(h => raw += h)
+        case "a" =>
+          closeAt(tagStart) // HTML5 auto-close: a new <a> ends the open one
+          a.get("href").foreach { h => openHref = h; textStart = afterTag }
+        case "/a"   => closeAt(tagStart)
         case "base" => if (baseHref == null) a.get("href").foreach(h => baseHref = h)
         case _      =>
       }
     }
+    closeAt(html.length)
     val base = if (baseHref == null) pageUrl else resolve(pageUrl, baseHref)
-    raw.result().flatMap(h => resolveLink(base, h))
+    raw.result().flatMap { case (h, t) => resolveLink(base, h).map(u => (u, t)) }
   }
 
-  def extract(bytes: Array[Byte], pageUrl: String): Seq[String] =
-    extract(Boilerplate.decode(bytes), pageUrl)
+  def extractAnchors(bytes: Array[Byte], pageUrl: String): Seq[(String, String)] =
+    extractAnchors(Boilerplate.decode(bytes), pageUrl)
+
+  /** Text content of `html[from, until)`: tags dropped with the shared
+    * quote-aware attribute scan (a `>` inside `href="a>b"` cannot truncate
+    * the tag), comments/CDATA and raw-text bodies (`script`/`style`/
+    * `title`/`textarea`) skipped, character references decoded, whitespace
+    * collapsed to single spaces and trimmed. `<br>` separates words; other
+    * tags are transparent (`bo<b>ld</b>` → `bold`) — the same inline-tag
+    * convention as [[Boilerplate]]'s block scanner. */
+  private[html] def innerText(html: String, from: Int, until: Int): String = {
+    val sb = new java.lang.StringBuilder(32)
+    var pendingSpace = false
+    def append(c: Char): Unit =
+      if (c == ' ' || c == '\t' || c == '\n' || c == '\r' || c == '\f' || c == '\u00a0') {
+        if (sb.length > 0) pendingSpace = true
+      } else {
+        if (pendingSpace) { sb.append(' '); pendingSpace = false }
+        sb.append(c)
+      }
+    var i = math.max(from, 0)
+    val end = math.min(until, html.length)
+    while (i < end) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val close = html.indexOf("-->", i + 4)
+          i = if (close < 0) end else close + 3
+        } else if (html.startsWith("<![CDATA[", i)) {
+          val close = html.indexOf("]]>", i + 9)
+          i = if (close < 0) end else close + 3
+        } else {
+          val (name, attrEnd) = Meta.tagName(html, i + 1)
+          if (name.isEmpty) { append('<'); i += 1 } // stray '<' is text
+          else {
+            val (_, next) = Meta.attrs(html, attrEnd)
+            if (name == "br" && sb.length > 0) pendingSpace = true
+            name match {
+              case "script" | "style" | "title" | "textarea" =>
+                val close = Meta.indexOfIgnoreCase(html, "</" + name, next)
+                // consume through the close tag's '>' — walkTags can leave
+                // its trailing '>' to the '<'-only outer loop, but here a
+                // leftover '>' would be appended as anchor text
+                i = if (close < 0) end
+                    else Meta.attrs(html, close + 2 + name.length)._2
+              case _ => i = next
+            }
+          }
+        }
+      } else if (c == '&') {
+        val (ch, lo, next) = Boilerplate.entity(html, i)
+        append(ch)
+        if (lo != 0) sb.append(lo) // low surrogate rides with its pair
+        i = next
+      } else { append(c); i += 1 }
+    }
+    sb.toString
+  }
 
   /** Index of the ':' ending a valid RFC 3986 scheme prefix
     * (ASCII `ALPHA *( ALPHA / DIGIT / "+" / "-" / "." ) ":"`), or -1 when

@@ -76,7 +76,18 @@ object Meta {
     * fires once per real open tag with the lowercased name and first-wins
     * attribute map; a scanner hardening fix lands here once for every
     * consumer. */
-  private[html] def walkTags(html: String)(onTag: (String, Map[String, String]) => Unit): Unit = {
+  private[html] def walkTags(html: String)(onTag: (String, Map[String, String]) => Unit): Unit =
+    walkTagsAt(html)((name, a, _, _) => onTag(name, a))
+
+  /** Offset-aware variant of [[walkTags]]: `onTag(name, attrs, tagStart,
+    * afterTag)` where `tagStart` is the index of the tag's `<` and
+    * `afterTag` the index just after its closing `>` (for raw-text tags,
+    * after the OPEN tag — the skipped body follows). Close tags surface as
+    * `"/name"` with empty attributes; the (tagStart, afterTag) pairs let
+    * [[Links.extractAnchors]] slice element inner text without a second
+    * scanner. */
+  private[html] def walkTagsAt(html: String)(
+      onTag: (String, Map[String, String], Int, Int) => Unit): Unit = {
     var i = 0
     val n = html.length
     while (i < n) {
@@ -92,7 +103,7 @@ object Meta {
           if (name.isEmpty) i += 1 // stray '<' in text
           else {
             val (a, next) = attrs(html, attrEnd)
-            onTag(name, a)
+            onTag(name, a, i, next)
             name match {
               case "script" | "style" | "title" | "textarea" =>
                 val close = indexOfIgnoreCase(html, "</" + name, next)

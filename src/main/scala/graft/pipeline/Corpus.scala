@@ -1429,6 +1429,31 @@ object Corpus {
     sb.toString.getBytes(UTF_8)
   }
 
+  /** Anchor-text probe (the `html_anchor_text` / `anchor_profile` gates):
+    * five kept edges per doc whose hrefs AND anchor strings are closed
+    * forms of doc_id, exercising every [[graft.html.Links.innerText]]
+    * convention — a plain anchor, an anchor with a mid-word numeric
+    * character reference + transparent inline tag + `<br>` separator +
+    * embedded comment + whitespace collapse, an image-only anchor (empty
+    * text), and the HTML5 nested-`<a>` auto-close pair — plus two
+    * non-edges that must vanish (a javascript: link whose text must not
+    * surface, and an href-less named target). The shared hub targets
+    * (`t0..t3`, `n1`, `n2`) give [[graft.html.Anchors.profile]] real
+    * cross-document frequency structure to argmax over. */
+  def htmlAnchorProbe(docId: Long, text: String): Array[Byte] = {
+    val k3 = docId % 3
+    val k4 = docId % 4
+    val sb = new StringBuilder("<!DOCTYPE html>\n<html><body>\n")
+    sb.append(s"""<a href="https://hub.example/t$k4">plain $k3</a>""").append('\n')
+    sb.append(s"""<a href="/t${(docId + 1) % 4}"> <b>bo&#108;d</b>-$k3 <br><!-- <a href="noise">x</a> --> tail </a>""").append('\n')
+    sb.append(s"""<a href="https://hub.example/t$k4"><img src="x.png"></a>""").append('\n')
+    sb.append(s"""<a href="https://hub.example/n1">one <a href="https://hub.example/n2">two</a>""").append('\n')
+    sb.append("""<a href="javascript:void(0)">never</a>""").append('\n')
+    sb.append("""<a name="here">not a link</a>""").append('\n')
+    sb.append("<p>").append(escapeHtml(text)).append("</p>\n</body></html>")
+    sb.toString.getBytes(UTF_8)
+  }
+
   def htmlSpanProbePageRowFor(docId: Long, text: String, lang: String): PageRow =
     PageRow(
       url = UrlPrefix + docId,

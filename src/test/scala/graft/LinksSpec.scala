@@ -84,4 +84,45 @@ class LinksSpec extends AnyFunSuite {
     val got = Links.extract("""<a href="search?a=1&amp;b=2">q</a>""", page)
     assert(got == Seq("https://example.org/doc/search?a=1&b=2"))
   }
+
+  test("extractAnchors: inner text conventions") {
+    // mid-word entity joins its word; inline tags transparent; <br> is a
+    // word separator; comments inside the anchor vanish; whitespace
+    // collapses and trims
+    val got = Links.extractAnchors(
+      """<a href="/t"> <b>bo&#108;d</b>-1 <br><!-- <a href="x">y</a> -->  tail </a>""", page)
+    assert(got == Seq(("https://example.org/t", "bold-1 tail")))
+    // image-only anchor keeps its (empty) text — the edge still exists
+    assert(Links.extractAnchors("""<a href="/i"><img src="x.png"></a>""", page)
+      == Seq(("https://example.org/i", "")))
+    // script body inside an anchor is not anchor text, and its markup
+    // cannot forge edges; '>' inside a quoted href cannot truncate the tag
+    assert(Links.extractAnchors(
+      """<a href="/s">pre<script>var a='<a href="f">x</a>';</script>post</a>""", page)
+      == Seq(("https://example.org/s", "prepost")))
+    assert(Links.extractAnchors("""<a href="/q?x=a>b">t</a>""", page)
+      == Seq(("https://example.org/q?x=a>b", "t")))
+  }
+
+  test("extractAnchors: nested <a> auto-closes, EOF closes, non-edges drop text") {
+    // HTML5 forbids nested <a>: the second open ends the first
+    assert(Links.extractAnchors(
+      """<a href="/1">one <a href="/2">two</a>""", page)
+      == Seq(("https://example.org/1", "one"), ("https://example.org/2", "two")))
+    // unclosed anchor runs to end of document
+    assert(Links.extractAnchors("""<a href="/u">tail text""", page)
+      == Seq(("https://example.org/u", "tail text")))
+    // javascript: edge is dropped WITH its text; href-less <a> is a named
+    // target whose text is no edge's anchor; stray '<' inside text is text
+    assert(Links.extractAnchors(
+      """<a href="javascript:void(0)">never</a><a name="x">skip</a><a href="/k">a < b</a>""",
+      page) == Seq(("https://example.org/k", "a < b")))
+  }
+
+  test("extract and extractAnchors emit the same edge sequence") {
+    val html =
+      """<base href="https://b.example/d/"><a href="r/1">r</a><a href="//c.example/x">p</a>
+        |<a href="mailto:a@b">m</a><a href="/root">q</a>""".stripMargin
+    assert(Links.extract(html, page) == Links.extractAnchors(html, page).map(_._1))
+  }
 }
