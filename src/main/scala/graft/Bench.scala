@@ -319,6 +319,16 @@ object Bench {
             }
           }.agg(sum("value")).collect(); ()
       }),
+      "feed_parse" -> (() => {
+        import spark.implicits._
+        docsDf.select("doc_id").as[Long]
+          .mapPartitions { it =>
+            it.map { id =>
+              graft.sources.Feed.parse(graft.pipeline.Corpus.feedForDoc(id))
+                .fold(_ => 0L, _.items.length.toLong)
+            }
+          }.agg(sum("value")).collect(); ()
+      }),
       "anchor_profile" -> (() => {
         import spark.implicits._
         val edges = docsDf.select("doc_id", "text").as[(Long, String)]

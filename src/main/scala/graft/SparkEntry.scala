@@ -602,6 +602,26 @@ object SparkEntry {
         }.toDF("doc_id", "idx", "is_index", "loc", "lastmod")
         .orderBy("doc_id", "idx")
     }),
+    "feed_items" -> ((s, dir) => {
+      // RSS/Atom feed parsing (the third crawl-discovery artifact —
+      // news-style pipelines seed frontiers from feeds): per document a
+      // synthetic RSS 2.0 (even ids) or Atom 1.0 (odd ids) feed — CDATA
+      // titles literal, entity-decoded plain titles/hrefs, Atom rel
+      // selection past self-link decoys, pubDate vs published/updated
+      // fallback, a linkless entry that must vanish; namespace prefixes on
+      // odd%5==1, gzip on %3==0 — every field a closed form of (doc_id, idx)
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long]
+        .flatMap { id =>
+          val p = graft.sources.Feed.parse(Corpus.feedForDoc(id))
+            .fold(e => throw new IllegalStateException(e), identity)
+          p.items.zipWithIndex.map { case (it, i) =>
+            (id, i.toLong, p.kind, it.link, it.title.orNull, it.published.orNull)
+          }
+        }.toDF("doc_id", "idx", "kind", "link", "title", "published")
+        .orderBy("doc_id", "idx")
+    }),
     "robots_allow" -> ((s, dir) => {
       // RFC 9309 robots.txt policy (the fetch-side keepability gate, twin
       // of html_meta's robots directives): per document a synthetic policy
@@ -1685,6 +1705,36 @@ object SparkEntry {
                      THEN '2024-01-' || lpad(CAST((doc_id + idx) % 28 + 1 AS VARCHAR), 2, '0')
                      ELSE NULL END AS lastmod
          FROM e ORDER BY doc_id, idx""",
+    // Corpus.feedForDoc surfaces: three kept items per doc, every field a
+    // closed form of (doc_id, idx); the linkless arm never surfaces
+    "feed_items" ->
+      """WITH d AS (SELECT doc_id, doc_id % 7 AS k, doc_id % 2 = 0 AS rss FROM documents),
+         u AS (
+           SELECT doc_id, 0 AS idx,
+                  CASE WHEN rss THEN 'rss' ELSE 'atom' END AS kind,
+                  CASE WHEN rss THEN 'https://news.example/r' || doc_id || '/0'
+                       ELSE 'https://news.example/a' || doc_id || '/0' END AS link,
+                  't&' || k || ' 0' AS title,
+                  CASE WHEN rss THEN '0' || (k + 1) || ' Jan 2024 00:00:00 GMT'
+                       ELSE '2024-01-0' || (k + 1) || 'T00:00:00Z' END AS published
+           FROM d
+           UNION ALL
+           SELECT doc_id, 1,
+                  CASE WHEN rss THEN 'rss' ELSE 'atom' END,
+                  CASE WHEN rss THEN 'https://news.example/r' || doc_id || '/1?a=1&b=2'
+                       ELSE 'https://news.example/a' || doc_id || '/1?x=1&y=2' END,
+                  't&' || k || ' 1',
+                  CASE WHEN rss THEN NULL ELSE '2024-02-01T00:00:00Z' END
+           FROM d
+           UNION ALL
+           SELECT doc_id, 2,
+                  CASE WHEN rss THEN 'rss' ELSE 'atom' END,
+                  CASE WHEN rss THEN 'https://news.example/r' || doc_id || '/2'
+                       ELSE 'https://news.example/a' || doc_id || '/2' END,
+                  NULL, NULL
+           FROM d)
+         SELECT doc_id, CAST(idx AS BIGINT) AS idx, kind, link, title, published
+         FROM u ORDER BY doc_id, idx""",
     // independent restatement of every robots arm outcome as closed forms
     // of (doc_id, arm): even ids carry the specific graftbot group (arms
     // 0/3/4 allowed), odd ids fall to the * group (arms 2/3 allowed)

@@ -1064,6 +1064,48 @@ object Corpus {
     } else bytes
   }
 
+  /** Feed gate corpus: one RSS 2.0 (even ids) or Atom 1.0 (odd ids) feed
+    * per document exercising every [[graft.sources.Feed]] rule — CDATA
+    * titles kept literal (the raw `&` inside proves no entity decoding in
+    * CDATA), entity-decoded plain titles and hrefs, Atom link selection by
+    * rel (feed-level and entry-level `rel="self"` decoys skipped,
+    * alternate and rel-less chosen), `pubDate` vs `published`-with-
+    * `updated`-fallback, a linkless entry that must vanish, and a
+    * missing-title/missing-date arm. Namespace-prefix arm on odd ids with
+    * id%5==1; gzip transport on id%3==0. Every surfaced field is a closed
+    * form of (doc_id, idx). */
+  def feedForDoc(docId: Long): Array[Byte] = {
+    val k = docId % 7
+    val body =
+      if (docId % 2 == 0)
+        s"""<?xml version="1.0" encoding="UTF-8"?>
+           |<rss version="2.0"><channel>
+           |<title>chan-$docId</title><link>https://news.example/chan</link>
+           |<item><link>https://news.example/r$docId/0</link><title><![CDATA[t&$k 0]]></title><pubDate>0${k + 1} Jan 2024 00:00:00 GMT</pubDate></item>
+           |<item><link>https://news.example/r$docId/1?a=1&amp;b=2</link><title>t&amp;$k 1</title></item>
+           |<item><title>linkless, must vanish</title></item>
+           |<item><link>https://news.example/r$docId/2</link></item>
+           |</channel></rss>""".stripMargin
+      else {
+        val p = if (docId % 5 == 1) "a:" else ""
+        s"""<?xml version="1.0" encoding="UTF-8"?>
+           |<${p}feed xmlns${if (p.isEmpty) "" else ":a"}="http://www.w3.org/2005/Atom">
+           |<${p}title>chan-$docId</${p}title><${p}link rel="self" href="https://news.example/feed.xml"/>
+           |<${p}entry><${p}link rel="self" href="https://news.example/self"/><${p}link rel="alternate" href="https://news.example/a$docId/0"/><${p}title><![CDATA[t&$k 0]]></${p}title><${p}published>2024-01-0${k + 1}T00:00:00Z</${p}published></${p}entry>
+           |<${p}entry><${p}link href="https://news.example/a$docId/1?x=1&amp;y=2"/><${p}title>t&amp;$k 1</${p}title><${p}updated>2024-02-01T00:00:00Z</${p}updated></${p}entry>
+           |<${p}entry><${p}title>linkless</${p}title></${p}entry>
+           |<${p}entry><${p}link href="https://news.example/a$docId/2"/></${p}entry>
+           |</${p}feed>""".stripMargin
+      }
+    val bytes = body.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    if (docId % 3 == 0) {
+      val out = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(out)
+      g.write(bytes); g.close()
+      out.toByteArray
+    } else bytes
+  }
+
   /** The five probe paths for [[robotsForDoc]], by arm. */
   def robotsPathArm(docId: Long, arm: Int): String = arm match {
     case 0 => s"/doc/$docId/keep/a"   // even: allow beats disallow (longer); odd: * group blocks /doc/

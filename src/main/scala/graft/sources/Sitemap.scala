@@ -79,7 +79,7 @@ object Sitemap {
   }
 
   /** First occurrence of `<name`/`<prefix:name` (element position), or -1. */
-  private def indexOfElement(t: String, name: String, from: Int): Int = {
+  private[sources] def indexOfElement(t: String, name: String, from: Int): Int = {
     var i = from
     while (i >= 0) {
       i = t.indexOf('<', i)
@@ -92,7 +92,7 @@ object Sitemap {
     -1
   }
 
-  private def indexOfClose(t: String, name: String, from: Int): Int = {
+  private[sources] def indexOfClose(t: String, name: String, from: Int): Int = {
     var i = from
     while (i >= 0) {
       i = t.indexOf("</", i)
@@ -105,24 +105,24 @@ object Sitemap {
     -1
   }
 
-  private def containsElement(t: String, name: String): Boolean =
+  private[sources] def containsElement(t: String, name: String): Boolean =
     indexOfElement(t, name, 0) >= 0
 
-  private def elementNameEnd(t: String, s: Int): Int = {
+  private[sources] def elementNameEnd(t: String, s: Int): Int = {
     var e = s
     while (e < t.length && (t.charAt(e).isLetterOrDigit || t.charAt(e) == ':' ||
         t.charAt(e) == '-' || t.charAt(e) == '_')) e += 1
     e
   }
 
-  private def localName(t: String, s: Int, e: Int): String = {
+  private[sources] def localName(t: String, s: Int, e: Int): String = {
     val colon = t.lastIndexOf(':', e - 1)
     if (colon >= s) t.substring(colon + 1, e) else t.substring(s, e)
   }
 
   /** Trimmed, entity-decoded text of the FIRST `name` element inside
     * [from, until), or None. */
-  private def elementText(t: String, name: String, from: Int, until: Int): Option[String] = {
+  private[sources] def elementText(t: String, name: String, from: Int, until: Int): Option[String] = {
     val open = indexOfElement(t, name, from)
     if (open < 0 || open >= until) return None
     val gt = t.indexOf('>', open)
@@ -135,7 +135,7 @@ object Sitemap {
   /** The five XML predefined entities plus numeric references — sitemaps
     * REQUIRE escaped ampersands in query-string URLs, so &amp; is the hot
     * case. */
-  private def decodeEntities(s: String): String = {
+  private[sources] def decodeEntities(s: String): String = {
     if (s.indexOf('&') < 0) return s
     val sb = new java.lang.StringBuilder(s.length)
     var i = 0
