@@ -23,7 +23,7 @@ object Links {
     *    links to documents and are skipped;
     *  - fragment-only and empty hrefs are skipped. */
   def extract(html: String, pageUrl: String): Seq[String] =
-    extractAnchors(html, pageUrl).map(_._1)
+    walkAnchors(html, pageUrl, withText = false).map(_._1)
 
   def extract(bytes: Array[Byte], pageUrl: String): Seq[String] =
     extract(Boilerplate.decode(bytes), pageUrl)
@@ -43,14 +43,22 @@ object Links {
     * of the document (spec: it would run to the implied `</body>`); an
     * href-less `<a name=…>` is a named target, not a link, so its text is
     * no edge's anchor. */
-  def extractAnchors(html: String, pageUrl: String): Seq[(String, String)] = {
+  def extractAnchors(html: String, pageUrl: String): Seq[(String, String)] =
+    walkAnchors(html, pageUrl, withText = true)
+
+  /** One walk body for [[extract]] and [[extractAnchors]] (the two cannot
+    * drift), parameterized on whether anchor inner text is materialized —
+    * href-only extraction must not pay a second scan + entity decode of
+    * every anchor body just to throw the string away. */
+  private def walkAnchors(html: String, pageUrl: String,
+      withText: Boolean): Seq[(String, String)] = {
     var baseHref: String = null
     val raw = Vector.newBuilder[(String, String)]
     var openHref: String = null
     var textStart = 0
     def closeAt(pos: Int): Unit =
       if (openHref != null) {
-        raw += ((openHref, innerText(html, textStart, pos)))
+        raw += ((openHref, if (withText) innerText(html, textStart, pos) else ""))
         openHref = null
       }
     Meta.walkTagsAt(html) { (name, a, tagStart, afterTag) =>
@@ -104,7 +112,10 @@ object Links {
           if (name.isEmpty) { append('<'); i += 1 } // stray '<' is text
           else {
             val (_, next) = Meta.attrs(html, attrEnd)
-            if (name == "br" && sb.length > 0) pendingSpace = true
+            // tagName keeps a trailing '/' in the name, so XHTML-style
+            // self-closing <br/> arrives as "br/" — strip it or the
+            // ubiquitous no-space form glues words ("one<br/>two")
+            if (name.stripSuffix("/") == "br" && sb.length > 0) pendingSpace = true
             name match {
               case "script" | "style" | "title" | "textarea" =>
                 val close = Meta.indexOfIgnoreCase(html, "</" + name, next)

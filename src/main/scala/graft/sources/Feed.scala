@@ -40,13 +40,7 @@ object Feed {
     * for tests; production callers keep the default cap. */
   def parse(bytes: Array[Byte], maxItems: Int = MaxItems): Either[String, Parsed] =
     try {
-      val raw =
-        if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(bytes), 1 << 16)
-          try in.readAllBytes() finally in.close()
-        } else bytes
-      val t = new String(raw, UTF_8).trim
+      val t = new String(Sitemap.gunzipIfNeeded(bytes), UTF_8).trim
       if (t.isEmpty) Left("feed: empty")
       else if (t.charAt(0) != '<') Left("feed: not XML")
       else if (Sitemap.containsElement(t, "feed")) parseAtom(t, maxItems)
@@ -129,38 +123,32 @@ object Feed {
         if (i < n && t.charAt(i) == '=') {
           i += 1
           while (i < n && ws(t.charAt(i))) i += 1
-          if (i < n && (t.charAt(i) == '"' || t.charAt(i) == '\'')) {
-            val q = t.charAt(i)
-            val vStart = i + 1
-            val vEnd = t.indexOf(q, vStart)
-            val end = if (vEnd < 0) n else vEnd
-            if (name.nonEmpty && !out.contains(name))
-              out = out.updated(name, Sitemap.decodeEntities(t.substring(vStart, end)))
-            i = if (vEnd < 0) n else vEnd + 1
-          }
+          val value =
+            if (i < n && (t.charAt(i) == '"' || t.charAt(i) == '\'')) {
+              val q = t.charAt(i)
+              val vStart = i + 1
+              val vEnd = t.indexOf(q, vStart)
+              val end = if (vEnd < 0) n else vEnd
+              i = if (vEnd < 0) n else vEnd + 1
+              t.substring(vStart, end)
+            } else {
+              // unquoted value — invalid XML, but "real feeds don't
+              // validate" is this module's whole premise (Meta.attrs'
+              // HTML rule): read to whitespace or '>'
+              val vStart = i
+              while (i < n && !ws(t.charAt(i)) && t.charAt(i) != '>') i += 1
+              t.substring(vStart, i)
+            }
+          if (name.nonEmpty && !out.contains(name))
+            out = out.updated(name, Sitemap.decodeEntities(value))
         } else if (name.nonEmpty && !out.contains(name)) out = out.updated(name, "")
       }
     }
     out
   }
 
-  /** Trimmed text of the FIRST `name` element in [from, until): CDATA
-    * content is literal (no entity decoding inside CDATA, per XML),
-    * anything else is entity-decoded. Empty text → None (an empty
-    * `<title></title>` carries no information). */
-  private def textOf(t: String, name: String, from: Int, until: Int): Option[String] = {
-    val open = Sitemap.indexOfElement(t, name, from)
-    if (open < 0 || open >= until) return None
-    val gt = t.indexOf('>', open)
-    if (gt < 0 || gt >= until) return None
-    if (t.charAt(gt - 1) == '/') return None // self-closing: no text
-    val close = Sitemap.indexOfClose(t, name, gt)
-    val stop = if (close < 0 || close > until) until else close
-    val body = t.substring(gt + 1, stop).trim
-    val v =
-      if (body.startsWith("<![CDATA[") && body.endsWith("]]>"))
-        body.substring(9, body.length - 3)
-      else Sitemap.decodeEntities(body)
-    if (v.isEmpty) None else Some(v)
-  }
+  /** [[Sitemap.elementText]] — the ONE copy of the element-text rules
+    * (decoy-skipping scan, quote-aware tag end, literal CDATA). */
+  private def textOf(t: String, name: String, from: Int, until: Int): Option[String] =
+    Sitemap.elementText(t, name, from, until)
 }

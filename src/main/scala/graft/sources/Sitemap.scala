@@ -31,13 +31,7 @@ object Sitemap {
     * fetch job. */
   def parse(bytes: Array[Byte]): Either[String, Parsed] =
     try {
-      val raw =
-        if (bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f && (bytes(1) & 0xff) == 0x8b) {
-          val in = new java.util.zip.GZIPInputStream(
-            new java.io.ByteArrayInputStream(bytes), 1 << 16)
-          try in.readAllBytes() finally in.close()
-        } else bytes
-      val txt = new String(raw, UTF_8)
+      val txt = new String(gunzipIfNeeded(bytes), UTF_8)
       val t = txt.trim
       if (t.isEmpty) Left("sitemap: empty")
       else if (t.charAt(0) != '<') parseText(t)
@@ -76,6 +70,53 @@ object Sitemap {
       open = indexOfElement(t, container, from)
     }
     Right(Parsed(isIndex, out.result()))
+  }
+
+  /** Decompressed-size cap for gzip transport: a crafted small gzip member
+    * can inflate to tens of GB — without the cap the caps on entries and
+    * loc length never get a chance to apply (the whole payload would be
+    * materialized first and OOM the task). 64 MB is ~1000x the spec's
+    * advised uncompressed sitemap size. */
+  final val MaxInflatedBytes: Int = 64 << 20
+
+  /** Gzip-sniff + bounded inflate, shared by [[Sitemap.parse]] and
+    * [[Feed.parse]] (ONE copy of the transport rules). Throws past
+    * `cap` — the callers' catch turns that into a Left. */
+  private[sources] def gunzipIfNeeded(bytes: Array[Byte],
+      cap: Int = MaxInflatedBytes): Array[Byte] = {
+    if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f || (bytes(1) & 0xff) != 0x8b)
+      return bytes
+    val in = new java.util.zip.GZIPInputStream(
+      new java.io.ByteArrayInputStream(bytes), 1 << 16)
+    try {
+      val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, cap))
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n >= 0) {
+        if (out.size() + n > cap)
+          throw new IllegalArgumentException(s"gzip inflates past $cap bytes")
+        out.write(buf, 0, n)
+        n = in.read(buf)
+      }
+      out.toByteArray
+    } finally in.close()
+  }
+
+  /** Index just after the '>' closing the tag that opens at `open` —
+    * QUOTE-AWARE: XML allows '>' inside quoted attribute values
+    * (`<title type="a>b">`), so a plain indexOf('>') would truncate the
+    * tag and leak the attribute tail into element text. */
+  private[sources] def tagEnd(t: String, open: Int): Int = {
+    var i = open + 1
+    var quote: Char = 0
+    while (i < t.length) {
+      val c = t.charAt(i)
+      if (quote != 0) { if (c == quote) quote = 0 }
+      else if (c == '"' || c == '\'') quote = c
+      else if (c == '>') return i + 1
+      i += 1
+    }
+    t.length
   }
 
   /** First occurrence of `<name`/`<prefix:name` (element position), or -1. */
@@ -120,16 +161,31 @@ object Sitemap {
     if (colon >= s) t.substring(colon + 1, e) else t.substring(s, e)
   }
 
-  /** Trimmed, entity-decoded text of the FIRST `name` element inside
-    * [from, until), or None. */
+  /** Trimmed text of the first `name` element inside [from, until) that
+    * HAS text, or None. Scans past decoys instead of giving up on the
+    * first local-name match — an item-level `<atom:link rel="self"/>`
+    * before an RSS `<link>` (both local name "link") must not hide the
+    * real element. The closing '>' is found quote-aware ([[tagEnd]]);
+    * self-closing elements have no text; CDATA content is literal (XML:
+    * no entity decoding inside CDATA), anything else entity-decodes. */
   private[sources] def elementText(t: String, name: String, from: Int, until: Int): Option[String] = {
-    val open = indexOfElement(t, name, from)
-    if (open < 0 || open >= until) return None
-    val gt = t.indexOf('>', open)
-    if (gt < 0 || gt >= until) return None
-    val close = indexOfClose(t, name, gt)
-    val stop = if (close < 0 || close > until) until else close
-    Some(decodeEntities(t.substring(gt + 1, stop).trim))
+    var open = indexOfElement(t, name, from)
+    while (open >= 0 && open < until) {
+      val gt = tagEnd(t, open)
+      if (gt > until) return None
+      if (t.charAt(gt - 2) != '/') { // self-closing <x/>: no text, keep scanning
+        val close = indexOfClose(t, name, gt)
+        val stop = if (close < 0 || close > until) until else close
+        val body = t.substring(gt, stop).trim
+        val v =
+          if (body.startsWith("<![CDATA[") && body.endsWith("]]>"))
+            body.substring(9, body.length - 3)
+          else decodeEntities(body)
+        if (v.nonEmpty) return Some(v)
+      }
+      open = indexOfElement(t, name, open + 1)
+    }
+    None
   }
 
   /** The five XML predefined entities plus numeric references — sitemaps

@@ -68,4 +68,35 @@ class FeedSpec extends AnyFunSuite {
     assert(Feed.parse(b("just text")).isLeft)
     assert(Feed.parse(b("<html><body>nope</body></html>")).isLeft)
   }
+
+  test("review-pass hardening: decoys, unquoted hrefs, quoted '>', zip bomb") {
+    // an item-level <atom:link rel="self"/> decoy (local name "link")
+    // before the RSS <link> must not hide it
+    val decoy =
+      """<rss><channel><item><atom:link rel="self" href="https://s.example/f.xml"/>
+        |<link>https://s.example/real</link><title>t</title></item></channel></rss>""".stripMargin
+    assert(Feed.parse(b(decoy)).toOption.get.items ==
+      Vector(Feed.Item("https://s.example/real", Some("t"), None)))
+
+    // unquoted attribute values (invalid XML, real feeds) still parse
+    val unq = "<feed><entry><link href=https://s.example/u1 /><title>u</title></entry></feed>"
+    assert(Feed.parse(b(unq)).toOption.get.items ==
+      Vector(Feed.Item("https://s.example/u1", Some("u"), None)))
+
+    // '>' inside a quoted attribute value must not truncate the tag and
+    // leak the attribute tail into the element text
+    val gtAttr = """<feed><entry><link href="https://s.example/g"/><title type="a>b">Real</title></entry></feed>"""
+    assert(Feed.parse(b(gtAttr)).toOption.get.items ==
+      Vector(Feed.Item("https://s.example/g", Some("Real"), None)))
+
+    // a small gzip member inflating past the cap degrades to Left instead
+    // of materializing the whole payload (the item caps apply too late)
+    val bomb = new java.io.ByteArrayOutputStream()
+    val g2 = new java.util.zip.GZIPOutputStream(bomb)
+    val zeros = new Array[Byte](1 << 20)
+    (0 to 70).foreach(_ => g2.write(zeros))
+    g2.close()
+    val r = Feed.parse(bomb.toByteArray)
+    assert(r.isLeft && r.swap.toOption.get.contains("inflates past"))
+  }
 }
