@@ -96,6 +96,19 @@ object SparkEntry {
         .select(docIdFromUrl, col("title"), col("text"))
         .orderBy("doc_id")
     }),
+    "html_charset_roundtrip" -> ((s, dir) => {
+      // charset transport: the SAME payload in UTF-8+BOM / windows-1252
+      // meta / ISO-8859-1 http-equiv / UTF-16LE+BOM (by doc_id%4) must
+      // extract byte-identically — the marker words are non-ASCII, so a
+      // wrong decode cannot accidentally match the oracle
+      import s.implicits._
+      docs(s, dir).select("doc_id", "text").as[(Long, String)]
+        .map { case (id, t) =>
+          val decoded = graft.html.Boilerplate.decode(Corpus.htmlCharsetProbe(id, t))
+          (id, graft.html.Boilerplate.extract(decoded).text)
+        }.toDF("doc_id", "text")
+        .orderBy("doc_id")
+    }),
     "html_layout_roundtrip" -> ((s, dir) => {
       // layout surface: lists render with "- " markers, table-row cells join
       // with " | " — the corpus distributes each doc's words over a fixed
@@ -1249,6 +1262,10 @@ object SparkEntry {
                             list_transform(regexp_extract_all(text, '.{1,64}'), c -> c || '|') AS ch
                      FROM documents WHERE doc_id % 2 = 0)
           SELECT doc_id, $pdfExpectedSql AS text FROM d ORDER BY doc_id""",
+    // Corpus.htmlCharsetProbe: four encodings of (text twice + the
+    // non-ASCII marker) — expected text is encoding-independent
+    "html_charset_roundtrip" ->
+      "SELECT doc_id, text || ' ' || text || ' Ähnlich café für' AS text FROM documents ORDER BY doc_id",
     // mirror of Corpus.htmlLayoutFromText / htmlLayoutExpected: words 1-12
     // -> <p>, 13-22/23-32 -> "- " list items, 33+ -> "a | b" table rows of
     // two 10-word cells (list slices are 1-based inclusive in DuckDB)

@@ -1064,6 +1064,42 @@ object Corpus {
     } else bytes
   }
 
+  /** Non-ASCII marker appended by [[htmlCharsetProbe]]: all three words
+    * sit in ISO-8859-1's 0xA0–0xFF range (identical in windows-1252), so
+    * a wrong decode cannot accidentally produce the expected text. */
+  val CharsetMarker = "Ähnlich café für"
+
+  /** Charset-transport gate corpus (`html_charset_roundtrip`): the SAME
+    * page payload encoded four ways by doc_id%4 — UTF-8 with BOM /
+    * windows-1252 via `<meta charset>` / ISO-8859-1 via http-equiv /
+    * UTF-16LE with BOM — must extract byte-identically. The body is the
+    * document text TWICE plus [[CharsetMarker]] (≥23 words, so the
+    * boilerplate keep-rule fires for even the shortest corpus docs and the
+    * expected text stays a closed form). */
+  def htmlCharsetProbe(docId: Long, text: String): Array[Byte] = {
+    import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_16LE}
+    val body = escapeHtml(s"$text $text $CharsetMarker")
+    def page(meta: String) =
+      s"""<!DOCTYPE html>
+         |<html><head><title>doc $docId</title>$meta</head>
+         |<body><p>$body</p></body></html>""".stripMargin
+    def withBom(payload: Array[Byte], bom: Array[Byte]): Array[Byte] = {
+      val out = new Array[Byte](bom.length + payload.length)
+      System.arraycopy(bom, 0, out, 0, bom.length)
+      System.arraycopy(payload, 0, out, bom.length, payload.length)
+      out
+    }
+    (docId % 4) match {
+      case 0 => withBom(page("").getBytes(UTF_8),
+        Array(0xef.toByte, 0xbb.toByte, 0xbf.toByte))
+      case 1 => page("""<meta charset="windows-1252">""").getBytes(ISO_8859_1)
+      case 2 => page("""<meta http-equiv="Content-Type" content="text/html; charset=ISO-8859-1">""")
+        .getBytes(ISO_8859_1)
+      case _ => withBom(page("").getBytes(UTF_16LE),
+        Array(0xff.toByte, 0xfe.toByte))
+    }
+  }
+
   /** Feed gate corpus: one RSS 2.0 (even ids) or Atom 1.0 (odd ids) feed
     * per document exercising every [[graft.sources.Feed]] rule — CDATA
     * titles kept literal (the raw `&` inside proves no entity decoding in
