@@ -96,6 +96,25 @@ object SparkEntry {
         .select(docIdFromUrl, col("title"), col("text"))
         .orderBy("doc_id")
     }),
+    "crawl_delta" -> ((s, dir) => {
+      // recrawl snapshot reconciliation (Recrawl.delta — the monthly-
+      // recrawl work-list shrinker): prev = every doc; next drops ids%7==0
+      // (removed), rewrites the payload on the surviving ids%5==0
+      // (changed), keeps the rest byte-identical, and adds new-<id> urls
+      // for ids%3==0 — every status a closed form of doc_id
+      val d = s.read.parquet(s"$dir/documents.parquet").select("doc_id", "text")
+      val url = concat(lit(Corpus.UrlPrefix), col("doc_id"))
+      val prev = d.select(url.as("url"), md5(col("text").cast("binary")).as("fp"))
+      val nextOld = d.where(col("doc_id") % 7 =!= 0).select(
+        url.as("url"),
+        md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit("x")))
+          .otherwise(col("text")).cast("binary")).as("fp"))
+      val added = d.where(col("doc_id") % 3 === 0).select(
+        concat(lit(Corpus.UrlPrefix), lit("new-"), col("doc_id")).as("url"),
+        md5(concat(lit("n"), col("doc_id")).cast("binary")).as("fp"))
+      graft.pipeline.Recrawl.delta(prev, nextOld.unionByName(added), "url", "fp")
+        .orderBy("url")
+    }),
     "html_charset_roundtrip" -> ((s, dir) => {
       // charset transport: the SAME payload in UTF-8+BOM / windows-1252
       // meta / ISO-8859-1 http-equiv / UTF-16LE+BOM (by doc_id%4) must
@@ -1262,6 +1281,21 @@ object SparkEntry {
                             list_transform(regexp_extract_all(text, '.{1,64}'), c -> c || '|') AS ch
                      FROM documents WHERE doc_id % 2 = 0)
           SELECT doc_id, $pdfExpectedSql AS text FROM d ORDER BY doc_id""",
+    // Recrawl.delta statuses restated from the arm rules (the fingerprints
+    // themselves are the Spark side's concern — the oracle checks the
+    // CLASSIFICATION; removal wins over the changed/added arms because the
+    // %7 rows never enter the next snapshot)
+    "crawl_delta" ->
+      """WITH d AS (SELECT doc_id FROM documents),
+         s AS (
+           SELECT 'https://example.org/doc/' || doc_id AS url,
+                  CASE WHEN doc_id % 7 = 0 THEN 'removed'
+                       WHEN doc_id % 5 = 0 THEN 'changed'
+                       ELSE 'unchanged' END AS status FROM d
+           UNION ALL
+           SELECT 'https://example.org/doc/new-' || doc_id, 'added'
+           FROM d WHERE doc_id % 3 = 0)
+         SELECT url, status FROM s ORDER BY url""",
     // Corpus.htmlCharsetProbe: four encodings of (text twice + the
     // non-ASCII marker) — expected text is encoding-independent
     "html_charset_roundtrip" ->

@@ -240,12 +240,30 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("query inventory: every query has an oracle and the count is pinned") {
     // the README/NOTES quote this number; pinning it here keeps the prose
     // from drifting (r4 verdict item 7). Update BOTH on every new query.
-    assert(SparkEntry.queries.size == 86,
+    assert(SparkEntry.queries.size == 87,
       s"queries=${SparkEntry.queries.size} — update this pin AND README.md")
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
       "every query needs a DuckDB oracle (and no orphaned oracles): " +
         (SparkEntry.queries.keySet diff SparkEntry.oracleSql.keySet).mkString(",") + " | " +
         (SparkEntry.oracleSql.keySet diff SparkEntry.queries.keySet).mkString(","))
+  }
+
+  test("Recrawl.delta: presence flags beat null fingerprints; toExtract filters") {
+    import spark.implicits._
+    val prev = Seq(("u1", "a"), ("u2", "b"), ("u3", null), ("u4", "d")).toDF("url", "fp")
+    val next = Seq(("u1", "a"), ("u2", "B"), ("u3", null), ("u5", "e")).toDF("url", "fp")
+    val d = graft.pipeline.Recrawl.delta(prev, next, "url", "fp")
+      .as[(String, String)].collect().toMap
+    assert(d == Map(
+      "u1" -> "unchanged",
+      "u2" -> "changed",
+      "u3" -> "changed", // null fp present on BOTH sides is never unchanged
+      "u4" -> "removed",
+      "u5" -> "added"))
+    val work = graft.pipeline.Recrawl.toExtract(next,
+      graft.pipeline.Recrawl.delta(prev, next, "url", "fp"), "url")
+      .select("url").as[String].collect().toSet
+    assert(work == Set("u2", "u3", "u5"))
   }
 
   test("packSequences / mixByTokenBudget refuse non-integral id columns") {
