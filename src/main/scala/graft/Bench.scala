@@ -338,6 +338,24 @@ object Bench {
           }.toDF("dst", "anchor")
         graft.html.Anchors.profile(edges, "dst", "anchor").count(); ()
       }),
+      "html_tables" -> (() => {
+        import spark.implicits._
+        docsDf.select("doc_id", "text").as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, t) =>
+              graft.html.Tables.cells(Corpus.htmlTableProbe(id, t)).length.toLong
+            }
+          }.agg(sum("value")).collect(); ()
+      }),
+      "crawl_delta" -> (() => {
+        val url = concat(lit(Corpus.UrlPrefix), col("doc_id"))
+        val prev = docsDf.select(url.as("url"), md5(col("text").cast("binary")).as("fp"))
+        val next = docsDf.where(col("doc_id") % 7 =!= 0).select(url.as("url"),
+          md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit("x")))
+            .otherwise(col("text")).cast("binary")).as("fp"))
+        graft.pipeline.Recrawl.delta(prev, next, "url", "fp")
+          .groupBy("status").count().collect(); ()
+      }),
       // metrics-only throughput at full cores (the scaling-tier job)
       "extract_metrics_only" -> (() => runMetricsJob(pages)))
 

@@ -743,6 +743,37 @@ object SparkEntry {
       graft.html.Anchors.profile(edges, "dst", "anchor")
         .orderBy("dst")
     }),
+    "html_outline" -> ((s, dir) => {
+      // heading outline (Outline.headings — the HTML twin of pdf_outline):
+      // three body headings whose levels/titles are closed forms of doc_id
+      // (named entity, transparent inline tag, numeric character
+      // reference), with chrome / commented-out / forged-in-script heading
+      // decoys that must vanish; probe at Corpus.htmlOutlineProbe
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.html.Outline.headings(Corpus.htmlOutlineProbe(id, t))
+            .zipWithIndex.map { case ((lvl, title), i) => (id, i.toLong, lvl.toLong, title) }
+        }.toDF("doc_id", "idx", "level", "title")
+        .orderBy("doc_id", "idx")
+    }),
+    "html_tables" -> ((s, dir) => {
+      // structured table-cell extraction (Tables.cells): header/data cells,
+      // an EMPTY structural cell, implied </td>/</tr> closes, a NESTED
+      // table whose containing cell pauses around it, a <tr>-less implied
+      // row, and forged-in-script / commented-out decoys; probe at
+      // Corpus.htmlTableProbe, every cell a closed form of doc_id
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.html.Tables.cells(Corpus.htmlTableProbe(id, t))
+            .map(c => (id, c.tableIdx.toLong, c.rowIdx.toLong, c.colIdx.toLong,
+              c.header, c.text))
+        }.toDF("doc_id", "table_idx", "row_idx", "col_idx", "is_header", "cell")
+        .orderBy("doc_id", "table_idx", "row_idx", "col_idx")
+    }),
     "html_links" -> ((s, dir) => {
       // out-link extraction (ADDITIVE surface — the edges of the web graph
       // that feed URL frontiers and link-based quality priors): five kept
@@ -1903,6 +1934,39 @@ object SparkEntry {
          SELECT dst, CAST(n_refs AS BIGINT) AS n_refs,
                 CAST(n_anchors AS BIGINT) AS n_anchors, anchor AS top_anchor
          FROM r WHERE rn = 1 ORDER BY dst""",
+    // Corpus.htmlOutlineProbe: three body headings per doc; the chrome /
+    // commented / in-script decoys must NOT appear
+    "html_outline" ->
+      """SELECT doc_id, CAST(i AS BIGINT) AS idx,
+           CAST(CASE i WHEN 0 THEN 1 WHEN 1 THEN 2 ELSE 3 END AS BIGINT) AS level,
+           CASE i WHEN 0 THEN 'Ch & ap-' || (doc_id % 9)
+                  WHEN 1 THEN 'Section ' || (doc_id % 5)
+                  ELSE 'Sub a-' || (doc_id % 7) END AS title
+         FROM documents, generate_series(0, 2) t(i)
+         ORDER BY doc_id, idx""",
+    // Corpus.htmlTableProbe: 8 cells in table 0 (incl. the empty structural
+    // cell and the nested-table-punctured "pre post" cell), the nested
+    // table's single cell as table 1, the <tr>-less loose table as table 2
+    "html_tables" ->
+      """WITH c(tbl, rw, cl, hdr, i) AS (VALUES
+           (0,0,0,true,0),(0,0,1,true,1),(0,1,0,false,2),(0,1,1,false,3),
+           (0,2,0,false,4),(0,2,1,false,5),(0,3,0,false,6),(0,3,1,false,7),
+           (1,0,0,false,8),(2,0,0,false,9))
+         SELECT doc_id, CAST(tbl AS BIGINT) AS table_idx,
+           CAST(rw AS BIGINT) AS row_idx, CAST(cl AS BIGINT) AS col_idx,
+           hdr AS is_header,
+           CASE i WHEN 0 THEN 'name'
+                  WHEN 1 THEN 'v & ' || (doc_id % 7)
+                  WHEN 2 THEN 'a-' || (doc_id % 5)
+                  WHEN 3 THEN ''
+                  WHEN 4 THEN 'pre post'
+                  WHEN 5 THEN 'b bold-' || (doc_id % 4)
+                  WHEN 6 THEN 'u-' || (doc_id % 2)
+                  WHEN 7 THEN 'v-' || (doc_id % 2)
+                  WHEN 8 THEN 'in-' || (doc_id % 3)
+                  ELSE 'loose-' || (doc_id % 9) END AS cell
+         FROM documents, c
+         ORDER BY doc_id, table_idx, row_idx, col_idx""",
     "html_links" ->
       """WITH d AS (SELECT doc_id, length(text) AS len FROM documents),
          u AS (

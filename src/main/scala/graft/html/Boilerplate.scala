@@ -146,8 +146,10 @@ object Boilerplate {
   }
 
   /** Single forward pass: tags, comments, CDATA, entities → blocks.
-    * The <title> block is emitted with headingLevel = -1. */
-  private def scan(html: String): Seq[Block] = {
+    * The <title> block is emitted with headingLevel = -1. Package-visible
+    * so [[Outline]] can read heading structure off the SAME scan the
+    * extractor uses (one scanner, no drift). */
+  private[html] def scan(html: String): Seq[Block] = {
     val blocks = mutable.ArrayBuffer.empty[Block]
     val text = new StringBuilder
     var words = 0

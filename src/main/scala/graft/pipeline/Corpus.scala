@@ -1532,6 +1532,64 @@ object Corpus {
     sb.toString.getBytes(UTF_8)
   }
 
+  /** Outline probe (the `html_outline` gate): three body headings whose
+    * levels and titles are closed forms of doc_id, exercising every
+    * [[graft.html.Outline]] convention — an h1 with a named entity, an h2
+    * with a transparent inline tag, an h3 with a numeric character
+    * reference — plus three decoys that must vanish: a chrome heading
+    * (inside `<nav>`), a commented-out heading, and a heading forged
+    * inside `<script>` text. The real paragraphs carry the corpus text so
+    * the payload stays realistic. */
+  def htmlOutlineProbe(docId: Long, text: String): Array[Byte] = {
+    val esc = escapeHtml(text)
+    val html =
+      s"""<!DOCTYPE html>
+         |<html><head><title>doc $docId</title>
+         |<script>var x = '<h2>forged in script</h2>';</script>
+         |</head><body>
+         |<nav><h2>site sections</h2><a href="/">home</a></nav>
+         |<h1>Ch &amp; ap-${docId % 9}</h1>
+         |<p>$esc</p>
+         |<!-- <h3>commented out</h3> -->
+         |<h2>Se<b>cti</b>on ${docId % 5}</h2>
+         |<p>$esc</p>
+         |<h3>Sub &#97;-${docId % 7}</h3>
+         |<p>$esc</p>
+         |</body></html>""".stripMargin
+    html.getBytes(UTF_8)
+  }
+
+  /** Table probe (the `html_tables` gate): a header table (thead/tbody,
+    * caption, entity and inline-tag cells, an EMPTY cell, implied
+    * `</td>`/`</tr>` closes), a NESTED table inside a cell (the containing
+    * cell's text must pause at the inner table and resume after it — no
+    * duplication, no loss), a `<tr>`-less loose table (implied row 0), and
+    * two decoys that must produce no cells (a table forged in `<script>`
+    * text and a commented-out table). Every cell a closed form of
+    * doc_id. */
+  def htmlTableProbe(docId: Long, text: String): Array[Byte] = {
+    val esc = escapeHtml(text)
+    val html =
+      s"""<!DOCTYPE html>
+         |<html><body>
+         |<script>var t = '<table><tr><td>forged</td></tr></table>';</script>
+         |<!-- <table><tr><td>commented</td></tr></table> -->
+         |<p>$esc</p>
+         |<table>
+         | <caption>not a cell</caption>
+         | <thead><tr><th>name</th><th>v &amp; ${docId % 7}</th></tr></thead>
+         | <tbody>
+         |  <tr><td>a-${docId % 5}</td><td></td></tr>
+         |  <tr><td>pre <table><tr><td>in-${docId % 3}</td></tr></table> post</td><td>b <b>bo</b>ld-${docId % 4}</td></tr>
+         |  <tr><td>u-${docId % 2}<td>v-${docId % 2}
+         | </tr></tbody>
+         |</table>
+         |<table><td>loose-${docId % 9}</td></table>
+         |<p>$esc</p>
+         |</body></html>""".stripMargin
+    html.getBytes(UTF_8)
+  }
+
   def htmlSpanProbePageRowFor(docId: Long, text: String, lang: String): PageRow =
     PageRow(
       url = UrlPrefix + docId,
