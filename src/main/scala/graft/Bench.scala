@@ -347,6 +347,11 @@ object Bench {
             }
           }.agg(sum("value")).collect(); ()
       }),
+      "chunk_windows" -> (() => {
+        graft.functions.Chunking.chunkWindows(
+          docsDf.select("doc_id", "text"), "doc_id", "text",
+          windowTokens = 40, overlapTokens = 10).count(); ()
+      }),
       "crawl_delta" -> (() => {
         val url = concat(lit(Corpus.UrlPrefix), col("doc_id"))
         val prev = docsDf.select(url.as("url"), md5(col("text").cast("binary")).as("fp"))

@@ -310,6 +310,14 @@ object SparkEntry {
       graft.pipeline.Packing.packSequences(
         docs(s, dir).select("doc_id", "text"), "doc_id", "text")
         .orderBy("doc_id")),
+    "chunk_windows" -> ((s, dir) =>
+      // sliding-token-window chunking with overlap (embedding/retrieval
+      // index preparation — packSequences' sibling: SPLIT documents into
+      // overlapping windows instead of packing them into budgets); pure
+      // codegen'd split/sequence/explode/slice, zero shuffles
+      graft.functions.Chunking.chunkWindows(
+        docs(s, dir), "doc_id", "text", windowTokens = 40, overlapTokens = 10)
+        .orderBy("doc_id", "chunk_idx")),
     "pack_sequences_stream_parity" -> ((s, dir) => {
       // the STREAMING packing transform (stateful flatMapGroupsWithState)
       // run in batch: must reproduce packSequences row-for-row against the
@@ -1443,6 +1451,20 @@ object SparkEntry {
       (packRecurrenceCte +
       """
          SELECT doc_id, stream, bin, n_tokens FROM p ORDER BY doc_id"""),
+    // W=40, S=30 (overlap 10): chunk count 1 for n<=40 else
+    // ceil((n-40)/30)+1 = (n-11)//30 + 1; DuckDB list slice is 1-based
+    // inclusive, Spark slice(start, length) — both clamp at the end
+    "chunk_windows" ->
+      """WITH d AS (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS w
+                    FROM documents WHERE length(trim(text)) > 0),
+         k AS (SELECT doc_id, w, len(w) AS n,
+                 CASE WHEN len(w) <= 40 THEN 1 ELSE (len(w) - 11) // 30 + 1 END AS nc
+               FROM d),
+         c AS (SELECT doc_id, n, w, unnest(generate_series(0, nc - 1)) AS i FROM k)
+         SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+           CAST(least(40, n - i * 30) AS BIGINT) AS n_tokens,
+           array_to_string(w[i * 30 + 1 : i * 30 + 40], ' ') AS chunk
+         FROM c ORDER BY doc_id, chunk_idx""",
     "pack_sequences_stream_parity" ->
       (packRecurrenceCte +
       """

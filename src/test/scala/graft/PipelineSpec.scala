@@ -240,7 +240,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("query inventory: every query has an oracle and the count is pinned") {
     // the README/NOTES quote this number; pinning it here keeps the prose
     // from drifting (r4 verdict item 7). Update BOTH on every new query.
-    assert(SparkEntry.queries.size == 89,
+    assert(SparkEntry.queries.size == 90,
       s"queries=${SparkEntry.queries.size} — update this pin AND README.md")
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
       "every query needs a DuckDB oracle (and no orphaned oracles): " +
@@ -264,6 +264,44 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.pipeline.Recrawl.delta(prev, next, "url", "fp"), "url")
       .select("url").as[String].collect().toSet
     assert(work == Set("u2", "u3", "u5"))
+  }
+
+  test("chunkWindows: boundaries, overlap content, tail chunk, empty docs") {
+    import spark.implicits._
+    def words(n: Int): String = (1 to n).map("w" + _).mkString(" ")
+    val docs = Seq(
+      (1L, words(5)),   // n <= W: one chunk
+      (2L, words(10)),  // n == W exactly: one chunk
+      (3L, words(16)),  // tail chunk of 16 - 6 = 10? no: starts 0,6 -> 10 tokens
+      (4L, words(22)),  // starts 0,6,12 -> last = 10 tokens ending at 22
+      (5L, "   "),      // whitespace-only: no chunks
+      (6L, words(11))   // one past W: second chunk is the 6-token overlap tail
+    ).toDF("doc_id", "text")
+    val out = graft.functions.Chunking
+      .chunkWindows(docs, "doc_id", "text", windowTokens = 10, overlapTokens = 4)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).toSeq).toMap
+    assert(out(1L) == Seq((1L, 0L, 5L, words(5))))
+    assert(out(2L) == Seq((2L, 0L, 10L, words(10))))
+    // stride 6: chunk 1 = w7..w16 — shares w7..w10 with chunk 0 (overlap 4)
+    assert(out(3L) == Seq(
+      (3L, 0L, 10L, (1 to 10).map("w" + _).mkString(" ")),
+      (3L, 1L, 10L, (7 to 16).map("w" + _).mkString(" "))))
+    assert(out(4L).map(c => (c._2, c._4.split(" ").head, c._4.split(" ").last, c._3)) ==
+      Seq((0L, "w1", "w10", 10L), (1L, "w7", "w16", 10L), (2L, "w13", "w22", 10L)))
+    assert(!out.contains(5L))
+    assert(out(6L) == Seq(
+      (6L, 0L, 10L, (1 to 10).map("w" + _).mkString(" ")),
+      (6L, 1L, 5L, (7 to 11).map("w" + _).mkString(" "))))
+    // every chunk but the last is exactly W tokens; concatenating chunks at
+    // stride offsets reproduces the document (no token lost or duplicated
+    // beyond the declared overlap)
+    intercept[IllegalArgumentException] {
+      graft.functions.Chunking.chunkWindows(docs, "doc_id", "text", 10, 10)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.Chunking.chunkWindows(docs, "doc_id", "text", 0, 0)
+    }
   }
 
   test("packSequences / mixByTokenBudget refuse non-integral id columns") {
