@@ -347,6 +347,17 @@ object Bench {
             }
           }.agg(sum("value")).collect(); ()
       }),
+      "quality_funnel" -> (() => {
+        import spark.implicits._
+        val aug = docsDf.select(col("doc_id"),
+          concat(lit("https://sub"), (col("doc_id") % 11).cast("string"),
+            lit(".example"), (col("doc_id") % 7).cast("string"),
+            lit(".com/p/"), col("doc_id").cast("string")).as("url"),
+          lit("en").as("lang"), col("text"))
+        val bl = Seq("example3.com", "sub5.example2.com").toDF("domain")
+        graft.functions.Funnel.verdicts(aug, "doc_id", "url", "lang", "text",
+          bl, minWords = 15).groupBy("verdict").count().collect(); ()
+      }),
       "chunk_windows" -> (() => {
         graft.functions.Chunking.chunkWindows(
           docsDf.select("doc_id", "text"), "doc_id", "text",

@@ -1046,6 +1046,38 @@ object SparkEntry {
           graft.functions.Urls.hostOf(col("url")).as("host"))
         .orderBy("doc_id")
     }),
+    "quality_funnel" -> ((s, dir) => {
+      // composed keep/drop policy with first-failing-stage verdicts
+      // (Funnel.verdicts): urls synthesized as in url_block_domains
+      // (blocked arm %7==3 or sub5.example2.com), expected lang 'en'
+      // (the corpus text is English-ish; its lang COLUMN is an unrelated
+      // label) flipped to an impossible code on %13 (planted wrong_lang;
+      // the stage also fires naturally on the de-predicted tail), text
+      // replaced by a 7-word string on %9 (gopher word-count fail) or
+      // padded with a repeated bigram run on %6 (repetitive); the oracle
+      // recomputes EVERY stage from the same augmented inputs
+      import s.implicits._
+      val aug = docs(s, dir).select(col("doc_id"),
+        concat(lit("https://sub"), (col("doc_id") % 11).cast("string"),
+          lit(".example"), (col("doc_id") % 7).cast("string"),
+          lit(".com/p/"), col("doc_id").cast("string")).as("url"),
+        when(col("doc_id") % 13 === 0, lit("zz")).otherwise(lit("en")).as("lang"),
+        // the stopword-bearing prefix is what lets documents PASS gopher's
+        // ">= 2 distinct stop words" rule (the synthetic corpus has none) —
+        // without it every doc funnels out at gopher_fail and the
+        // repetitive/kept arms would be dead code in the gate
+        when(col("doc_id") % 9 === 0, lit("just nine short words that fail gopher"))
+          .when(col("doc_id") % 6 === 0,
+            concat(lit("the corpus and its text "), col("text"),
+              expr("repeat(' zqxw zqxw', 25)")))
+          .otherwise(concat(lit("the corpus and its text "), col("text")))
+          .as("text"))
+      val blocklist = Seq("example3.com", "sub5.example2.com", "absent.org")
+        .toDF("domain")
+      graft.functions.Funnel.verdicts(aug, "doc_id", "url", "lang", "text",
+          blocklist, minWords = 15)
+        .orderBy("doc_id")
+    }),
     "split_assign" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
           graft.functions.Sampling.split(col("doc_id")).as("split"))
@@ -1712,6 +1744,71 @@ object SparkEntry {
                  AND n_stop_distinct >= 2
                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
          FROM sig ORDER BY doc_id""",
+    // every funnel stage recomputed from the same augmented inputs: blocked
+    // arm in closed form, langid/gopher/repetition CTEs are the same
+    // restatements as their standalone oracles, applied to t
+    "quality_funnel" ->
+      """WITH aug AS (
+           SELECT doc_id,
+             CASE WHEN doc_id % 9 = 0 THEN 'just nine short words that fail gopher'
+                  WHEN doc_id % 6 = 0 THEN 'the corpus and its text ' || text || repeat(' zqxw zqxw', 25)
+                  ELSE 'the corpus and its text ' || text END AS t,
+             CASE WHEN doc_id % 13 = 0 THEN 'zz' ELSE 'en' END AS lg,
+             (doc_id % 7 = 3) OR (doc_id % 11 = 5 AND doc_id % 7 = 2) AS blocked
+           FROM documents),
+         lid AS (SELECT doc_id,
+           len(list_filter(string_split(lower(trim(t)), ' '), w -> w IN ('der','die','und','das','nicht','von','ist','mit','den','ein'))) AS h_de,
+           len(list_filter(string_split(lower(trim(t)), ' '), w -> w IN ('the','and','of','to','a','in','is','it','that','for'))) AS h_en,
+           len(list_filter(string_split(lower(trim(t)), ' '), w -> w IN ('el','la','de','que','y','en','un','los','del','las'))) AS h_es,
+           len(list_filter(string_split(lower(trim(t)), ' '), w -> w IN ('le','la','les','et','des','un','une','du','que','est'))) AS h_fr,
+           len(list_filter(string_split(lower(trim(t)), ' '), w -> w IN ('的','了','是','我','不','在','有','人','这','他'))) AS h_zh
+           FROM aug),
+         pred AS (SELECT doc_id, CASE
+           WHEN h_de = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'de'
+           WHEN h_en = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'en'
+           WHEN h_es = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'es'
+           WHEN h_fr = greatest(h_de,h_en,h_es,h_fr,h_zh) THEN 'fr'
+           ELSE 'zh' END AS pred_lang FROM lid),
+         gsig AS (SELECT doc_id,
+             CAST(len(string_split_regex(trim(t), '\s+')) AS BIGINT) AS n_words,
+             CAST(length(regexp_replace(t, '\s+', '', 'g')) AS BIGINT) AS chars_in_words,
+             CAST(length(t) - length(replace(t, '#', '')) AS BIGINT) AS n_hash,
+             CAST((length(t) - length(replace(t, '...', ''))) // 3 AS BIGINT) AS n_ellipsis,
+             CAST(len(string_split(t, chr(10))) AS BIGINT) AS n_lines,
+             CAST(len(list_filter(string_split(t, chr(10)),
+               l -> starts_with(trim(l), '- ') OR starts_with(trim(l), '* '))) AS BIGINT) AS n_bullet_lines,
+             CAST(len(list_filter(string_split(t, chr(10)),
+               l -> ends_with(trim(l), '...'))) AS BIGINT) AS n_ellipsis_lines,
+             CAST(len(list_filter(string_split_regex(trim(t), '\s+'),
+               w -> regexp_matches(w, '[a-zA-Z]'))) AS BIGINT) AS n_alpha_words,
+             CAST(len(list_intersect(list_distinct(string_split_regex(lower(trim(t)), '\s+')),
+               ['the','be','to','of','and','that','have','with'])) AS BIGINT) AS n_stop_distinct
+           FROM aug),
+         gk AS (SELECT doc_id,
+           CASE WHEN n_words >= 15 AND n_words <= 100000
+                 AND chars_in_words >= n_words * 3 AND chars_in_words <= n_words * 10
+                 AND n_hash * 10 <= n_words AND n_ellipsis * 10 <= n_words
+                 AND n_bullet_lines * 10 <= n_lines * 9
+                 AND n_ellipsis_lines * 10 <= n_lines * 3
+                 AND n_alpha_words * 10 >= n_words * 8
+                 AND n_stop_distinct >= 2
+                THEN 1 ELSE 0 END AS keep FROM gsig),
+         d AS (SELECT doc_id, string_split(trim(t), ' ') AS ws FROM aug),
+         bg AS (SELECT doc_id, b, count(*) AS c FROM (
+                  SELECT doc_id, ws[i] || ' ' || ws[i+1] AS b
+                  FROM (SELECT doc_id, ws, unnest(generate_series(1, len(ws) - 1)) AS i
+                        FROM d WHERE len(ws) >= 2)) GROUP BY 1, 2),
+         bgd AS (SELECT doc_id, (1000 * (sum(c) - count(*))) // sum(c) AS dup FROM bg GROUP BY 1)
+         SELECT aug.doc_id AS doc_id,
+           CASE WHEN blocked THEN 'blocked_url'
+                WHEN pred_lang != lg THEN 'wrong_lang'
+                WHEN keep = 0 THEN 'gopher_fail'
+                WHEN coalesce(dup, 0) >= 200 THEN 'repetitive'
+                ELSE 'kept' END AS verdict
+         FROM aug
+         JOIN pred USING (doc_id) JOIN gk USING (doc_id)
+         LEFT JOIN bgd USING (doc_id)
+         ORDER BY doc_id""",
     "text_langid" ->
       """WITH h AS (SELECT doc_id,
            len(list_filter(string_split(lower(trim(text)), ' '), w -> w IN ('der','die','und','das','nicht','von','ist','mit','den','ein'))) AS h_de,

@@ -240,7 +240,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("query inventory: every query has an oracle and the count is pinned") {
     // the README/NOTES quote this number; pinning it here keeps the prose
     // from drifting (r4 verdict item 7). Update BOTH on every new query.
-    assert(SparkEntry.queries.size == 90,
+    assert(SparkEntry.queries.size == 91,
       s"queries=${SparkEntry.queries.size} — update this pin AND README.md")
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
       "every query needs a DuckDB oracle (and no orphaned oracles): " +
@@ -264,6 +264,41 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.pipeline.Recrawl.delta(prev, next, "url", "fp"), "url")
       .select("url").as[String].collect().toSet
     assert(work == Set("u2", "u3", "u5"))
+  }
+
+  test("Funnel: first-fail verdict order and attrition report") {
+    import spark.implicits._
+    // all-distinct bigrams (dup 0), gopher-clean, langId-predicts-en
+    val good = "the be to of and that have with " +
+      (1 to 60).map("word" + _).mkString(" ")
+    val docs = Seq(
+      // blocked AND wrong lang: blocked_url wins (stage order)
+      (1L, "https://x.bad.com/p", "zz", good),
+      (2L, "https://ok.com/p", "zz", good),                   // wrong_lang
+      (3L, "https://ok.com/p", "en", "the and of to a few"),  // gopher_fail (6 words)
+      (4L, "https://ok.com/p", "en",
+        good + (" zqzqzq zqzqzq" * 400)),                     // repetitive
+      (5L, "https://ok.com/p", "en", good)                    // kept
+    ).toDF("doc_id", "url", "lang", "text")
+    val bl = Seq("bad.com").toDF("domain")
+    val v = graft.functions.Funnel
+      .verdicts(docs, "doc_id", "url", "lang", "text", bl, minWords = 15)
+    assert(v.as[(Long, String)].collect().toMap == Map(
+      1L -> "blocked_url", 2L -> "wrong_lang", 3L -> "gopher_fail",
+      4L -> "repetitive", 5L -> "kept"))
+    val r = graft.functions.Funnel.report(v)
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(r == Seq(
+      (0L, "blocked_url", 1L, 4L), (1L, "wrong_lang", 1L, 3L),
+      (2L, "gopher_fail", 1L, 2L), (3L, "repetitive", 1L, 1L),
+      (4L, "kept", 0L, 1L)))
+    // a stage that drops nothing still appears with n_dropped = 0
+    val r2 = graft.functions.Funnel
+      .report(Seq("kept", "kept").toDF("verdict"))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    assert(r2.map(x => (x._2, x._3, x._4)) == Seq(
+      ("blocked_url", 0L, 2L), ("wrong_lang", 0L, 2L), ("gopher_fail", 0L, 2L),
+      ("repetitive", 0L, 2L), ("kept", 0L, 2L)))
   }
 
   test("chunkWindows: boundaries, overlap content, tail chunk, empty docs") {
