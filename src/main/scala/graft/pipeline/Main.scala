@@ -8,8 +8,17 @@ import org.apache.spark.sql.functions._
   * {{{
   * spark-submit --class graft.pipeline.Main pdfparserspark.jar \
   *   <inputTable> <outDir> [--delimiter D] [--partitions N] [--no-resume]
-  *   [--maintenance]
+  *   [--maintenance] [--delta prevSnapshot]
   * }}}
+  *
+  * `--delta <prevSnapshot>` runs the INCREMENTAL recrawl path: both tables
+  * are fingerprinted (md5 of the raw html payload — extraction-relevant
+  * bytes only, never fetch metadata), [[Recrawl.delta]] classifies every
+  * url, the status counts are printed, and ONLY added+changed documents
+  * flow into the normal resume → salt → extract → commit path. On a real
+  * monthly recrawl the unchanged fraction dominates, so this is the
+  * difference between re-extracting the whole 10^12-row table and a few
+  * percent of it.
   *
   * Reads the input_hint page table (parquet path or Iceberg-style table
   * path), skips urls already present in `<outDir>/_manifest` (resume),
@@ -29,7 +38,7 @@ import org.apache.spark.sql.functions._
 object Main {
   def main(args: Array[String]): Unit = {
     val pos = args.filterNot(_.startsWith("--"))
-    require(pos.length >= 2, "usage: Main <inputTable> <outDir> [--delimiter D] [--partitions N] [--no-resume] [--maintenance]")
+    require(pos.length >= 2, "usage: Main <inputTable> <outDir> [--delimiter D] [--partitions N] [--no-resume] [--maintenance] [--delta prevSnapshot]")
     val (input, outDir) = (pos(0), pos(1))
     def opt(name: String): Option[String] =
       args.sliding(2).collectFirst { case Array(k, v) if k == s"--$name" => v }
@@ -70,7 +79,29 @@ object Main {
       .getOrElse(spark.sparkContext.defaultParallelism * 2)
 
     val t0 = System.nanoTime() // job time: resume + extract + metrics + commit
-    val pages = TableIO.readPages(spark, input)
+    val allPages = TableIO.readPages(spark, input)
+    // incremental recrawl: shrink the work list to added+changed urls before
+    // the (per-output) resume filter — the two compose: delta skips content
+    // the PREVIOUS SNAPSHOT already had, resume skips urls THIS OUTPUT
+    // already extracted
+    val deltaCached = opt("delta").map { prevPath =>
+      val fpOf = (t: org.apache.spark.sql.DataFrame) =>
+        t.select(col("url"), md5(col("html")).as("fp"))
+      val d = Recrawl.delta(
+        fpOf(TableIO.readPages(spark, prevPath).toDF()),
+        fpOf(allPages.toDF()), "url", "fp").persist()
+      val counts = d.groupBy("status").count().collect()
+        .map(r => s""""${r.getString(0)}":${r.getLong(1)}""").sorted.mkString(",")
+      println(s"""{"mode":"delta","statuses":{$counts}}""")
+      d
+    }
+    val pages = deltaCached match {
+      case Some(d) =>
+        import org.apache.spark.sql.Encoders
+        Recrawl.toExtract(allPages.toDF(), d, "url")
+          .as[PageRow](Encoders.product[PageRow])
+      case None => allPages
+    }
     val todo = if (resume) Checkpoint.resume(pages, outDir) else pages
     val extracted = ExtractPipeline
       .run(ExtractPipeline.salted(todo, partitions), delimiter)
@@ -89,6 +120,7 @@ object Main {
     // as the commit point — a crash at any moment leaves either nothing or
     // an unmanifested (invisible, re-extracted) orphan, never duplicates
     if (m.getLong(0) > 0) Checkpoint.commitWithData(extracted, outDir)
+    deltaCached.foreach(_.unpersist())
     val wall = (System.nanoTime() - t0) / 1e9
     println(s"""{"docs":${m.getLong(0)},"chars":${m.getLong(1)},""" +
       s""""decode_failures":${m.getLong(2)},"pdf_docs":${m.getLong(3)},"resumed":$resume,""" +
