@@ -99,6 +99,37 @@ object OpScaling {
               graft.pipeline.Corpus.UrlPrefix + id)
           }.toDF("dst", "anchor")
         graft.html.Anchors.profile(edges, "dst", "anchor").count(); ()
+      }),
+      // round-5 close additions. quality_funnel inherits repetitionSignals'
+      // bigram-count shuffle — identical replicas are its hot-key worst
+      // case; crawl_delta's full-outer join doubles its shuffle volume with
+      // the corpus (the risk is the join, not a hot key: urls are unique);
+      // chunk_windows is the explode whose OUTPUT grows 1.33x faster than
+      // its input — the stress confirms the Generate stays linear
+      "quality_funnel" -> (df => {
+        val spark = df.sparkSession
+        import spark.implicits._
+        val aug = df.select(col("doc_id"),
+          concat(lit("https://sub"), (col("doc_id") % 11).cast("string"),
+            lit(".example"), (col("doc_id") % 7).cast("string"),
+            lit(".com/p/"), col("doc_id").cast("string")).as("url"),
+          lit("en").as("lang"), col("text"))
+        val bl = Seq("example3.com", "sub5.example2.com").toDF("domain")
+        graft.functions.Funnel.verdicts(aug, "doc_id", "url", "lang", "text",
+          bl, minWords = 15).groupBy("verdict").count().collect(); ()
+      }),
+      "crawl_delta" -> (df => {
+        val url = concat(lit(graft.pipeline.Corpus.UrlPrefix), col("doc_id"))
+        val prev = df.select(url.as("url"), md5(col("text").cast("binary")).as("fp"))
+        val next = df.where(col("doc_id") % 7 =!= 0).select(url.as("url"),
+          md5(when(col("doc_id") % 5 === 0, concat(col("text"), lit("x")))
+            .otherwise(col("text")).cast("binary")).as("fp"))
+        graft.pipeline.Recrawl.delta(prev, next, "url", "fp")
+          .groupBy("status").count().collect(); ()
+      }),
+      "chunk_windows" -> (df => {
+        graft.functions.Chunking.chunkWindows(df, "doc_id", "text", 40, 10)
+          .count(); ()
       }))
 
     // optional comma-list filter so a re-run for newly added ops doesn't

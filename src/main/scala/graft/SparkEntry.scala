@@ -1046,6 +1046,32 @@ object SparkEntry {
           graft.functions.Urls.hostOf(col("url")).as("host"))
         .orderBy("doc_id")
     }),
+    "frontier_allowed" -> ((s, dir) => {
+      // crawl-frontier composition (Frontier.allowed): 3 probe urls per doc
+      // against 5 host arms — prefix disallow, allow-overrides-disallow
+      // (longest match), empty disallow, a graftbot-specific group with a
+      // $-anchored wildcard SHADOWING a disallow-all * group, and a host
+      // with no robots.txt at all (RFC 9309: fully allowed); every verdict
+      // a closed form of (doc_id % 5, ord)
+      import s.implicits._
+      val k = (col("doc_id") % 5).cast("string")
+      val id = col("doc_id").cast("string")
+      val targets = s.read.parquet(s"$dir/documents.parquet")
+        .select(col("doc_id"), posexplode(array(
+          concat(lit("https://h"), k, lit(".example.org/public/doc-"), id),
+          concat(lit("https://h"), k, lit(".example.org/private/x-"), id),
+          concat(lit("https://h"), k, lit(".example.org/file-"), id, lit(".pdf")))))
+        .select(col("doc_id"), col("pos").cast("long").as("ord"), col("col").as("url"))
+      val robots = Seq(
+        ("h0.example.org", "User-agent: *\nDisallow: /private/"),
+        ("h1.example.org", "User-agent: *\nDisallow: /\nAllow: /public"),
+        ("h2.example.org", "User-agent: *\nDisallow:"),
+        ("h3.example.org",
+          "User-agent: graftbot\nDisallow: /*.pdf$\n\nUser-agent: *\nDisallow: /")
+      ).toDF("host", "robots_txt")
+      graft.sources.Frontier.allowed(targets, "url", robots)
+        .orderBy("doc_id", "ord")
+    }),
     "quality_funnel" -> ((s, dir) => {
       // composed keep/drop policy with first-failing-stage verdicts
       // (Funnel.verdicts): urls synthesized as in url_block_domains
@@ -1744,6 +1770,23 @@ object SparkEntry {
                  AND n_stop_distinct >= 2
                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
          FROM sig ORDER BY doc_id""",
+    // per-(host arm, probe path) verdicts in closed form: h0 blocks only
+    // /private/, h1 allows only /public (longest-match), h2 blocks nothing,
+    // h3's graftbot group blocks only *.pdf (shadowing the disallow-all *
+    // group), h4 has no robots.txt -> everything allowed
+    "frontier_allowed" ->
+      """WITH t AS (SELECT doc_id, i AS ord, doc_id % 5 AS k
+                    FROM documents, generate_series(0, 2) s(i))
+         SELECT doc_id, CAST(ord AS BIGINT) AS ord,
+           'https://h' || k || '.example.org' ||
+             CASE ord WHEN 0 THEN '/public/doc-' || doc_id
+                      WHEN 1 THEN '/private/x-' || doc_id
+                      ELSE '/file-' || doc_id || '.pdf' END AS url,
+           CASE WHEN k = 0 THEN ord != 1
+                WHEN k = 1 THEN ord = 0
+                WHEN k = 3 THEN ord != 2
+                ELSE true END AS allowed
+         FROM t ORDER BY doc_id, ord""",
     // every funnel stage recomputed from the same augmented inputs: blocked
     // arm in closed form, langid/gopher/repetition CTEs are the same
     // restatements as their standalone oracles, applied to t

@@ -78,7 +78,9 @@ object Tables {
     }
     Meta.walkTagsAt(html) { (name0, _, tagStart, afterTag) =>
       // tagName keeps an XHTML self-close slash in the name ("td/") — fold
-      // it onto the open form; a self-closed cell is simply empty
+      // it onto the open form: HTML5 tree construction IGNORES the
+      // self-closing slash on non-void elements, so <td/> opens a cell
+      // that runs to the next boundary, exactly like <td>
       val name = name0.stripSuffix("/")
       name match {
         case "table" =>

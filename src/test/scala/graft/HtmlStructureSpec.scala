@@ -80,6 +80,10 @@ class HtmlStructureSpec extends AnyFunSuite {
       "<script>'<table><tr><td>f</td></tr></table>'</script><!-- <table><tr><td>c</td></tr></table> -->").isEmpty)
     // a stray td outside any table is ignored, not a crash
     assert(Tables.cells("<td>stray</td><tr></tr>").isEmpty)
+    // HTML5 ignores the self-closing slash on non-void elements: <td/>
+    // opens a cell like <td>, so the following text belongs to it
+    assert(Tables.cells("<table><tr><td/>still the cell</tr></table>") ==
+      Seq(TableCell(0, 0, 0, header = false, "still the cell")))
   }
 
   test("Tables: cell text uses innerText conventions (entities, inline tags, br, attr quotes)") {

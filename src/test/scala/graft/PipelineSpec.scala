@@ -240,7 +240,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("query inventory: every query has an oracle and the count is pinned") {
     // the README/NOTES quote this number; pinning it here keeps the prose
     // from drifting (r4 verdict item 7). Update BOTH on every new query.
-    assert(SparkEntry.queries.size == 91,
+    assert(SparkEntry.queries.size == 92,
       s"queries=${SparkEntry.queries.size} — update this pin AND README.md")
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
       "every query needs a DuckDB oracle (and no orphaned oracles): " +
@@ -264,6 +264,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.pipeline.Recrawl.delta(prev, next, "url", "fp"), "url")
       .select("url").as[String].collect().toSet
     assert(work == Set("u2", "u3", "u5"))
+  }
+
+  test("Frontier.allowed: per-host policies, missing robots, null url, columns preserved") {
+    import spark.implicits._
+    val targets = Seq(
+      (1L, "https://a.com/private/x"), // a.com blocks /private/
+      (2L, "https://a.com/pub/x"),
+      (3L, "https://b.com/anything"),  // b.com has no robots.txt row
+      (4L, "https://A.COM/private/y"), // host matching is case-insensitive
+      (5L, null.asInstanceOf[String])  // null url: not fetchable
+    ).toDF("id", "url")
+    val robots = Seq(("a.com", "User-agent: *\nDisallow: /private/"))
+      .toDF("host", "robots_txt")
+    val out = graft.sources.Frontier.allowed(targets, "url", robots)
+    assert(out.columns.toSeq == Seq("id", "url", "allowed"))
+    val m = out.select("id", "allowed").as[(Long, Boolean)].collect().toMap
+    assert(m == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false, 5L -> false))
   }
 
   test("Funnel: first-fail verdict order and attrition report") {

@@ -83,4 +83,14 @@ class RobotsSpec extends AnyFunSuite {
     assert(!Robots.parse(stacked, "a").isAllowed("/x/y"))
     assert(!Robots.parse(stacked, "b").isAllowed("/x/y"))
   }
+
+  test("Frontier.pathQueryOf: the path+query a robots matcher sees") {
+    import graft.sources.Frontier.pathQueryOf
+    assert(pathQueryOf("https://h.com/a/b?q=1#frag") == "/a/b?q=1")
+    assert(pathQueryOf("https://h.com") == "/")
+    assert(pathQueryOf("https://h.com#frag") == "/")
+    assert(pathQueryOf("https://h.com?q=1") == "/?q=1") // path-less query
+    assert(pathQueryOf("/already/a/path") == "/already/a/path")
+    assert(pathQueryOf("no-scheme-no-slash") == "/")
+  }
 }
