@@ -54,6 +54,11 @@ object Funnel {
       .join(rep, col(idCol) === col("_rid"), "left_outer")
       .select(col(idCol).as("doc_id"),
         when(col("_blocked"), lit("blocked_url"))
+          // null/empty text must fail CLOSED: every later stage's predicate
+          // goes null on null text, and when(null) falls through — without
+          // this guard an extraction-failed document would be "kept"
+          .when(col(textCol).isNull || length(trim(col(textCol))) === 0,
+            lit("gopher_fail"))
           .when(TextStats.langId(col(textCol)) =!= col(langCol), lit("wrong_lang"))
           .when(TextStats.gopherSignals(col(textCol), minWords)
             .getField("keep") === 0, lit("gopher_fail"))

@@ -21,7 +21,9 @@ import org.apache.spark.sql.functions._
   * shuffle-free; the fingerprint comparison is a per-row projection. The
   * fingerprint column should be a digest of the EXTRACTION-RELEVANT bytes
   * (payload md5), not fetch metadata — timestamps/headers churn on every
-  * fetch and would mark the whole table changed. */
+  * fetch and would mark the whole table changed. Each snapshot must be
+  * url-UNIQUE (crawl snapshots are url-keyed); a duplicated url would
+  * multiply through the outer join. */
 object Recrawl {
 
   /** `(url, status)` for every url in either snapshot: `added` (new side

@@ -31,8 +31,12 @@ object Frontier {
       hostCol: String = "host", txtCol: String = "robots_txt",
       userAgent: String = "graftbot"): DataFrame = {
     val t = targets.withColumn("__host", Urls.hostOf(col(urlCol)))
+    // a duplicated host row would DUPLICATE every frontier url of that host
+    // through the join — collapse deterministically (max body) on the
+    // hosts-sized side, where the extra aggregation is noise
     val r = robots.select(lower(col(hostCol)).as("__host"),
-      col(txtCol).as("__robots_txt"))
+        col(txtCol).as("__robots_txt"))
+      .groupBy("__host").agg(max("__robots_txt").as("__robots_txt"))
     val joined = t.join(r, Seq("__host"), "left_outer")
     val urlIdx = joined.schema.fieldIndex(urlCol)
     val hostIdx = joined.schema.fieldIndex("__host")

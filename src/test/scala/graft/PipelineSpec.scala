@@ -281,6 +281,10 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
     assert(out.columns.toSeq == Seq("id", "url", "allowed"))
     val m = out.select("id", "allowed").as[(Long, Boolean)].collect().toMap
     assert(m == Map(1L -> false, 2L -> true, 3L -> true, 4L -> false, 5L -> false))
+    // a duplicated robots host row must not duplicate frontier urls
+    val dup = Seq(("a.com", "User-agent: *\nDisallow: /private/"),
+      ("a.com", "User-agent: *\nDisallow: /private/")).toDF("host", "robots_txt")
+    assert(graft.sources.Frontier.allowed(targets, "url", dup).count() == 5)
   }
 
   test("Funnel: first-fail verdict order and attrition report") {
@@ -295,19 +299,23 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       (3L, "https://ok.com/p", "en", "the and of to a few"),  // gopher_fail (6 words)
       (4L, "https://ok.com/p", "en",
         good + (" zqzqzq zqzqzq" * 400)),                     // repetitive
-      (5L, "https://ok.com/p", "en", good)                    // kept
+      (5L, "https://ok.com/p", "en", good),                   // kept
+      // extraction-failed documents fail CLOSED, never "kept"
+      (6L, "https://ok.com/p", "en", null.asInstanceOf[String]),
+      (7L, "https://ok.com/p", "en", "   ")
     ).toDF("doc_id", "url", "lang", "text")
     val bl = Seq("bad.com").toDF("domain")
     val v = graft.functions.Funnel
       .verdicts(docs, "doc_id", "url", "lang", "text", bl, minWords = 15)
     assert(v.as[(Long, String)].collect().toMap == Map(
       1L -> "blocked_url", 2L -> "wrong_lang", 3L -> "gopher_fail",
-      4L -> "repetitive", 5L -> "kept"))
+      4L -> "repetitive", 5L -> "kept",
+      6L -> "gopher_fail", 7L -> "gopher_fail"))
     val r = graft.functions.Funnel.report(v)
       .as[(Long, String, Long, Long)].collect().toSeq
     assert(r == Seq(
-      (0L, "blocked_url", 1L, 4L), (1L, "wrong_lang", 1L, 3L),
-      (2L, "gopher_fail", 1L, 2L), (3L, "repetitive", 1L, 1L),
+      (0L, "blocked_url", 1L, 6L), (1L, "wrong_lang", 1L, 5L),
+      (2L, "gopher_fail", 3L, 2L), (3L, "repetitive", 1L, 1L),
       (4L, "kept", 0L, 1L)))
     // a stage that drops nothing still appears with n_dropped = 0
     val r2 = graft.functions.Funnel
