@@ -363,6 +363,14 @@ object Bench {
           docsDf.select("doc_id", "text"), "doc_id", "text",
           windowTokens = 40, overlapTokens = 10).count(); ()
       }),
+      "host_caps" -> (() => {
+        val d = docsDf.select(
+          concat(lit("h"), (col("doc_id") % 7).cast("string"),
+            lit(".example.org")).as("host"),
+          ((col("doc_id") * 31) % 101).as("score"), col("doc_id"))
+        graft.functions.TopK.topKPerKey(d, "host", "score", "doc_id", 3)
+          .count(); ()
+      }),
       "crawl_delta" -> (() => {
         val url = concat(lit(Corpus.UrlPrefix), col("doc_id"))
         val prev = docsDf.select(url.as("url"), md5(col("text").cast("binary")).as("fp"))

@@ -1104,6 +1104,19 @@ object SparkEntry {
           blocklist, minWords = 15)
         .orderBy("doc_id")
     }),
+    "host_caps" -> ((s, dir) => {
+      // per-host top-K cap (TopK.topKPerKey — typed combinable Aggregator,
+      // NOT a window: map-side state caps at K per key, the shuffle ships
+      // <=K rows per key per task): 7 host arms, deterministic integer
+      // scores with guaranteed ties so the id tie-break is gate-visible
+      val d = s.read.parquet(s"$dir/documents.parquet").select(
+        concat(lit("h"), (col("doc_id") % 7).cast("string"),
+          lit(".example.org")).as("host"),
+        ((col("doc_id") * 31) % 101).as("score"),
+        col("doc_id"))
+      graft.functions.TopK.topKPerKey(d, "host", "score", "doc_id", k = 3)
+        .orderBy("host", "rank")
+    }),
     "split_assign" -> ((s, dir) =>
       docs(s, dir).select(col("doc_id"),
           graft.functions.Sampling.split(col("doc_id")).as("split"))
@@ -1770,6 +1783,16 @@ object SparkEntry {
                  AND n_stop_distinct >= 2
                 THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS keep
          FROM sig ORDER BY doc_id""",
+    // the window restatement is oracle-side only (DuckDB is single-node);
+    // the Spark side is the combinable top-K Aggregator, never a window
+    "host_caps" ->
+      """WITH d AS (SELECT 'h' || (doc_id % 7) || '.example.org' AS host,
+                           (doc_id * 31) % 101 AS score, doc_id FROM documents),
+         r AS (SELECT host, score, doc_id,
+                 row_number() OVER (PARTITION BY host ORDER BY score DESC, doc_id ASC) AS rank
+               FROM d)
+         SELECT host, CAST(rank AS BIGINT) AS rank, doc_id, CAST(score AS BIGINT) AS score
+         FROM r WHERE rank <= 3 ORDER BY host, rank""",
     // per-(host arm, probe path) verdicts in closed form: h0 blocks only
     // /private/, h1 allows only /public (longest-match), h2 blocks nothing,
     // h3's graftbot group blocks only *.pdf (shadowing the disallow-all *

@@ -240,7 +240,7 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
   test("query inventory: every query has an oracle and the count is pinned") {
     // the README/NOTES quote this number; pinning it here keeps the prose
     // from drifting (r4 verdict item 7). Update BOTH on every new query.
-    assert(SparkEntry.queries.size == 92,
+    assert(SparkEntry.queries.size == 93,
       s"queries=${SparkEntry.queries.size} — update this pin AND README.md")
     assert(SparkEntry.oracleSql.keySet == SparkEntry.queries.keySet,
       "every query needs a DuckDB oracle (and no orphaned oracles): " +
@@ -264,6 +264,32 @@ class PipelineSpec extends AnyFunSuite with BeforeAndAfterAll {
       graft.pipeline.Recrawl.delta(prev, next, "url", "fp"), "url")
       .select("url").as[String].collect().toSet
     assert(work == Set("u2", "u3", "u5"))
+  }
+
+  test("TopK.topKPerKey: rank order, tie-break, partitioning independence, guards") {
+    import spark.implicits._
+    val rows = Seq(
+      ("a", 5L, 10L), ("a", 9L, 11L), ("a", 9L, 3L), ("a", 1L, 12L), ("a", 7L, 2L),
+      ("b", 4L, 20L),
+      // Long.MinValue score must rank LAST, not overflow to best
+      ("c", Long.MinValue, 30L), ("c", 0L, 31L))
+    def run(parts: Int) = graft.functions.TopK.topKPerKey(
+        rows.toDF("k", "score", "id").repartition(parts), "k", "score", "id", 3)
+      .as[(String, Long, Long, Long)].collect().sortBy(r => (r._1, r._2)).toSeq
+    val expected = Seq(
+      ("a", 1L, 3L, 9L), ("a", 2L, 11L, 9L), ("a", 3L, 2L, 7L), // id asc on the 9-tie
+      ("b", 1L, 20L, 4L),
+      ("c", 1L, 31L, 0L), ("c", 2L, 30L, Long.MinValue))
+    assert(run(1) == expected)
+    assert(run(7) == expected) // merge path: same result on any partitioning
+    intercept[IllegalArgumentException] {
+      graft.functions.TopK.topKPerKey(
+        Seq(("a", 1.5, 1L)).toDF("k", "score", "id"), "k", "score", "id", 3)
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.TopK.topKPerKey(
+        Seq((1L, 1L, 1L)).toDF("k", "score", "id"), "k", "score", "id", 3)
+    }
   }
 
   test("Frontier.allowed: per-host policies, missing robots, null url, columns preserved") {
