@@ -130,6 +130,18 @@ object OpScaling {
       "chunk_windows" -> (df => {
         graft.functions.Chunking.chunkWindows(df, "doc_id", "text", 40, 10)
           .count(); ()
+      }),
+      // 7 hosts over the whole corpus = the top-K Aggregator's worst case:
+      // EVERY row combines into one of 7 map-side buffers, and the claim
+      // under test is that the post-combine shuffle stays K x keys x tasks
+      // regardless of corpus size
+      "host_caps" -> (df => {
+        val d = df.select(
+          concat(lit("h"), (col("doc_id") % 7).cast("string"),
+            lit(".example.org")).as("host"),
+          ((col("doc_id") * 31) % 101).as("score"), col("doc_id"))
+        graft.functions.TopK.topKPerKey(d, "host", "score", "doc_id", 3)
+          .count(); ()
       }))
 
     // optional comma-list filter so a re-run for newly added ops doesn't

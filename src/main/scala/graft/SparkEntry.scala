@@ -751,6 +751,24 @@ object SparkEntry {
       graft.html.Anchors.profile(edges, "dst", "anchor")
         .orderBy("dst")
     }),
+    "html_jsonld" -> ((s, dir) => {
+      // schema.org JSON-LD extraction (StructuredData.jsonLd): raw blocks
+      // found by the hardened scanner, PARSED by Spark's own
+      // get_json_object (the Spark-first division of labor — no hand-rolled
+      // JSON parser); type-attr quoting/case/parameter arms rotate by
+      // doc_id, decoys (javascript-typed, type-less, commented-out) vanish
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .flatMap { case (id, t) =>
+          graft.html.StructuredData.jsonLd(Corpus.htmlJsonLdProbe(id, t))
+            .zipWithIndex.map { case (j, i) => (id, i.toLong, j) }
+        }.toDF("doc_id", "idx", "json")
+        .select(col("doc_id"), col("idx"), col("json"),
+          get_json_object(col("json"), "$.headline").as("headline"),
+          get_json_object(col("json"), "$.datePublished").as("published"))
+        .orderBy("doc_id", "idx")
+    }),
     "html_outline" -> ((s, dir) => {
       // heading outline (Outline.headings — the HTML twin of pdf_outline):
       // three body headings whose levels/titles are closed forms of doc_id
@@ -2119,6 +2137,23 @@ object SparkEntry {
          SELECT dst, CAST(n_refs AS BIGINT) AS n_refs,
                 CAST(n_anchors AS BIGINT) AS n_anchors, anchor AS top_anchor
          FROM r WHERE rn = 1 ORDER BY dst""",
+    // Corpus.htmlJsonLdProbe: block 0 = the Article object, block 1 (odd
+    // ids) = the array form ($.headline on an array -> NULL in both engines)
+    "html_jsonld" ->
+      """WITH b AS (
+           SELECT doc_id, 0 AS idx,
+             '{"@type":"Article","headline":"t-' || (doc_id % 9)
+               || '","datePublished":"2024-01-0' || (doc_id % 9 + 1) || '"}' AS json,
+             't-' || (doc_id % 9) AS headline,
+             '2024-01-0' || (doc_id % 9 + 1) AS published
+           FROM documents
+           UNION ALL
+           SELECT doc_id, 1,
+             '[{"@type":"BreadcrumbList","position":' || (doc_id % 5) || '}]',
+             NULL, NULL
+           FROM documents WHERE doc_id % 2 = 1)
+         SELECT doc_id, CAST(idx AS BIGINT) AS idx, json, headline, published
+         FROM b ORDER BY doc_id, idx""",
     // Corpus.htmlOutlineProbe: three body headings per doc; the chrome /
     // commented / in-script decoys must NOT appear
     "html_outline" ->

@@ -1590,6 +1590,48 @@ object Corpus {
     html.getBytes(UTF_8)
   }
 
+  /** JSON-LD probe (the `html_jsonld` gate): one Article block per doc
+    * (headline/datePublished closed forms of doc_id) whose type attribute
+    * rotates quoting by doc_id%3 (double/single/unquoted) and value form
+    * by doc_id%4 when quoted (plain / uppercase / parameterized
+    * `; charset=utf-8` / space-padded — all must match), a second
+    * array-form block on odd ids, and three decoys that must vanish: a
+    * javascript-typed script, a type-less script, and a commented-out
+    * JSON-LD element. */
+  def htmlJsonLdProbe(docId: Long, text: String): Array[Byte] = {
+    val esc = escapeHtml(text)
+    val block1 =
+      s"""{"@type":"Article","headline":"t-${docId % 9}","datePublished":"2024-01-0${docId % 9 + 1}"}"""
+    val block2 = s"""[{"@type":"BreadcrumbList","position":${docId % 5}}]"""
+    val typeAttr =
+      if (docId % 3 == 2) "type=application/ld+json" // unquoted: plain value only
+      else {
+        val v = (docId % 4) match {
+          case 0 => "application/ld+json"
+          case 1 => "APPLICATION/LD+JSON"
+          case 2 => "application/ld+json; charset=utf-8"
+          case _ => " application/ld+json "
+        }
+        if (docId % 3 == 0) s"""type="$v"""" else s"type='$v'"
+      }
+    val second =
+      if (docId % 2 == 1)
+        s"""<script type="application/ld+json">$block2</script>"""
+      else ""
+    val html =
+      s"""<!DOCTYPE html>
+         |<html><head><title>doc $docId</title>
+         |<script type="text/javascript">var decoy = {"not":"ld"};</script>
+         |<script>var alsoNot = 1;</script>
+         |<!-- <script type="application/ld+json">{"commented":true}</script> -->
+         |<script $typeAttr>
+         |$block1
+         |</script>
+         |$second
+         |</head><body><p>$esc</p></body></html>""".stripMargin
+    html.getBytes(UTF_8)
+  }
+
   def htmlSpanProbePageRowFor(docId: Long, text: String, lang: String): PageRow =
     PageRow(
       url = UrlPrefix + docId,

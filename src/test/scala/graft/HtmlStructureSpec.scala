@@ -86,6 +86,32 @@ class HtmlStructureSpec extends AnyFunSuite {
       Seq(TableCell(0, 0, 0, header = false, "still the cell")))
   }
 
+  test("StructuredData.jsonLd: type matching, decoys, raw bodies, browser close rule") {
+    import graft.html.StructuredData
+    val html =
+      """<head>
+        |<script type="text/javascript">var x = {"not":"ld"};</script>
+        |<script>var y = 1;</script>
+        |<!-- <script type="application/ld+json">{"commented":1}</script> -->
+        |<script type="APPLICATION/LD+JSON; charset=utf-8">{"a":1}</script>
+        |<script type=' application/ld+json '>{"b":"&amp; stays raw"}</script>
+        |<script type=application/ld+json>[{"c":3}]</script>
+        |<script type="application/ld+jsonx">{"d":4}</script>
+        |<script type="application/ld+json">   </script>
+        |</head>""".stripMargin
+    assert(StructuredData.jsonLd(html) == Seq(
+      """{"a":1}""",
+      """{"b":"&amp; stays raw"}""", // script bodies are raw text: no entity decoding
+      """[{"c":3}]"""))
+    // a </script inside a JSON string ends the block — browser behavior
+    assert(StructuredData.jsonLd(
+      """<script type="application/ld+json">{"x":"</script>"}</script>""") ==
+      Seq("""{"x":""""))
+    // unterminated block runs to EOF
+    assert(StructuredData.jsonLd(
+      """<script type="application/ld+json">{"y":1}""") == Seq("""{"y":1}"""))
+  }
+
   test("Tables: cell text uses innerText conventions (entities, inline tags, br, attr quotes)") {
     val cells = Tables.cells(
       """<table><tr><td>one&amp;<b>two</b><br>three</td><td><a href="a>b">link text</a></td></tr></table>""")
