@@ -205,4 +205,58 @@ class LateOpsPropertySpec extends AnyFunSuite with BeforeAndAfterAll {
       assert(got(id) == host, s"url $url -> ${got(id)}, want $host")
     }
   }
+
+  test("chunkWindows reconstructs every document exactly on random sizes") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    val (w, o) = (10, 4)
+    val stride = w - o
+    // word counts hugging every boundary: 0, 1, W-1, W, W+1, multiples of
+    // the stride around W, plus random sizes
+    val sizes = (Seq(0, 1, w - 1, w, w + 1, w + stride, w + stride + 1) ++
+      Seq.fill(20)(rnd.nextInt(120))).distinct
+    val docs = sizes.zipWithIndex.map { case (n, i) =>
+      (i.toLong, (1 to n).map(j => s"w${i}_$j").mkString(" "))
+    }
+    val out = graft.functions.Chunking
+      .chunkWindows(docs.toDF("doc_id", "text"), "doc_id", "text", w, o)
+      .as[(Long, Long, Long, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    docs.foreach { case (id, text) =>
+      val words = if (text.isEmpty) Array.empty[String] else text.split(" ")
+      val chunks = out.getOrElse(id, Array.empty[(Long, Long, Long, String)])
+      if (words.isEmpty) assert(chunks.isEmpty, s"doc $id: empty doc must chunk to nothing")
+      else {
+        // chunk i covers words [i*stride, i*stride + W); the union covers
+        // the document with no gap and the declared overlap only
+        chunks.zipWithIndex.foreach { case ((_, idx, nTok, chunk), i) =>
+          assert(idx == i)
+          val expect = words.slice(i * stride, i * stride + w)
+          assert(chunk == expect.mkString(" "), s"doc $id chunk $i")
+          assert(nTok == expect.length)
+        }
+        val lastStart = (chunks.length - 1) * stride
+        assert(lastStart + w >= words.length, s"doc $id: tail words uncovered")
+        assert(chunks.length == (if (words.length <= w) 1
+          else (words.length - w + stride - 1) / stride + 1))
+      }
+    }
+  }
+
+  test("topKPerKey matches the sort reference on random keyed scores") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(31)
+    val rows = Seq.fill(400)((s"k${rnd.nextInt(9)}",
+      rnd.nextInt(12).toLong - 3, rnd.nextLong())) // dense scores force ties
+    val k = 4
+    val ref = rows.groupBy(_._1).flatMap { case (key, rs) =>
+      rs.map(r => (r._2, r._3)).sortBy { case (s, i) => (-s, i) }
+        .take(k).zipWithIndex
+        .map { case ((s, i), rank) => (key, rank + 1L, i, s) }
+    }.toSet
+    val got = graft.functions.TopK.topKPerKey(
+        rows.toDF("k", "score", "id").repartition(11), "k", "score", "id", k)
+      .as[(String, Long, Long, Long)].collect().toSet
+    assert(got == ref)
+  }
 }
