@@ -1229,6 +1229,26 @@ object SparkEntry {
       // frame with a deterministic frame fingerprint and 224-target resize
       Multimodal.sampleFrames(Multimodal.mediaTable(s, dir)).toDF()
         .orderBy("doc_id", "frame_idx")),
+    "multimodal_real_decode" -> ((s, dir) => {
+      // REAL media decoding, no codec libraries (RealMedia): even ids carry
+      // a genuine 24bpp BMP (nonzero row padding — a stride bug corrupts
+      // the channel sum), odd ids a PCM16 WAV (odd-sized junk LIST chunk —
+      // the word-aligned chunk walk is gate-visible); dimensions, rate,
+      // sample count and the pixel/sample-level feature are all closed
+      // forms the oracle recomputes from the generation arms
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long]
+        .map { id =>
+          val payload = if (id % 2 == 0) Corpus.bmpForDoc(id) else Corpus.wavForDoc(id)
+          val d = graft.multimodal.RealMedia.decode(payload)
+            .getOrElse(sys.error(s"doc $id: payload failed to decode"))
+          (id, d.container, d.width, d.height, d.sampleRate, d.nSamples, d.feature)
+        }
+        .toDF("doc_id", "container", "width", "height", "sample_rate",
+          "n_samples", "feature")
+        .orderBy("doc_id")
+    }),
     // --------------------------------------------------------------- events
     "events_hourly" -> ((s, dir) =>
       Events.hourlyByType(s.read.parquet(s"$dir/events.parquet"))
@@ -2418,6 +2438,26 @@ object SparkEntry {
          CAST(CASE WHEN doc_id % 3 = 1 THEN 8000 + (n % 5) * 8000 ELSE 0 END AS BIGINT) AS sample_rate,
          md5(text) AS checksum
          FROM v ORDER BY doc_id""",
+    // RealMedia closed forms: BMP channel sum over (x,y) as ONE
+    // comprehension (x = i % w, y = i // w), WAV peak = max |sample|
+    "multimodal_real_decode" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+                    FROM documents)
+         SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'bmp' ELSE 'wav' END AS container,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN w ELSE 0 END AS BIGINT) AS width,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN h ELSE 0 END AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                     ELSE 8000 * (1 + doc_id % 3) END AS BIGINT) AS sample_rate,
+           CAST(CASE WHEN doc_id % 2 = 0 THEN 0
+                     ELSE 50 + doc_id % 20 END AS BIGINT) AS n_samples,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN list_sum([((i % w) * 7 + (i // w) * 13 + doc_id) % 256
+                               for i in generate_series(0, w * h - 1)])
+                ELSE list_max([abs(((i * 31 + doc_id) % 2001) - 1000)
+                               for i in generate_series(0, 50 + doc_id % 20 - 1)])
+                END AS BIGINT) AS feature
+         FROM d ORDER BY doc_id""",
     // stub decoder arithmetic mirrored exactly: payload = UTF-8 of text,
     // video kind = doc_id%3==2, frames = 1 + n%24, w/h from n, resize to
     // min(w,224) with integer floor division; frame fp = md5 of

@@ -19,19 +19,27 @@ final case class MediaMeta(
     sample_rate: Long, // audio only
     checksum: String)
 
-/** STUB decoder: deterministic pseudo-metadata derived from payload size.
-  * A production deployment replaces this object with real codecs (e.g.
-  * javax.imageio / ffmpeg bindings) — the call shape (batch iterator in,
-  * metadata out, per-partition decoder state) is unchanged. */
+/** Decoder front: payloads in the codec-free containers ([[RealMedia]] —
+  * uncompressed BMP, PCM WAV) decode FOR REAL; everything else falls back
+  * to the deterministic stub below, which now stands in only for the
+  * genuinely codec-bound formats (JPEG/PNG/MP3/MP4 — no codec libraries in
+  * this container). A production deployment extends the same seam with
+  * real codecs (javax.imageio / ffmpeg bindings); the call shape (batch
+  * iterator in, metadata out, per-partition decoder state) is unchanged —
+  * [[RealMedia]] is the proof the seam carries a real decoder. */
 object MediaDecoder {
-  def decode(kind: String, payload: Array[Byte]): (Long, Long, Long, Long) = {
-    val n = payload.length.toLong
-    kind match {
-      case "image" => (64 + n % 512, 64 + (n * 7) % 512, 1L, 0L)
-      case "video" => (64 + n % 512, 64 + (n * 7) % 512, 1 + n % 24, 0L)
-      case _       => (0L, 0L, 0L, 8000 + (n % 5) * 8000) // audio
+  def decode(kind: String, payload: Array[Byte]): (Long, Long, Long, Long) =
+    RealMedia.decode(payload) match {
+      case Some(d) if d.container == "bmp" => (d.width, d.height, 1L, 0L)
+      case Some(d)                         => (0L, 0L, 0L, d.sampleRate)
+      case None =>
+        val n = payload.length.toLong
+        kind match {
+          case "image" => (64 + n % 512, 64 + (n * 7) % 512, 1L, 0L)
+          case "video" => (64 + n % 512, 64 + (n * 7) % 512, 1 + n % 24, 0L)
+          case _       => (0L, 0L, 0L, 8000 + (n % 5) * 8000) // audio
+        }
     }
-  }
 }
 
 /** One sampled video frame: deterministic fingerprint standing in for the

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import graft.fixtures.GoldenGen
 import graft.pdf.{ObjectId, PdfCrypto}
-import java.nio.charset.StandardCharsets.{ISO_8859_1, UTF_8}
+import java.nio.charset.StandardCharsets.{ISO_8859_1, US_ASCII, UTF_8}
 import java.sql.Timestamp
 import java.time.Instant
 import org.apache.spark.sql.{Dataset, SparkSession}
@@ -1630,6 +1630,63 @@ object Corpus {
          |$second
          |</head><body><p>$esc</p></body></html>""".stripMargin
     html.getBytes(UTF_8)
+  }
+
+  /** Real 24bpp bottom-up BMP whose pixel values are closed forms of
+    * (x, y, doc_id) — pixel (x,y) carries ((x·7 + y·13 + doc_id) % 256) in
+    * all three channels, and row padding bytes are NONZERO (0x55), so a
+    * decoder that misreads the 4-byte row stride produces a wrong channel
+    * sum instead of accidentally matching. */
+  def bmpForDoc(docId: Long): Array[Byte] = {
+    val w = 3 + (docId % 5).toInt
+    val h = 2 + (docId % 3).toInt
+    val rowSize = ((w * 3 + 3) / 4) * 4
+    val size = 54 + rowSize * h
+    val b = java.nio.ByteBuffer.allocate(size).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(size).putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24).putInt(0)
+    b.putInt(rowSize * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = ((x * 7 + y * 13 + docId) % 256).toByte
+        b.put(v).put(v).put(v)
+        x += 1
+      }
+      var pad = w * 3
+      while (pad < rowSize) { b.put(0x55.toByte); pad += 1 }
+      y += 1
+    }
+    b.array()
+  }
+
+  /** Real RIFF/WAVE PCM16 mono file: rate and sample values closed forms of
+    * doc_id; odd ids carry an ODD-sized junk LIST chunk before `fmt ` so
+    * the decoder's word-aligned chunk walk is gate-visible. */
+  def wavForDoc(docId: Long): Array[Byte] = {
+    val rate = (8000 * (1 + docId % 3)).toInt
+    val n = (50 + docId % 20).toInt
+    val junk = docId % 2 == 1
+    val junkBytes = if (junk) 8 + 11 + 1 else 0 // header + odd body + pad
+    val dataSize = n * 2
+    val riffSize = 4 + junkBytes + (8 + 16) + (8 + dataSize)
+    val b = java.nio.ByteBuffer.allocate(8 + riffSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes(US_ASCII)).putInt(riffSize).put("WAVE".getBytes(US_ASCII))
+    if (junk) {
+      b.put("LIST".getBytes(US_ASCII)).putInt(11)
+      b.put(Array.fill(11)(0x4a.toByte)).put(0.toByte)
+    }
+    b.put("fmt ".getBytes(US_ASCII)).putInt(16).putShort(1).putShort(1)
+    b.putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+    b.put("data".getBytes(US_ASCII)).putInt(dataSize)
+    var i = 0
+    while (i < n) {
+      b.putShort((((i * 31 + docId) % 2001) - 1000).toShort)
+      i += 1
+    }
+    b.array()
   }
 
   def htmlSpanProbePageRowFor(docId: Long, text: String, lang: String): PageRow =
