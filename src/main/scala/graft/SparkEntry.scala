@@ -624,6 +624,31 @@ object SparkEntry {
         }.toDF("doc_id", "n_records", "n_errors", "url", "warc_date", "text")
         .orderBy("doc_id")
     }),
+    "wet_roundtrip" -> ((s, dir) => {
+      // the WET sidecar format (Common Crawl's pre-extracted text): only
+      // the conversion record's UTF-8 payload may surface — the warcinfo
+      // and the planted DECOY response (an HTTP body masquerading as text)
+      // must be skipped; url/date/text closed forms of doc_id, gzip-member
+      // transport on ids%3==0
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id", "text").as[(Long, String)]
+        .mapPartitions { it =>
+          it.map { case (id, t) =>
+            val recs = graft.sources.Warc.records(
+              new java.io.ByteArrayInputStream(Corpus.wetForDoc(id, t))).toVector
+            val conv = recs.collect {
+              case Right(r) if r.warcType == "conversion" => r
+            }
+            val (url, date, text) = conv.headOption.map { r =>
+              (r.targetUri, r.date,
+                new String(r.payload, java.nio.charset.StandardCharsets.UTF_8))
+            }.getOrElse(("", "", ""))
+            (id, recs.count(_.isRight).toLong, conv.size.toLong, url, date, text)
+          }
+        }.toDF("doc_id", "n_records", "n_conversion", "url", "wet_date", "text")
+        .orderBy("doc_id")
+    }),
     "sitemap_entries" -> ((s, dir) => {
       // sitemaps.org protocol (the crawl-seeding artifact robots.txt points
       // at): per document a synthetic urlset (even ids, entity-escaped
@@ -1990,6 +2015,14 @@ object SparkEntry {
                 strftime(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE,
                          '%Y-%m-%dT%H:%M:%SZ') AS warc_date,
                 text
+         FROM documents ORDER BY doc_id""",
+    "wet_roundtrip" ->
+      """SELECT doc_id, CAST(3 AS BIGINT) AS n_records,
+                CAST(1 AS BIGINT) AS n_conversion,
+                'https://example.org/doc/' || doc_id AS url,
+                strftime(TIMESTAMP '2024-01-01 00:00:00' + doc_id * INTERVAL 1 MINUTE,
+                         '%Y-%m-%dT%H:%M:%SZ') AS wet_date,
+                text || ' ¶wet-' || (doc_id % 9) AS text
          FROM documents ORDER BY doc_id""",
     // every entry restated as closed forms of (doc_id, idx): even ids a
     // urlset of doc_id%5+1 page urls (decoded '&' query on even idx),

@@ -994,6 +994,29 @@ object Corpus {
     graft.sources.Warc.encode(recs, gzipPerRecord = docId % 2 == 0)
   }
 
+  /** WET gate corpus: a warcinfo record, the `conversion` record carrying
+    * the extracted text (UTF-8, with a non-ASCII marker so the charset arm
+    * is hash-visible), and a DECOY `response` record whose HTTP body must
+    * never surface through a WET reader. Gzip-member layout on ids%3==0. */
+  def wetForDoc(docId: Long, text: String): Array[Byte] = {
+    val url = UrlPrefix + docId
+    val date = Instant.parse("2024-01-01T00:00:00Z").plusSeconds(docId * 60).toString
+    val wetText = text + " ¶wet-" + (docId % 9)
+    val recs = Seq(
+      (Seq("WARC-Type" -> "warcinfo", "WARC-Date" -> date,
+        "WARC-Record-ID" -> s"<urn:uuid:wetinfo-$docId>"),
+        "software: graft-wet-fixture\r\n".getBytes(ISO_8859_1)),
+      (Seq("WARC-Type" -> "conversion", "WARC-Target-URI" -> url,
+        "WARC-Date" -> date, "WARC-Refers-To" -> s"<urn:uuid:resp-$docId>",
+        "WARC-Record-ID" -> s"<urn:uuid:conv-$docId>",
+        "Content-Type" -> "text/plain"),
+        wetText.getBytes(UTF_8)),
+      (Seq("WARC-Type" -> "response", "WARC-Target-URI" -> url, "WARC-Date" -> date,
+        "WARC-Record-ID" -> s"<urn:uuid:decoy-$docId>"),
+        graft.sources.Warc.httpResponse("decoy html".getBytes(UTF_8))))
+    graft.sources.Warc.encode(recs, gzipPerRecord = docId % 3 == 0)
+  }
+
   /** Robots gate corpus: one robots.txt per document exercising every
     * RFC 9309 feature the parser implements — a specific `graftbot` group
     * (present only on EVEN doc_ids, so group-selection-vs-`*` is

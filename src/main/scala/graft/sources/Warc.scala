@@ -220,6 +220,35 @@ object Warc {
       .toDF("url", "warc_ts", "html", "text", "lang", "warc_path", "warc_error")
   }
 
+  /** WET ingestion (Common Crawl's extracted-text sidecar): WET files are
+    * WARCs whose `conversion` records carry the ALREADY-extracted plain
+    * text directly as the payload — no HTTP envelope — in UTF-8 (the CC
+    * convention), with WARC-Refers-To naming the response record they were
+    * derived from. Pipelines bootstrap from WET when they want CC's text
+    * without paying extraction; this adapter maps WET files to
+    * (url, warc_ts, text) rows with [[pages]]'s error-channel contract
+    * (a truncated file degrades to its good prefix + one diagnostic row).
+    * Non-conversion records (warcinfo, or a stray response) are skipped —
+    * an HTTP payload must never masquerade as extracted text. Same 100 TB
+    * shape as [[pages]]: one independent file per task, zero shuffles. */
+  def wetTexts(spark: SparkSession, pathGlob: String): DataFrame = {
+    import spark.implicits._
+    spark.read.format("binaryFile").load(pathGlob)
+      .select("path", "content").as[(String, Array[Byte])]
+      .flatMap { case (path, content) =>
+        records(new ByteArrayInputStream(content)).flatMap {
+          case Right(rec) if rec.warcType == "conversion" =>
+            val ts = try java.sql.Timestamp.from(java.time.Instant.parse(rec.date))
+              catch { case _: Exception => null }
+            Some((rec.targetUri, ts, new String(rec.payload, UTF_8), path, null: String))
+          case Right(_) => None
+          case Left(err) =>
+            Some((null: String, null: java.sql.Timestamp, null: String, path, err))
+        }
+      }
+      .toDF("url", "warc_ts", "text", "warc_path", "warc_error")
+  }
+
   /** Encode records as WARC bytes — each record optionally its OWN gzip
     * member (the Common-Crawl layout; members concatenate into one valid
     * stream). The write twin of [[records]] and the fixture surface of the

@@ -132,6 +132,29 @@ class WarcSpec extends AnyFunSuite with org.scalatest.BeforeAndAfterAll {
     }
   }
 
+  test("wetTexts(): conversion records only, UTF-8 payloads, decoy response skipped") {
+    import graft.pipeline.Corpus
+    val dir = java.nio.file.Files.createTempDirectory("warc_wet_").toFile
+    try {
+      java.nio.file.Files.write(new java.io.File(dir, "a.wet").toPath,
+        Corpus.wetForDoc(1L, "wet text one"))
+      java.nio.file.Files.write(new java.io.File(dir, "b.wet.gz").toPath,
+        Corpus.wetForDoc(3L, "wet text two")) // %3==0: gzip-member layout
+      val got = Warc.wetTexts(spark, dir.getAbsolutePath + "/*")
+        .selectExpr("url", "text", "warc_error")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+        .sortBy(_._1)
+      // exactly one row per file (the decoy response and warcinfo skipped),
+      // the non-ASCII marker survives the UTF-8 read
+      assert(got.map(_._1).toSeq == Seq(Corpus.UrlPrefix + 1, Corpus.UrlPrefix + 3))
+      assert(got.map(_._2).toSeq ==
+        Seq("wet text one ¶wet-1", "wet text two ¶wet-3"))
+      assert(got.forall(_._3 == null))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete(); ()
+    }
+  }
+
   test("corpus fixture: 3 records, http headers strip, gzip arm flips with doc_id") {
     import graft.pipeline.Corpus
     for (id <- Seq(6L, 7L)) {
