@@ -319,6 +319,17 @@ object Bench {
             }
           }.agg(sum("value")).collect(); ()
       }),
+      "wet_parse" -> (() => {
+        import spark.implicits._
+        docsDf.select("doc_id", "text").as[(Long, String)]
+          .mapPartitions { it =>
+            it.map { case (id, t) =>
+              graft.sources.Warc.records(new java.io.ByteArrayInputStream(
+                graft.pipeline.Corpus.wetForDoc(id, t)))
+                .count(r => r.isRight && r.toOption.get.warcType == "conversion").toLong
+            }
+          }.agg(sum("value")).collect(); ()
+      }),
       "feed_parse" -> (() => {
         import spark.implicits._
         docsDf.select("doc_id").as[Long]
