@@ -1274,6 +1274,27 @@ object SparkEntry {
           "n_samples", "feature")
         .orderBy("doc_id")
     }),
+    "multimodal_real_png_gif" -> ((s, dir) => {
+      // REAL compressed-image decoding, no codec libraries (RealMedia):
+      // even ids carry a genuine zlib-deflated PNG whose rows cycle through
+      // ALL FIVE filter types (a wrong unfilter arm corrupts the green
+      // sum), odd ids a GIF89a with real variable-width LZW (wrong code
+      // width / table growth / KwKwK corrupts the palette-red sum); both
+      // features are closed forms the oracle recomputes from the
+      // generation arms — the decoders must invert deflate+filtering and
+      // LZW exactly to reproduce them
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long]
+        .map { id =>
+          val payload = if (id % 2 == 0) Corpus.pngForDoc(id) else Corpus.gifForDoc(id)
+          val d = graft.multimodal.RealMedia.decode(payload)
+            .getOrElse(sys.error(s"doc $id: payload failed to decode"))
+          (id, d.container, d.width, d.height, d.feature)
+        }
+        .toDF("doc_id", "container", "width", "height", "feature")
+        .orderBy("doc_id")
+    }),
     // --------------------------------------------------------------- events
     "events_hourly" -> ((s, dir) =>
       Events.hourlyByType(s.read.parquet(s"$dir/events.parquet"))
@@ -2489,6 +2510,24 @@ object SparkEntry {
                                for i in generate_series(0, w * h - 1)])
                 ELSE list_max([abs(((i * 31 + doc_id) % 2001) - 1000)
                                for i in generate_series(0, 50 + doc_id % 20 - 1)])
+                END AS BIGINT) AS feature
+         FROM d ORDER BY doc_id""",
+    // RealMedia PNG/GIF closed forms: the decoders must invert zlib+all-5-
+    // filters (PNG green sum) and variable-width LZW (GIF palette-red sum)
+    // exactly to reproduce these comprehensions
+    "multimodal_real_png_gif" ->
+      """WITH d AS (SELECT doc_id, 3 + doc_id % 5 AS w, 5 + doc_id % 3 AS h
+                    FROM documents)
+         SELECT doc_id,
+           CASE WHEN doc_id % 2 = 0 THEN 'png' ELSE 'gif' END AS container,
+           CAST(w AS BIGINT) AS width,
+           CAST(h AS BIGINT) AS height,
+           CAST(CASE WHEN doc_id % 2 = 0
+                THEN list_sum([((i % w) * 11 + (i // w) * 3 + 2 * doc_id) % 256
+                               for i in generate_series(0, w * h - 1)])
+                ELSE list_sum([((((i % w) * 5 + (i // w) * 7 + doc_id) % 256) * 3
+                                + doc_id) % 256
+                               for i in generate_series(0, w * h - 1)])
                 END AS BIGINT) AS feature
          FROM d ORDER BY doc_id""",
     // stub decoder arithmetic mirrored exactly: payload = UTF-8 of text,

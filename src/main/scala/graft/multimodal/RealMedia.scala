@@ -1,28 +1,41 @@
 package graft.multimodal
 
-/** REAL decoders for the media containers that need no codec library —
-  * uncompressed BMP (BITMAPINFOHEADER, 24bpp BI_RGB) and RIFF WAV (PCM16) —
-  * plus a pixel/sample-level feature per payload, so the multimodal path
-  * demonstrates actual byte-level media decoding end-to-end inside this
-  * container. Formats that genuinely require codecs (JPEG/PNG/MP3/MP4)
-  * still fall back to [[MediaDecoder]]'s declared deterministic stub; this
-  * object is the proof the swap-in seam carries a real decoder unchanged.
+/** REAL decoders for the media formats that need no codec library —
+  * uncompressed BMP (BITMAPINFOHEADER, 24bpp BI_RGB), RIFF WAV (PCM16),
+  * PNG (8-bit truecolor, zlib via java.util.zip + all five row filters)
+  * and GIF (87a/89a, hand-rolled variable-width LZW) — plus a pixel/
+  * sample-level feature per payload, so the multimodal path demonstrates
+  * actual byte-level media decoding end-to-end inside this container.
+  * Formats that genuinely require lossy codecs (JPEG/MP3/MP4) still fall
+  * back to [[MediaDecoder]]'s declared deterministic stub; this object is
+  * the proof the swap-in seam carries real decoders unchanged.
   *
-  * Both parsers are defensive the way the PDF stack is: bounds-checked
-  * little-endian reads, malformed/truncated/unsupported payloads return
-  * None (an error surface, never a throw), and the WAV chunk walk skips
-  * unknown chunks (real files carry LIST/INFO junk before `fmt `). */
+  * All parsers are defensive the way the PDF stack is: bounds-checked
+  * reads, malformed/truncated/unsupported payloads return None (an error
+  * surface, never a throw — at 10^12 web documents every corruption WILL
+  * occur), chunk walks skip unknown/ancillary blocks, PNG chunk CRCs are
+  * verified, and decompressed sizes are capped up front so a crafted
+  * payload cannot become a decompression bomb on an executor. */
 object RealMedia {
 
   /** `feature`: BMP = sum of the blue channel over all pixels (row padding
     * excluded — a decoder that misreads the 4-byte row stride cannot
-    * produce this sum); WAV = peak absolute sample amplitude. */
+    * produce this sum); WAV = peak absolute sample amplitude; PNG = sum of
+    * the green channel (wrong unfiltering in ANY of the five filter arms
+    * corrupts it); GIF = sum of the palette red component over all pixels
+    * (wrong LZW table growth / code width / KwKwK corrupts it). */
   final case class Decoded(container: String, width: Long, height: Long,
       sampleRate: Long, nSamples: Long, feature: Long)
+
+  /** Decompression-bomb cap: max pixels per image (12 MB of RGB rows).
+    * Payloads claiming more are rejected BEFORE any allocation. */
+  private val MaxPixels = 1 << 22
 
   def decode(payload: Array[Byte]): Option[Decoded] =
     if (isBmp(payload)) decodeBmp(payload)
     else if (isWav(payload)) decodeWav(payload)
+    else if (isPng(payload)) decodePng(payload)
+    else if (isGif(payload)) decodeGif(payload)
     else None
 
   private def isBmp(p: Array[Byte]): Boolean =
@@ -102,5 +115,272 @@ object RealMedia {
       i += 1
     }
     Some(Decoded("wav", 0L, 0L, sampleRate, n, peak))
+  }
+
+  // ------------------------------------------------------------------- PNG
+
+  private def isPng(p: Array[Byte]): Boolean =
+    p.length >= 8 && (p(0) & 0xff) == 0x89 && p(1) == 'P' && p(2) == 'N' &&
+      p(3) == 'G' && p(4) == 0x0d && p(5) == 0x0a && p(6) == 0x1a && p(7) == 0x0a
+
+  private def beU32(p: Array[Byte], off: Int): Long =
+    ((p(off) & 0xffL) << 24) | ((p(off + 1) & 0xffL) << 16) |
+      ((p(off + 2) & 0xffL) << 8) | (p(off + 3) & 0xffL)
+
+  /** 8-bit truecolor (color type 2), non-interlaced PNG. The chunk walk
+    * verifies every CRC, concatenates ALL IDAT chunks (encoders split zlib
+    * streams arbitrarily), skips ancillary chunks (lowercase first letter)
+    * and rejects unknown CRITICAL ones (per spec a decoder that cannot
+    * interpret a critical chunk must not render). Unfiltering implements
+    * all five PNG filters including the Paeth predictor. */
+  private def decodePng(p: Array[Byte]): Option[Decoded] = {
+    var off = 8
+    var w = -1; var h = -1
+    var seenEnd = false
+    val idat = new java.io.ByteArrayOutputStream()
+    val crc = new java.util.zip.CRC32()
+    while (!seenEnd) {
+      if (off + 12 > p.length) return None // shortest chunk is 12 bytes
+      val len = beU32(p, off)
+      if (len > Int.MaxValue - 12 || off + 12 + len > p.length) return None
+      val body = off + 8
+      crc.reset(); crc.update(p, off + 4, 4 + len.toInt)
+      if ((crc.getValue & 0xffffffffL) != beU32(p, body + len.toInt)) return None
+      val typ = new String(p, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      typ match {
+        case "IHDR" =>
+          if (len != 13 || w >= 0) return None // exactly one, first
+          w = beU32(p, body).toInt; h = beU32(p, body + 4).toInt
+          if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+          val bitDepth = p(body + 8) & 0xff; val colorType = p(body + 9) & 0xff
+          val interlace = p(body + 12) & 0xff
+          if (bitDepth != 8 || colorType != 2 || (p(body + 10) & 0xff) != 0 ||
+            (p(body + 11) & 0xff) != 0 || interlace != 0) return None
+        case "IDAT" =>
+          if (w < 0) return None // IDAT before IHDR
+          idat.write(p, body, len.toInt)
+        case "IEND" => seenEnd = true
+        case other =>
+          if (w < 0) return None
+          // ancillary = lowercase first letter; PLTE under color type 2 is
+          // a legal suggested palette — skip. Any OTHER critical chunk is
+          // uninterpretable → reject per spec.
+          if ((other.charAt(0) & 0x20) == 0 && other != "PLTE") return None
+      }
+      off = body + len.toInt + 4
+    }
+    if (w < 0 || idat.size() == 0) return None
+    val stride = w * 3
+    val expected = h * (1 + stride)
+    val raw = new Array[Byte](expected)
+    val inflater = new java.util.zip.Inflater()
+    inflater.setInput(idat.toByteArray)
+    try {
+      var total = 0
+      var stalled = false
+      while (total < expected && !inflater.finished() && !stalled) {
+        val n = inflater.inflate(raw, total, expected - total)
+        total += n
+        if (n == 0 && !inflater.finished()) stalled = true // truncated / needs input
+      }
+      if (total != expected || stalled) return None
+      if (!inflater.finished()) {
+        // geometry is full but the stream continues: overflow unless the
+        // only thing left is the zlib trailer
+        val probe = new Array[Byte](1)
+        if (inflater.inflate(probe) > 0 || !inflater.finished()) return None
+      }
+    } catch {
+      case _: java.util.zip.DataFormatException => return None
+    } finally inflater.end()
+    // unfilter in place, summing the green channel
+    val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
+    var greenSum = 0L
+    var y = 0
+    while (y < h) {
+      val base = y * (1 + stride)
+      val f = raw(base) & 0xff
+      if (f > 4) return None
+      var i = 0
+      while (i < stride) {
+        val x = raw(base + 1 + i) & 0xff
+        val left = if (i >= 3) cur(i - 3) else 0
+        val up = prev(i)
+        val upLeft = if (i >= 3) prev(i - 3) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case 4 =>
+            val pp = left + up - upLeft
+            val pa = math.abs(pp - left); val pb = math.abs(pp - up)
+            val pc = math.abs(pp - upLeft)
+            if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft
+        }
+        cur(i) = (x + pred) & 0xff
+        if (i % 3 == 1) greenSum += cur(i)
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    Some(Decoded("png", w, h, 0L, 0L, greenSum))
+  }
+
+  // ------------------------------------------------------------------- GIF
+
+  private def isGif(p: Array[Byte]): Boolean =
+    p.length >= 13 && p(0) == 'G' && p(1) == 'I' && p(2) == 'F' &&
+      p(3) == '8' && (p(4) == '7' || p(4) == '9') && p(5) == 'a'
+
+  /** GIF87a/89a, single full-frame non-interlaced image over the global (or
+    * a local) color table. Extension blocks (graphic control, comment,
+    * application — any label) are skipped through their sub-block chains;
+    * image data is decompressed by [[lzwDecode]]. */
+  private def decodeGif(p: Array[Byte]): Option[Decoded] = {
+    val w = u16(p, 6); val h = u16(p, 8)
+    if (w <= 0 || h <= 0 || w.toLong * h > MaxPixels) return None
+    val flags = p(10) & 0xff
+    var off = 13
+    var palette: Array[Byte] = null
+    var paletteSize = 0
+    if ((flags & 0x80) != 0) {
+      paletteSize = 2 << (flags & 7)
+      if (off + paletteSize * 3 > p.length) return None
+      palette = java.util.Arrays.copyOfRange(p, off, off + paletteSize * 3)
+      off += paletteSize * 3
+    }
+    while (true) {
+      if (off >= p.length) return None
+      (p(off) & 0xff) match {
+        case 0x21 => // extension: label byte, then sub-block chain
+          off += 2
+          var done = false
+          while (!done) {
+            if (off >= p.length) return None
+            val n = p(off) & 0xff
+            if (n == 0) { off += 1; done = true }
+            else { off += 1 + n; if (off > p.length) return None }
+          }
+        case 0x2c => // image descriptor
+          if (off + 10 > p.length) return None
+          val left = u16(p, off + 1); val top = u16(p, off + 3)
+          val iw = u16(p, off + 5); val ih = u16(p, off + 7)
+          val iflags = p(off + 9) & 0xff
+          // single full-frame only; interlace unsupported (extraction-tier
+          // contract: reject, never misdecode)
+          if (left != 0 || top != 0 || iw != w || ih != h) return None
+          if ((iflags & 0x40) != 0) return None
+          off += 10
+          if ((iflags & 0x80) != 0) { // local color table overrides global
+            paletteSize = 2 << (iflags & 7)
+            if (off + paletteSize * 3 > p.length) return None
+            palette = java.util.Arrays.copyOfRange(p, off, off + paletteSize * 3)
+            off += paletteSize * 3
+          }
+          if (palette == null) return None
+          if (off >= p.length) return None
+          val minCodeSize = p(off) & 0xff
+          off += 1
+          val data = new java.io.ByteArrayOutputStream()
+          var done = false
+          while (!done) {
+            if (off >= p.length) return None
+            val n = p(off) & 0xff
+            if (n == 0) { off += 1; done = true }
+            else {
+              if (off + 1 + n > p.length) return None
+              data.write(p, off + 1, n); off += 1 + n
+            }
+          }
+          val indices = lzwDecode(data.toByteArray, minCodeSize, w * h)
+            .getOrElse(return None)
+          var sum = 0L
+          var i = 0
+          while (i < indices.length) {
+            val idx = indices(i) & 0xff
+            if (idx >= paletteSize) return None
+            sum += (palette(idx * 3) & 0xff) // red component
+            i += 1
+          }
+          return Some(Decoded("gif", w, h, 0L, 0L, sum))
+        case 0x3b => return None // trailer before any image
+        case _ => return None
+      }
+    }
+    None // unreachable
+  }
+
+  /** GIF-variant LZW: LSB-first variable-width codes starting at
+    * minCodeSize+1 bits, clear/EOI codes, table growth to 4096 with the
+    * standard decoder width-bump rule (bump when the just-added code is
+    * 2^width − 1 — the decoder runs one entry behind the encoder), the
+    * KwKwK case (code == next free slot), and deferred-clear tolerance
+    * (full table stays at 12 bits until a clear arrives). Exactly
+    * `expected` bytes must be produced before EOI; anything else is
+    * malformed → None. */
+  private def lzwDecode(data: Array[Byte], minCodeSize: Int,
+      expected: Int): Option[Array[Byte]] = {
+    if (minCodeSize < 2 || minCodeSize > 8) return None
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val prefix = new Array[Int](4096)
+    val suffix = new Array[Byte](4096)
+    val stack = new Array[Byte](4097)
+    val out = new Array[Byte](expected)
+    var outLen = 0
+    var codeSize = minCodeSize + 1
+    var nextCode = eoi + 1
+    var prev = -1
+    var bitPos = 0L
+    val totalBits = data.length.toLong * 8
+    def firstOf(code: Int): Int = {
+      var c = code
+      while (c > eoi) c = prefix(c)
+      c
+    }
+    while (true) {
+      if (bitPos + codeSize > totalBits) return None // bits ran out before EOI
+      val byteIdx = (bitPos >> 3).toInt
+      val bitOff = (bitPos & 7).toInt
+      var v = 0; var got = 0; var bi = byteIdx
+      while (got < bitOff + codeSize) { v |= (data(bi) & 0xff) << got; got += 8; bi += 1 }
+      val code = (v >> bitOff) & ((1 << codeSize) - 1)
+      bitPos += codeSize
+      if (code == clear) {
+        nextCode = eoi + 1; codeSize = minCodeSize + 1; prev = -1
+      } else if (code == eoi) {
+        return if (outLen == expected) Some(out) else None
+      } else if (prev < 0) {
+        if (code >= clear) return None // first code after clear must be a literal
+        if (outLen >= expected) return None
+        out(outLen) = code.toByte; outLen += 1
+        prev = code
+      } else {
+        val isKwK = code == nextCode && nextCode < 4096
+        if (!(code < clear || (code > eoi && code < nextCode) || isKwK)) return None
+        val base = if (isKwK) prev else code
+        val f = firstOf(base)
+        // expand `base`'s string (suffix chain is last-to-first)
+        var n = 0
+        var c = base
+        while (c > eoi) { stack(n) = suffix(c); n += 1; c = prefix(c) }
+        stack(n) = c.toByte; n += 1
+        val extra = if (isKwK) 1 else 0
+        if (outLen + n + extra > expected) return None
+        var i = n - 1
+        while (i >= 0) { out(outLen) = stack(i); outLen += 1; i -= 1 }
+        if (isKwK) { out(outLen) = f.toByte; outLen += 1 }
+        if (nextCode < 4096) {
+          prefix(nextCode) = prev; suffix(nextCode) = f.toByte
+          if (nextCode == (1 << codeSize) - 1 && codeSize < 12) codeSize += 1
+          nextCode += 1
+        }
+        prev = code // for KwKwK this IS the just-added entry's value
+      }
+    }
+    None // unreachable
   }
 }

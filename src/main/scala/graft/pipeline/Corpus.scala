@@ -1712,6 +1712,194 @@ object Corpus {
     b.array()
   }
 
+  /** Real PNG (8-bit truecolor RGB, non-interlaced) whose pixels are closed
+    * forms of (x, y, doc_id). Every decoder arm is gate-visible:
+    *  - row `y` is written with filter type `y % 5`, and h ≥ 5, so all five
+    *    PNG filters (None/Sub/Up/Average/Paeth) appear in EVERY payload —
+    *    a decoder that misimplements any unfilter arm corrupts the channel
+    *    sum;
+    *  - an ancillary `tEXt` chunk sits between IHDR and IDAT (chunk-skip
+    *    arm);
+    *  - the zlib stream is split across TWO IDAT chunks at an uneven
+    *    boundary (multi-IDAT concatenation arm);
+    *  - every chunk carries its real CRC32 (corruption detection arm).
+    * Channels: r=(x·7+y·13+id)%256, g=(x·11+y·3+2id)%256, b=(x·5+y·17+3id)%256. */
+  def pngForDoc(docId: Long): Array[Byte] = {
+    val w = 3 + (docId % 5).toInt
+    val h = 5 + (docId % 3).toInt
+    val stride = w * 3
+    def px(x: Int, y: Int, c: Int): Int = ((c match {
+      case 0 => x * 7 + y * 13 + docId
+      case 1 => x * 11 + y * 3 + 2 * docId
+      case _ => x * 5 + y * 17 + 3 * docId
+    }) % 256).toInt // docId ≥ 0 → no negative mod
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    // raw scanlines: 1 filter-type byte + FILTERED row bytes (decoder inverts)
+    val raw = new Array[Byte](h * (1 + stride))
+    val prev = new Array[Int](stride) // unfiltered previous row (0 for y=0)
+    val cur = new Array[Int](stride)
+    var y = 0
+    while (y < h) {
+      var i = 0
+      while (i < stride) { cur(i) = px(i / 3, y, i % 3); i += 1 }
+      val f = y % 5
+      raw(y * (1 + stride)) = f.toByte
+      i = 0
+      while (i < stride) {
+        val left = if (i >= 3) cur(i - 3) else 0
+        val up = prev(i)
+        val upLeft = if (i >= 3) prev(i - 3) else 0
+        val pred = f match {
+          case 0 => 0
+          case 1 => left
+          case 2 => up
+          case 3 => (left + up) / 2
+          case _ => paeth(left, up, upLeft)
+        }
+        raw(y * (1 + stride) + 1 + i) = ((cur(i) - pred) & 0xff).toByte
+        i += 1
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+      y += 1
+    }
+    val deflater = new java.util.zip.Deflater()
+    deflater.setInput(raw); deflater.finish()
+    val zb = new Array[Byte](raw.length + 64)
+    val zOut = new java.io.ByteArrayOutputStream()
+    while (!deflater.finished()) zOut.write(zb, 0, deflater.deflate(zb))
+    deflater.end()
+    val idat = zOut.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    def chunk(typ: String, data: Array[Byte]): Unit = {
+      val b = java.nio.ByteBuffer.allocate(4 + 4 + data.length + 4)
+      b.putInt(data.length).put(typ.getBytes(US_ASCII)).put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes(US_ASCII)); crc.update(data)
+      b.putInt(crc.getValue.toInt)
+      out.write(b.array())
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte)
+    chunk("IHDR", ihdr.array())
+    chunk("tEXt", s"Software graft-gen-$docId".getBytes(US_ASCII))
+    val split = math.max(1, idat.length / 3) // uneven 2-chunk split, both nonempty
+    chunk("IDAT", idat.take(split))
+    chunk("IDAT", idat.drop(split))
+    chunk("IEND", Array.emptyByteArray)
+    out.toByteArray
+  }
+
+  /** Real GIF89a (global 256-color table, single full-frame image, genuine
+    * variable-code-width LZW) whose palette and pixel indices are closed
+    * forms of (x, y, doc_id): index(x,y) = (x·5+y·7+id)%256, palette[k] =
+    * ((k·3+id)%256, (k·5+2id)%256, (k·7+3id)%256). A Graphic Control
+    * Extension AND a two-sub-block Comment extension precede the image
+    * descriptor, so the decoder's extension-skip arm (multi-sub-block) is
+    * gate-visible; the LZW stream is emitted by [[gifLzwEncode]] with the
+    * standard width-bump rule, so the decoder's code-width tracking, table
+    * growth and KwKwK arm are exercised by real compressed data. */
+  def gifForDoc(docId: Long): Array[Byte] = {
+    val w = 3 + (docId % 5).toInt
+    val h = 5 + (docId % 3).toInt
+    val indices = Array.tabulate(w * h) { i =>
+      (((i % w) * 5 + (i / w) * 7 + docId) % 256).toByte
+    }
+    val palette = new Array[Byte](256 * 3)
+    var k = 0
+    while (k < 256) {
+      palette(k * 3) = ((k * 3 + docId) % 256).toByte
+      palette(k * 3 + 1) = ((k * 5 + 2 * docId) % 256).toByte
+      palette(k * 3 + 2) = ((k * 7 + 3 * docId) % 256).toByte
+      k += 1
+    }
+    gifBytes(w, h, indices, palette)
+  }
+
+  /** Assemble a single-frame GIF89a around arbitrary indices/palette —
+    * shared by [[gifForDoc]] and the unit tests that need pathological
+    * pixel streams (uniform images force the LZW KwKwK case). */
+  private[graft] def gifBytes(w: Int, h: Int, indices: Array[Byte],
+      palette: Array[Byte]): Array[Byte] = {
+    require(indices.length == w * h && palette.length == 256 * 3)
+    val out = new java.io.ByteArrayOutputStream()
+    out.write("GIF89a".getBytes(US_ASCII))
+    def le16(v: Int): Unit = { out.write(v & 0xff); out.write((v >> 8) & 0xff) }
+    le16(w); le16(h)
+    out.write(0xf7) // global table present, 8-bit color resolution, 256 entries
+    out.write(0); out.write(0) // background index, aspect
+    out.write(palette)
+    // Graphic Control Extension (skipped by the decoder)
+    out.write(Array(0x21, 0xf9, 0x04, 0x00, 0x00, 0x00, 0x00, 0x00).map(_.toByte))
+    // Comment extension with TWO sub-blocks (multi-sub-block skip arm)
+    out.write(0x21); out.write(0xfe)
+    out.write(5); out.write("graft".getBytes(US_ASCII))
+    out.write(5); out.write("junk!".getBytes(US_ASCII))
+    out.write(0)
+    // image descriptor: full frame, no local table, not interlaced
+    out.write(0x2c); le16(0); le16(0); le16(w); le16(h); out.write(0x00)
+    out.write(8) // LZW minimum code size
+    val lzw = gifLzwEncode(indices, 8)
+    var off = 0
+    while (off < lzw.length) {
+      val n = math.min(255, lzw.length - off)
+      out.write(n); out.write(lzw, off, n)
+      off += n
+    }
+    out.write(0) // block terminator
+    out.write(0x3b) // trailer
+    out.toByteArray
+  }
+
+  /** GIF-variant LZW encoder (LSB-first bit packing, code width grows when
+    * the just-assigned table code no longer fits, clear emitted when the
+    * table fills at 4096). The matched decoder lives in
+    * [[graft.multimodal.RealMedia]]; MediaCodecSpec pins the decoder
+    * against a HAND-PACKED spec stream too, so an encoder/decoder pair
+    * sharing a wrong width rule cannot silently agree. */
+  private[graft] def gifLzwEncode(data: Array[Byte], minCodeSize: Int): Array[Byte] = {
+    require(data.nonEmpty && minCodeSize >= 2 && minCodeSize <= 8)
+    val clear = 1 << minCodeSize
+    val eoi = clear + 1
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var nBits = 0; var codeSize = minCodeSize + 1
+    def emit(code: Int): Unit = {
+      bitBuf |= code.toLong << nBits; nBits += codeSize
+      while (nBits >= 8) { out.write((bitBuf & 0xff).toInt); bitBuf >>>= 8; nBits -= 8 }
+    }
+    val dict = new java.util.HashMap[Integer, Integer]()
+    var nextCode = eoi + 1
+    emit(clear)
+    var prefix = data(0) & 0xff
+    var i = 1
+    while (i < data.length) {
+      val b = data(i) & 0xff
+      val key = Integer.valueOf((prefix << 8) | b)
+      val hit = dict.get(key)
+      if (hit != null) prefix = hit.intValue()
+      else {
+        emit(prefix)
+        dict.put(key, Integer.valueOf(nextCode))
+        if (nextCode == (1 << codeSize) && codeSize < 12) codeSize += 1
+        nextCode += 1
+        if (nextCode > 4095) {
+          emit(clear)
+          dict.clear(); nextCode = eoi + 1; codeSize = minCodeSize + 1
+        }
+        prefix = b
+      }
+      i += 1
+    }
+    emit(prefix); emit(eoi)
+    if (nBits > 0) out.write((bitBuf & 0xff).toInt)
+    out.toByteArray
+  }
+
   def htmlSpanProbePageRowFor(docId: Long, text: String, lang: String): PageRow =
     PageRow(
       url = UrlPrefix + docId,
