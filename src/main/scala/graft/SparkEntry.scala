@@ -1295,6 +1295,41 @@ object SparkEntry {
         .toDF("doc_id", "container", "width", "height", "feature")
         .orderBy("doc_id")
     }),
+    "multimodal_real_mp4" -> ((s, dir) => {
+      // REAL ISO-BMFF container parsing (RealMedia.decodeMp4): box walk
+      // with 32/64-bit size forms, a decoy audio track routed away by
+      // hdlr, tkhd 16.16 dims, mvhd timescale/duration, stts frame count —
+      // all closed forms the oracle recomputes; duration_ms is the
+      // decoder's integer division, floor-divided identically in SQL
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long]
+        .map { id =>
+          val d = graft.multimodal.RealMedia.decode(Corpus.mp4ForDoc(id))
+            .getOrElse(sys.error(s"doc $id: mp4 failed to decode"))
+          (id, d.width, d.height, d.sampleRate, d.nSamples, d.feature)
+        }
+        .toDF("doc_id", "width", "height", "timescale", "n_frames", "duration_ms")
+        .orderBy("doc_id")
+    }),
+    "multimodal_real_jpeg" -> ((s, dir) => {
+      // REAL baseline JPEG decoding (multimodal/Jpeg): marker walk, DHT
+      // canonical Huffman, DQT dequant, MSB-first entropy decode with
+      // 0xFF00 unstuffing, IDCT. Fixtures are per-8x8-block-constant
+      // images (DCT round-trips constants bit-exactly), so the oracle
+      // recomputes the decoded luma sum in closed form while the decoder
+      // must run the full entropy+IDCT pipeline to produce it
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long]
+        .map { id =>
+          val d = graft.multimodal.RealMedia.decode(Corpus.jpegForDoc(id))
+            .getOrElse(sys.error(s"doc $id: jpeg failed to decode"))
+          (id, d.width, d.height, d.feature)
+        }
+        .toDF("doc_id", "width", "height", "luma_sum")
+        .orderBy("doc_id")
+    }),
     // --------------------------------------------------------------- events
     "events_hourly" -> ((s, dir) =>
       Events.hourlyByType(s.read.parquet(s"$dir/events.parquet"))
@@ -2529,6 +2564,27 @@ object SparkEntry {
                                 + doc_id) % 256
                                for i in generate_series(0, w * h - 1)])
                 END AS BIGINT) AS feature
+         FROM d ORDER BY doc_id""",
+    // RealMedia MP4 closed forms (generator arms in Corpus.mp4ForDoc)
+    "multimodal_real_mp4" ->
+      """SELECT doc_id,
+           CAST(160 + 16 * (doc_id % 8) AS BIGINT) AS width,
+           CAST(96 + 16 * (doc_id % 5) AS BIGINT) AS height,
+           CAST(1000 * (1 + doc_id % 3) AS BIGINT) AS timescale,
+           CAST(1 + doc_id % 24 AS BIGINT) AS n_frames,
+           CAST((4000 + (doc_id * 7) % 9000) // (1 + doc_id % 3) AS BIGINT)
+             AS duration_ms
+         FROM documents ORDER BY doc_id""",
+    // Jpeg closed forms: per-block-constant luma, 64 px per 8x8 block
+    "multimodal_real_jpeg" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS bw, 1 + doc_id % 2 AS bh
+                    FROM documents)
+         SELECT doc_id,
+           CAST(8 * bw AS BIGINT) AS width,
+           CAST(8 * bh AS BIGINT) AS height,
+           CAST(list_sum([64 * (((i % bw) * 29 + (i // bw) * 31 + doc_id) % 256)
+                          for i in generate_series(0, bw * bh - 1)]) AS BIGINT)
+             AS luma_sum
          FROM d ORDER BY doc_id""",
     // stub decoder arithmetic mirrored exactly: payload = UTF-8 of text,
     // video kind = doc_id%3==2, frames = 1 + n%24, w/h from n, resize to

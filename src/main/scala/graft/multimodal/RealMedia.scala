@@ -36,6 +36,8 @@ object RealMedia {
     else if (isWav(payload)) decodeWav(payload)
     else if (isPng(payload)) decodePng(payload)
     else if (isGif(payload)) decodeGif(payload)
+    else if (isMp4(payload)) decodeMp4(payload)
+    else if (Jpeg.isJpeg(payload)) Jpeg.decode(payload)
     else None
 
   private def isBmp(p: Array[Byte]): Boolean =
@@ -311,6 +313,107 @@ object RealMedia {
       }
     }
     None // unreachable
+  }
+
+  // ------------------------------------------------------------- MP4 (BMFF)
+
+  private def isMp4(p: Array[Byte]): Boolean =
+    p.length >= 12 && p(4) == 'f' && p(5) == 't' && p(6) == 'y' && p(7) == 'p'
+
+  private def beU64(p: Array[Byte], off: Int): Long =
+    (beU32(p, off) << 32) | beU32(p, off + 4)
+
+  /** One level of an ISO-BMFF box sequence as (type, bodyStart, bodyEnd).
+    * Handles the 64-bit largesize form (size == 1) and the to-end-of-file
+    * form (size == 0); any overrun/undersized box makes the WHOLE level
+    * malformed (None) — web-crawled MP4s truncate mid-box constantly. */
+  private def boxes(p: Array[Byte], start: Int, end: Int): Option[Seq[(String, Int, Int)]] = {
+    val out = Seq.newBuilder[(String, Int, Int)]
+    var off = start
+    while (off < end) {
+      if (off + 8 > end) return None
+      var size = beU32(p, off)
+      var hdr = 8
+      if (size == 1) {
+        if (off + 16 > end) return None
+        size = beU64(p, off + 8)
+        hdr = 16
+      } else if (size == 0) size = (end - off).toLong // last box runs to EOF
+      if (size < hdr || off + size > end) return None
+      val typ = new String(p, off + 4, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      out += ((typ, off + hdr, (off + size).toInt))
+      off = (off + size).toInt
+    }
+    Some(out.result())
+  }
+
+  /** MP4/ISO-BMFF movie metadata — a REAL container parse (box walk with
+    * both size forms, version-0/1 full boxes, handler-type track routing,
+    * stts sample count), no codec needed: `width`/`height` from the video
+    * track's tkhd (16.16 fixed point), `sampleRate` carries the mvhd
+    * timescale, `nSamples` the video stts frame count, and `feature` the
+    * movie duration in milliseconds. Audio-only or video-less movies
+    * return None (the extraction tier routes them to the audio lane). */
+  private def decodeMp4(p: Array[Byte]): Option[Decoded] = {
+    val top = boxes(p, 0, p.length).getOrElse(return None)
+    if (top.isEmpty || top.head._1 != "ftyp") return None
+    val moov = top.find(_._1 == "moov").getOrElse(return None)
+    val mc = boxes(p, moov._2, moov._3).getOrElse(return None)
+    // mvhd: movie timescale + duration (version 0 = 32-bit, 1 = 64-bit)
+    val (timescale, duration) = mc.find(_._1 == "mvhd") match {
+      case Some((_, b, e)) =>
+        if (e - b < 4) return None
+        (p(b) & 0xff) match {
+          case 0 => if (e - b < 20) return None else (beU32(p, b + 12), beU32(p, b + 16))
+          case 1 => if (e - b < 32) return None else (beU32(p, b + 20), beU64(p, b + 24))
+          case _ => return None
+        }
+      case None => return None
+    }
+    if (timescale <= 0 || duration < 0) return None
+    // first trak whose mdia/hdlr handler is 'vide'
+    for ((typ, tb, te) <- mc if typ == "trak") {
+      val tc = boxes(p, tb, te).getOrElse(return None)
+      val mdia = tc.find(_._1 == "mdia")
+      val mdiaKids = mdia.flatMap { case (_, b, e) => boxes(p, b, e) }.getOrElse(Nil)
+      val handler = mdiaKids.find(_._1 == "hdlr").map { case (_, b, e) =>
+        if (e - b < 12) return None
+        new String(p, b + 8, 4, java.nio.charset.StandardCharsets.US_ASCII)
+      }
+      if (handler.contains("vide")) {
+        val (w, h) = tc.find(_._1 == "tkhd") match {
+          case Some((_, b, e)) =>
+            if (e - b < 4) return None
+            (p(b) & 0xff) match {
+              case 0 => if (e - b < 84) return None
+                else (beU32(p, b + 76) >> 16, beU32(p, b + 80) >> 16)
+              case 1 => if (e - b < 96) return None
+                else (beU32(p, b + 88) >> 16, beU32(p, b + 92) >> 16)
+              case _ => return None
+            }
+          case None => return None
+        }
+        if (w <= 0 || h <= 0) return None
+        // frame count: sum of stts sample_counts under mdia/minf/stbl
+        var frames = 0L
+        for {
+          (_, mb, me) <- mdiaKids.find(_._1 == "minf")
+          minfKids <- boxes(p, mb, me)
+          (_, sb, se) <- minfKids.find(_._1 == "stbl")
+          stblKids <- boxes(p, sb, se)
+          (_, b, e) <- stblKids.find(_._1 == "stts")
+        } {
+          if (e - b < 8) return None
+          val entries = beU32(p, b + 4)
+          if (8 + entries * 8 > e - b) return None
+          var i = 0
+          while (i < entries) { frames += beU32(p, b + 8 + i * 8); i += 1 }
+        }
+        return Some(Decoded("mp4", w, h, timescale, frames,
+          duration * 1000L / timescale))
+      }
+    }
+    None // no video track
   }
 
   /** GIF-variant LZW: LSB-first variable-width codes starting at

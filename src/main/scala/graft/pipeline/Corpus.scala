@@ -1856,6 +1856,169 @@ object Corpus {
     out.toByteArray
   }
 
+  /** Real baseline grayscale JPEG whose decoded pixels are closed forms of
+    * (block, doc_id): the image is CONSTANT PER 8×8 BLOCK — block (bx,by)
+    * carries luma (bx·29 + by·31 + id) % 256 — because constant blocks
+    * round-trip bit-exactly through DCT → quantize → IDCT (only the DC
+    * coefficient is nonzero, and with q[0]=8 the coded DC is exactly
+    * v−128), so the DuckDB oracle can predict the decoded luma sum while
+    * [[graft.multimodal.Jpeg]] still runs real Huffman + dequant + IDCT.
+    * The stream uses the standard Annex-K luminance DC table and a compact
+    * file-declared AC table (the decoder builds whatever DHT declares), an
+    * APP0/JFIF header and a COM segment (marker-skip arms), and real
+    * 0xFF00 byte stuffing whenever a code boundary lands on 0xFF. */
+  def jpegForDoc(docId: Long): Array[Byte] = {
+    val bw = 2 + (docId % 3).toInt
+    val bh = 1 + (docId % 2).toInt
+    jpegBytes(8 * bw, 8 * bh, (bx, by) => ((bx * 29 + by * 31 + docId) % 256).toInt)
+  }
+
+  private val JpegDcBits = Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegDcVals = Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11)
+  // compact AC table (5 symbols, all length 3): EOB, (run 0..2, size 1), ZRL
+  private val JpegAcBits = Array(0, 0, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0)
+  private val JpegAcVals = Array(0x00, 0x01, 0x11, 0x21, 0xf0)
+
+  private def canonicalCodes(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+    val out = Map.newBuilder[Int, (Int, Int)]
+    var code = 0; var k = 0; var l = 1
+    while (l <= 16) {
+      var i = 0
+      while (i < bits(l - 1)) { out += vals(k) -> ((code, l)); code += 1; k += 1; i += 1 }
+      code <<= 1
+      l += 1
+    }
+    out.result()
+  }
+
+  /** Assemble a baseline grayscale JPEG of per-block-constant luma —
+    * shared by [[jpegForDoc]] and unit tests. */
+  private[graft] def jpegBytes(w: Int, h: Int, blockLuma: (Int, Int) => Int): Array[Byte] = {
+    require(w % 8 == 0 && h % 8 == 0, "constant-block fixtures are multiple-of-8")
+    val out = new java.io.ByteArrayOutputStream()
+    def marker(m: Int): Unit = { out.write(0xff); out.write(m) }
+    def segment(m: Int, body: Array[Byte]): Unit = {
+      marker(m); out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      out.write(body)
+    }
+    marker(0xd8) // SOI
+    segment(0xe0, "JFIF".getBytes(US_ASCII) ++
+      Array[Byte](0, 1, 1, 0, 0, 1, 0, 1, 0, 0))
+    segment(0xfe, "graft jpeg fixture".getBytes(US_ASCII)) // COM skip arm
+    // DQT: natural-order q[0]=8 (exact DC), 16 elsewhere; written in zigzag
+    val qtNatural = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+    segment(0xdb, 0.toByte +: Array.tabulate(64)(i =>
+      qtNatural(graft.multimodal.Jpeg.Zigzag(i)).toByte))
+    segment(0xc0, Array[Byte](8, (h >> 8).toByte, (h & 0xff).toByte,
+      (w >> 8).toByte, (w & 0xff).toByte, 1, 1, 0x11, 0))
+    segment(0xc4, 0x00.toByte +: (JpegDcBits.map(_.toByte) ++ JpegDcVals.map(_.toByte)))
+    segment(0xc4, 0x10.toByte +: (JpegAcBits.map(_.toByte) ++ JpegAcVals.map(_.toByte)))
+    segment(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    // entropy-coded scan: MSB-first writer with 0xFF00 stuffing
+    val dcCodes = canonicalCodes(JpegDcBits, JpegDcVals)
+    val acCodes = canonicalCodes(JpegAcBits, JpegAcVals)
+    var acc = 0L; var nBits = 0
+    def put(v: Int, len: Int): Unit = {
+      acc = (acc << len) | (v & ((1L << len) - 1)); nBits += len
+      while (nBits >= 8) {
+        val b = ((acc >> (nBits - 8)) & 0xff).toInt
+        out.write(b)
+        if (b == 0xff) out.write(0x00) // byte stuffing
+        nBits -= 8
+      }
+    }
+    var pred = 0
+    var by = 0
+    while (by < h / 8) {
+      var bx = 0
+      while (bx < w / 8) {
+        val dc = blockLuma(bx, by) - 128
+        val diff = dc - pred
+        pred = dc
+        val s = if (diff == 0) 0 else 32 - Integer.numberOfLeadingZeros(math.abs(diff))
+        val (c, cl) = dcCodes(s)
+        put(c, cl)
+        if (s > 0) put(if (diff < 0) diff + (1 << s) - 1 else diff, s)
+        val (e, el) = acCodes(0x00) // EOB: no AC coefficients
+        put(e, el)
+        bx += 1
+      }
+      by += 1
+    }
+    if (nBits > 0) put((1 << (8 - nBits)) - 1, 8 - nBits) // pad with 1s
+    marker(0xd9) // EOI
+    out.toByteArray
+  }
+
+  /** Real ISO-BMFF (MP4) box tree whose movie/track metadata are closed
+    * forms of doc_id: mvhd carries timescale = 1000·(1+id%3) and duration =
+    * 4000 + (id·7)%9000 ticks; tkhd carries width/height = (160+16·(id%8),
+    * 96+16·(id%5)) in 16.16 fixed point; stts carries 1 + id%24 samples.
+    * Every decoder arm is gate-visible: a `free` box sits between ftyp and
+    * moov (unknown-box skip), a decoy SOUND track precedes the video track
+    * (handler-type routing via hdlr), and the trailing mdat uses the
+    * 64-bit largesize form (size==1 arm). */
+  def mp4ForDoc(docId: Long): Array[Byte] = {
+    def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val n = 8 + payload.map(_.length).sum
+      val b = java.nio.ByteBuffer.allocate(n)
+      b.putInt(n).put(typ.getBytes(US_ASCII))
+      payload.foreach(b.put)
+      b.array()
+    }
+    def be32(v: Long): Array[Byte] =
+      java.nio.ByteBuffer.allocate(4).putInt(v.toInt).array()
+    def be16(v: Int): Array[Byte] =
+      java.nio.ByteBuffer.allocate(2).putShort(v.toShort).array()
+    val timescale = 1000L * (1 + docId % 3)
+    val duration = 4000L + (docId * 7) % 9000
+    val w = 160 + 16 * (docId % 8)
+    val h = 96 + 16 * (docId % 5)
+    val nSamples = 1 + docId % 24
+    val ftyp = box("ftyp", "isom".getBytes(US_ASCII), be32(0),
+      "isom".getBytes(US_ASCII), "mp42".getBytes(US_ASCII))
+    val free = box("free", Array.fill(9)(0x46.toByte))
+    val mvhd = box("mvhd", be32(0), // version 0 + flags
+      be32(0), be32(0), // creation, modification
+      be32(timescale), be32(duration),
+      be32(0x00010000L), be16(0x0100), be16(0), be32(0), be32(0),
+      Array.fill(36)(0.toByte), // matrix (zeros acceptable for the gate)
+      Array.fill(24)(0.toByte), // predefined
+      be32(2)) // next track id
+    def hdlr(handler: String): Array[Byte] =
+      box("hdlr", be32(0), be32(0), handler.getBytes(US_ASCII),
+        Array.fill(12)(0.toByte), "graft".getBytes(US_ASCII), Array[Byte](0))
+    def tkhd(trackId: Long, tw: Long, th: Long): Array[Byte] =
+      box("tkhd", be32(0x000003L), // version 0, flags enabled+in-movie
+        be32(0), be32(0), be32(trackId), be32(0), be32(duration),
+        Array.fill(8)(0.toByte), be16(0), be16(0), be16(0), be16(0),
+        Array.fill(36)(0.toByte),
+        be32(tw << 16), be32(th << 16)) // 16.16 fixed point
+    val stts = box("stts", be32(0), be32(1), be32(nSamples), be32(100))
+    val stbl = box("stbl", stts)
+    val minf = box("minf", stbl)
+    val mdhd = box("mdhd", be32(0), be32(0), be32(0), be32(timescale),
+      be32(duration), be16(0x55c4), be16(0)) // language "und"
+    def mdia(handler: String, inner: Array[Byte]*): Array[Byte] =
+      box("mdia", (Seq(mdhd, hdlr(handler)) ++ inner).map(identity): _*)
+    // decoy audio track FIRST: zero dims, soun handler, its own stts the
+    // decoder must NOT count video samples from
+    val audioTrak = box("trak", tkhd(1, 0, 0),
+      mdia("soun", box("minf", box("stbl",
+        box("stts", be32(0), be32(1), be32(999), be32(1))))))
+    val videoTrak = box("trak", tkhd(2, w, h), mdia("vide", minf))
+    val moov = box("moov", mvhd, audioTrak, videoTrak)
+    // mdat with the 64-bit largesize form (size == 1)
+    val mdatBody = Array.fill(5 + (docId % 7).toInt)(0x4d.toByte)
+    val mdat = {
+      val b = java.nio.ByteBuffer.allocate(16 + mdatBody.length)
+      b.putInt(1).put("mdat".getBytes(US_ASCII))
+      b.putLong(16L + mdatBody.length).put(mdatBody)
+      b.array()
+    }
+    ftyp ++ free ++ moov ++ mdat
+  }
+
   /** GIF-variant LZW encoder (LSB-first bit packing, code width grows when
     * the just-assigned table code no longer fits, clear emitted when the
     * table fills at 4096). The matched decoder lives in

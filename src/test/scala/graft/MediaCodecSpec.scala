@@ -191,9 +191,191 @@ class MediaCodecSpec extends AnyFunSuite {
     assert((gw, gh, gf, gsr) == (3L + 9 % 5, 5L + 9 % 3, 1L, 0L))
   }
 
+  test("MP4: box walk, decoy-audio-track routing, 64-bit mdat, stts frames") {
+    for (id <- 0L until 24L) {
+      val d = RealMedia.decode(Corpus.mp4ForDoc(id))
+        .getOrElse(fail(s"id=$id: mp4 did not decode"))
+      assert(d.container == "mp4")
+      assert(d.width == 160 + 16 * (id % 8) && d.height == 96 + 16 * (id % 5))
+      assert(d.sampleRate == 1000 * (1 + id % 3), "timescale")
+      assert(d.nSamples == 1 + id % 24,
+        "frame count must come from the VIDEO track's stts, not the decoy audio")
+      assert(d.feature == (4000 + id * 7 % 9000) / (1 + id % 3), "duration ms")
+    }
+    val (w, h, frames, sr) = MediaDecoder.decode("video", Corpus.mp4ForDoc(11L))
+    assert((w, h, frames, sr) == (160L + 16 * 3, 96L + 16 * 1, 12L, 0L))
+  }
+
+  test("MP4: malformed box trees return None, never throw") {
+    val good = Corpus.mp4ForDoc(2L)
+    assert(RealMedia.decode(good).isDefined)
+    for (n <- 9 until good.length by 23)
+      assert(RealMedia.decode(good.take(n)).isEmpty, s"truncated at $n")
+    // oversized child box size -> whole level malformed
+    val bad = good.clone()
+    val moovOff = {
+      var off = 0; var found = -1
+      while (found < 0) {
+        val size = ((bad(off) & 0xff) << 24) | ((bad(off + 1) & 0xff) << 16) |
+          ((bad(off + 2) & 0xff) << 8) | (bad(off + 3) & 0xff)
+        if (new String(bad, off + 4, 4, "US-ASCII") == "moov") found = off
+        else off += size
+      }
+      found
+    }
+    bad(moovOff + 8) = 0x7f.toByte // first child (mvhd) size explodes
+    assert(RealMedia.decode(bad).isEmpty)
+    // audio-only movie (no vide handler) -> None, routed to the stub
+    val audioOnly = {
+      val src = Corpus.mp4ForDoc(2L)
+      val out = src.clone()
+      var i = 0
+      while (i < out.length - 4) { // flip every 'vide' handler to 'soun'
+        if (out(i) == 'v' && out(i + 1) == 'i' && out(i + 2) == 'd' && out(i + 3) == 'e') {
+          out(i) = 's'; out(i + 1) = 'o'; out(i + 2) = 'u'; out(i + 3) = 'n'
+        }
+        i += 1
+      }
+      out
+    }
+    assert(RealMedia.decode(audioOnly).isEmpty)
+  }
+
+  test("JPEG: full Huffman+dequant+IDCT pipeline lands on the closed form") {
+    for (id <- 0L until 6L) { // all (bw, bh) geometry combinations
+      val d = RealMedia.decode(Corpus.jpegForDoc(id))
+        .getOrElse(fail(s"id=$id: jpeg did not decode"))
+      assert(d.container == "jpeg")
+      val bw = 2 + (id % 3).toInt; val bh = 1 + (id % 2).toInt
+      assert(d.width == 8 * bw && d.height == 8 * bh)
+      val expected = (for { by <- 0 until bh; bx <- 0 until bw }
+        yield 64L * ((bx * 29 + by * 31 + id) % 256)).sum
+      assert(d.feature == expected, s"id=$id luma sum")
+    }
+    val (w, h, f, sr) = MediaDecoder.decode("image", Corpus.jpegForDoc(4L))
+    assert((w, h, f, sr) == (24L, 8L, 1L, 0L))
+  }
+
+  test("JPEG: 0xFF00 byte stuffing in the scan is produced and unstuffed") {
+    // Only a +255 DC delta (8 one-bits) can form 0xFF: every block ends in
+    // the EOB code 000, so one-runs never span blocks. Alignment: block 1
+    // (diff -128, 17 bits) + five diff-0 blocks (5 bits each) = 42 bits
+    // = 2 (mod 8); the next block's s=8 code (6 bits) then ends on a byte
+    // boundary and its 11111111 diff bits fill a whole stuffed 0xFF.
+    val vals = Array(0, 0, 0, 0, 0, 0, 255, 255)
+    val bytes = Corpus.jpegBytes(64, 8, (bx, _) => vals(bx))
+    val scanStart = {
+      var i = 2; var s = -1
+      while (s < 0) {
+        assert((bytes(i) & 0xff) == 0xff)
+        val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+        if ((bytes(i + 1) & 0xff) == 0xda) s = i + 2 + len else i += 2 + len
+      }
+      s
+    }
+    val scan = bytes.slice(scanStart, bytes.length - 2)
+    assert(scan.sliding(2).exists(s => (s(0) & 0xff) == 0xff && s(1) == 0),
+      "fixture must exercise the stuffing arm")
+    val d = RealMedia.decode(bytes).getOrElse(fail("stuffed jpeg did not decode"))
+    assert(d.feature == vals.map(64L * _).sum, "unstuffed decode sum")
+  }
+
+  test("JPEG: AC coefficients decode against an independent reference IDCT") {
+    // Hand-built 8x8 single-block stream with real AC coefficients, packed
+    // by an inline encoder independent of Corpus.jpegBytes. Scan symbols:
+    // DC s=2 diff=+2, AC (0,1)+1, (1,1)-1, ZRL, (2,1)+1, EOB.
+    def canonical(bits: Array[Int], vals: Array[Int]): Map[Int, (Int, Int)] = {
+      var code = 0; var k = 0
+      val m = Map.newBuilder[Int, (Int, Int)]
+      for (l <- 1 to 16) {
+        for (_ <- 0 until bits(l - 1)) { m += vals(k) -> ((code, l)); code += 1; k += 1 }
+        code <<= 1
+      }
+      m.result()
+    }
+    val dcC = canonical(Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0),
+      Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11))
+    val acC = canonical(Array(0, 0, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0),
+      Array(0x00, 0x01, 0x11, 0x21, 0xf0))
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      out.write(0xff); out.write(m)
+      out.write((body.length + 2) >> 8); out.write((body.length + 2) & 0xff)
+      out.write(body)
+    }
+    out.write(0xff); out.write(0xd8)
+    val qtNat = Array.tabulate(64)(i => if (i == 0) 8 else 16)
+    seg(0xdb, 0.toByte +: Array.tabulate(64)(i =>
+      qtNat(graft.multimodal.Jpeg.Zigzag(i)).toByte))
+    seg(0xc0, Array[Byte](8, 0, 8, 0, 8, 1, 1, 0x11, 0))
+    seg(0xc4, 0x00.toByte +:
+      (Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0).map(_.toByte) ++
+        Array(0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11).map(_.toByte)))
+    seg(0xc4, 0x10.toByte +:
+      (Array(0, 0, 5, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0).map(_.toByte) ++
+        Array(0x00, 0x01, 0x11, 0x21, 0xf0).map(_.toByte)))
+    seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0))
+    var acc = 0L; var n = 0
+    def put(v: Int, len: Int): Unit = {
+      acc = (acc << len) | (v & ((1L << len) - 1)); n += len
+      while (n >= 8) {
+        val b = ((acc >> (n - 8)) & 0xff).toInt
+        out.write(b); if (b == 0xff) out.write(0); n -= 8
+      }
+    }
+    def putCode(c: (Int, Int)): Unit = put(c._1, c._2)
+    putCode(dcC(2)); put(2, 2) // DC diff +2 -> coef[0] = 2*8 = 16
+    putCode(acC(0x01)); put(1, 1) // k=1: zigzag 1 -> nat 1, +16
+    putCode(acC(0x11)); put(0, 1) // run 1 -> k=3: zigzag 3 -> nat 16, -16
+    putCode(acC(0xf0)) // ZRL -> k=20
+    putCode(acC(0x21)); put(1, 1) // run 2 -> k=22: zigzag 22 -> nat 41, +16
+    putCode(acC(0x00)) // EOB
+    if (n > 0) put((1 << (8 - n)) - 1, 8 - n)
+    out.write(0xff); out.write(0xd9)
+    val d = RealMedia.decode(out.toByteArray).getOrElse(fail("AC jpeg did not decode"))
+    // independent reference: coefficients in natural order, double IDCT
+    val coef = new Array[Int](64)
+    coef(0) = 16; coef(1) = 16; coef(16) = -16; coef(41) = 16
+    def c(u: Int) = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    var refSum = 0L
+    for (y <- 0 until 8; x <- 0 until 8) {
+      var s = 0.0
+      for (v <- 0 until 8; u <- 0 until 8)
+        s += c(u) * c(v) * coef(v * 8 + u) *
+          math.cos((2 * x + 1) * u * math.Pi / 16.0) *
+          math.cos((2 * y + 1) * v * math.Pi / 16.0)
+      val p = math.round(s / 4.0 + 128.0).toInt
+      refSum += math.max(0, math.min(255, p))
+    }
+    assert(d.width == 8 && d.height == 8 && d.feature == refSum)
+  }
+
+  test("JPEG: non-baseline and malformed forms return None, never throw") {
+    val good = Corpus.jpegForDoc(1L)
+    assert(RealMedia.decode(good).isDefined)
+    for (n <- 3 until good.length by 19)
+      assert(RealMedia.decode(good.take(n)).isEmpty, s"truncated at $n")
+    // progressive: flip SOF0 -> SOF2
+    val prog = good.clone()
+    val sofOff = {
+      var i = 2; var found = -1
+      while (found < 0) {
+        if ((prog(i + 1) & 0xff) == 0xc0) found = i + 1
+        else i += 2 + (((prog(i + 2) & 0xff) << 8) | (prog(i + 3) & 0xff))
+      }
+      found
+    }
+    prog(sofOff) = 0xc2.toByte
+    assert(RealMedia.decode(prog).isEmpty, "progressive must be rejected")
+    // multi-component (color) frame header
+    val color = good.clone(); color(sofOff + 8) = 3.toByte
+    assert(RealMedia.decode(color).isEmpty, "color must route to the stub lane")
+  }
+
   test("fuzz: mutated PNG/GIF payloads never throw (executor safety)") {
     val rng = new scala.util.Random(20260819L)
-    val bases = Seq(Corpus.pngForDoc(2L), Corpus.gifForDoc(5L))
+    val bases = Seq(Corpus.pngForDoc(2L), Corpus.gifForDoc(5L),
+      Corpus.mp4ForDoc(7L), Corpus.jpegForDoc(3L))
     var rejected = 0
     for (base <- bases; _ <- 0 until 300) {
       val m = base.clone()
