@@ -1330,6 +1330,23 @@ object SparkEntry {
         .toDF("doc_id", "width", "height", "luma_sum")
         .orderBy("doc_id")
     }),
+    "multimodal_real_mp3" -> ((s, dir) => {
+      // REAL MPEG-1 Layer III frame-header walk (RealMedia.decodeMp3):
+      // syncsafe ID3v2 skip, sync word + version/layer fields, bitrate and
+      // sample-rate tables, padding-bit frame-length arithmetic — frame
+      // count and duration are closed forms the oracle recomputes; a
+      // decoder that miscomputes any frame length desyncs and errors
+      import s.implicits._
+      s.read.parquet(s"$dir/documents.parquet")
+        .select("doc_id").as[Long]
+        .map { id =>
+          val d = graft.multimodal.RealMedia.decode(Corpus.mp3ForDoc(id))
+            .getOrElse(sys.error(s"doc $id: mp3 failed to decode"))
+          (id, d.sampleRate, d.nSamples, d.feature)
+        }
+        .toDF("doc_id", "sample_rate", "n_samples", "duration_ms")
+        .orderBy("doc_id")
+    }),
     // --------------------------------------------------------------- events
     "events_hourly" -> ((s, dir) =>
       Events.hourlyByType(s.read.parquet(s"$dir/events.parquet"))
@@ -2585,6 +2602,18 @@ object SparkEntry {
            CAST(list_sum([64 * (((i % bw) * 29 + (i // bw) * 31 + doc_id) % 256)
                           for i in generate_series(0, bw * bh - 1)]) AS BIGINT)
              AS luma_sum
+         FROM d ORDER BY doc_id""",
+    // RealMedia MP3 closed forms (generator arms in Corpus.mp3ForDoc):
+    // 1152 samples per MPEG-1 Layer III frame
+    "multimodal_real_mp3" ->
+      """WITH d AS (SELECT doc_id, 20 + doc_id % 30 AS frames,
+                    CASE doc_id % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000
+                                    ELSE 32000 END AS rate
+                    FROM documents)
+         SELECT doc_id,
+           CAST(rate AS BIGINT) AS sample_rate,
+           CAST(frames * 1152 AS BIGINT) AS n_samples,
+           CAST((frames * 1152 * 1000) // rate AS BIGINT) AS duration_ms
          FROM d ORDER BY doc_id""",
     // stub decoder arithmetic mirrored exactly: payload = UTF-8 of text,
     // video kind = doc_id%3==2, frames = 1 + n%24, w/h from n, resize to

@@ -30,7 +30,8 @@ final case class MediaMeta(
 object MediaDecoder {
   def decode(kind: String, payload: Array[Byte]): (Long, Long, Long, Long) =
     RealMedia.decode(payload) match {
-      case Some(d) if d.container == "wav" => (0L, 0L, 0L, d.sampleRate)
+      case Some(d) if d.container == "wav" || d.container == "mp3" =>
+        (0L, 0L, 0L, d.sampleRate)
       case Some(d) if d.container == "mp4" => (d.width, d.height, d.nSamples, 0L)
       case Some(d)                         => (d.width, d.height, 1L, 0L) // bmp | png | gif
       case None =>

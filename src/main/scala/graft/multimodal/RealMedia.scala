@@ -38,6 +38,7 @@ object RealMedia {
     else if (isGif(payload)) decodeGif(payload)
     else if (isMp4(payload)) decodeMp4(payload)
     else if (Jpeg.isJpeg(payload)) Jpeg.decode(payload)
+    else if (isMp3(payload)) decodeMp3(payload)
     else None
 
   private def isBmp(p: Array[Byte]): Boolean =
@@ -414,6 +415,58 @@ object RealMedia {
       }
     }
     None // no video track
+  }
+
+  // ------------------------------------------------------------------- MP3
+
+  private def isMp3(p: Array[Byte]): Boolean =
+    p.length >= 4 && ((p(0) == 'I' && p(1) == 'D' && p(2) == '3') ||
+      ((p(0) & 0xff) == 0xff && (p(1) & 0xe0) == 0xe0))
+
+  private val Mp3Bitrates = // MPEG-1 Layer III, kbit/s (index 0 = free, 15 = bad)
+    Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+  private val Mp3Rates = Array(44100, 48000, 32000)
+
+  /** MPEG-1 Layer III frame walk — REAL header parsing (sync word, version/
+    * layer fields, bitrate + sample-rate tables, padding bit, frame-length
+    * arithmetic) over an optional leading ID3v2 tag (SYNCSAFE size). No
+    * DSP: `sampleRate` from the header tables, `nSamples` = frames × 1152,
+    * `feature` = duration in ms. A header that desyncs, a reserved field,
+    * free-format bitrate, mid-stream rate changes, or trailing garbage all
+    * reject — at web scale a miscounted stream is worse than a skip.
+    * MPEG-2/2.5 and Layers I/II route to the stub lane (None). */
+  private def decodeMp3(p: Array[Byte]): Option[Decoded] = {
+    var off = 0
+    if (p.length >= 10 && p(0) == 'I' && p(1) == 'D' && p(2) == '3') {
+      // syncsafe 28-bit size; high bit set in any byte = malformed
+      if (((p(6) | p(7) | p(8) | p(9)) & 0x80) != 0) return None
+      val size = ((p(6) & 0x7f) << 21) | ((p(7) & 0x7f) << 14) |
+        ((p(8) & 0x7f) << 7) | (p(9) & 0x7f)
+      off = 10 + size
+      if (off >= p.length) return None
+    }
+    var frames = 0L
+    var rate = -1
+    while (off < p.length) {
+      if (off + 4 > p.length) return None // truncated header
+      if ((p(off) & 0xff) != 0xff || (p(off + 1) & 0xe0) != 0xe0) return None
+      val versionBits = (p(off + 1) >> 3) & 3
+      val layerBits = (p(off + 1) >> 1) & 3
+      if (versionBits != 3 || layerBits != 1) return None // MPEG-1 Layer III only
+      val brIdx = (p(off + 2) >> 4) & 0xf
+      val srIdx = (p(off + 2) >> 2) & 3
+      val padding = (p(off + 2) >> 1) & 1
+      if (brIdx == 0 || brIdx == 15 || srIdx == 3) return None
+      val sr = Mp3Rates(srIdx)
+      if (rate < 0) rate = sr
+      else if (rate != sr) return None // mid-stream rate change
+      val len = 144 * Mp3Bitrates(brIdx) * 1000 / sr + padding
+      if (len <= 4 || off + len > p.length) return None
+      off += len
+      frames += 1
+    }
+    if (frames == 0 || rate < 0) return None
+    Some(Decoded("mp3", 0L, 0L, rate, frames * 1152L, frames * 1152L * 1000L / rate))
   }
 
   /** GIF-variant LZW: LSB-first variable-width codes starting at

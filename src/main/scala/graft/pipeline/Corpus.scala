@@ -1950,6 +1950,44 @@ object Corpus {
     out.toByteArray
   }
 
+  /** Real MPEG-1 Layer III (MP3) stream whose frame metadata are closed
+    * forms of doc_id: an ID3v2 tag with a SYNCSAFE size (the skip arm the
+    * decoder must get right — byte 7 bits per size byte), then
+    * 20 + id%30 frames at sample-rate index id%3 ([44100,48000,32000]) and
+    * bitrate index 1 + id%14, each frame a valid 4-byte header plus junk
+    * payload of EXACTLY the header-declared length (alternating padding
+    * bit), so a decoder that miscomputes frame length desyncs and fails
+    * instead of overcounting. */
+  def mp3ForDoc(docId: Long): Array[Byte] = {
+    val Bitrates = Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+    val Rates = Array(44100, 48000, 32000)
+    val frames = (20 + docId % 30).toInt
+    val srIdx = (docId % 3).toInt
+    val brIdx = (1 + docId % 14).toInt
+    val out = new java.io.ByteArrayOutputStream()
+    // ID3v2.3 tag: 10-byte header + syncsafe-sized body (body > 127 bytes
+    // so a reader treating size as plain big-endian desyncs)
+    val tagBody = Array.fill(200 + (docId % 56).toInt)(0x54.toByte)
+    out.write("ID3".getBytes(US_ASCII))
+    out.write(3); out.write(0); out.write(0) // version 2.3.0, no flags
+    out.write((tagBody.length >> 21) & 0x7f); out.write((tagBody.length >> 14) & 0x7f)
+    out.write((tagBody.length >> 7) & 0x7f); out.write(tagBody.length & 0x7f)
+    out.write(tagBody)
+    var i = 0
+    while (i < frames) {
+      val padding = i % 2 // alternate the padding bit
+      val len = 144 * Bitrates(brIdx) * 1000 / Rates(srIdx) + padding
+      out.write(0xff)
+      out.write(0xfb) // sync + MPEG1 + Layer III + no CRC
+      out.write((brIdx << 4) | (srIdx << 2) | (padding << 1))
+      out.write(0xc0) // mono
+      var j = 4
+      while (j < len) { out.write((j * 7 + i) & 0xff); j += 1 }
+      i += 1
+    }
+    out.toByteArray
+  }
+
   /** Real ISO-BMFF (MP4) box tree whose movie/track metadata are closed
     * forms of doc_id: mvhd carries timescale = 1000·(1+id%3) and duration =
     * 4000 + (id·7)%9000 ticks; tkhd carries width/height = (160+16·(id%8),

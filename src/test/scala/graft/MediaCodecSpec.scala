@@ -372,10 +372,52 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(RealMedia.decode(color).isEmpty, "color must route to the stub lane")
   }
 
+  test("MP3: syncsafe ID3 skip, frame-length walk, padding bit, duration") {
+    for (id <- 0L until 42L) { // covers all (frames%30, rate%3, bitrate%14) arms
+      val d = RealMedia.decode(Corpus.mp3ForDoc(id))
+        .getOrElse(fail(s"id=$id: mp3 did not decode"))
+      val frames = 20 + id % 30
+      val rate = Array(44100L, 48000L, 32000L)((id % 3).toInt)
+      assert(d.container == "mp3" && d.sampleRate == rate)
+      assert(d.nSamples == frames * 1152, "frame count via length walk")
+      assert(d.feature == frames * 1152 * 1000 / rate, "duration ms")
+    }
+    val (w, h, f, sr) = MediaDecoder.decode("audio", Corpus.mp3ForDoc(10L))
+    assert((w, h, f, sr) == (0L, 0L, 0L, 48000L))
+  }
+
+  test("MP3: desync, reserved fields and truncation return None") {
+    val good = Corpus.mp3ForDoc(4L)
+    assert(RealMedia.decode(good).isDefined)
+    // truncating mid-frame breaks the final length check
+    assert(RealMedia.decode(good.dropRight(1)).isEmpty)
+    assert(RealMedia.decode(good.take(12)).isEmpty)
+    // non-syncsafe ID3 size (high bit set) -> malformed
+    val badTag = good.clone(); badTag(6) = 0x80.toByte
+    assert(RealMedia.decode(badTag).isEmpty)
+    // find the first frame header (after the ID3 tag) and corrupt fields
+    val firstFrame = {
+      val size = ((good(6) & 0x7f) << 21) | ((good(7) & 0x7f) << 14) |
+        ((good(8) & 0x7f) << 7) | (good(9) & 0x7f)
+      10 + size
+    }
+    assert((good(firstFrame) & 0xff) == 0xff)
+    val layer2 = good.clone(); layer2(firstFrame + 1) = 0xfd.toByte // Layer II
+    assert(RealMedia.decode(layer2).isEmpty, "non-Layer-III must route to the stub")
+    val freeBr = good.clone() // free-format bitrate (index 0)
+    freeBr(firstFrame + 2) = (freeBr(firstFrame + 2) & 0x0f).toByte
+    assert(RealMedia.decode(freeBr).isEmpty)
+    // flipping one frame's padding bit desyncs the walk -> None, never a
+    // wrong frame count
+    val desync = good.clone()
+    desync(firstFrame + 2) = (desync(firstFrame + 2) ^ 0x02).toByte
+    assert(RealMedia.decode(desync).isEmpty)
+  }
+
   test("fuzz: mutated PNG/GIF payloads never throw (executor safety)") {
     val rng = new scala.util.Random(20260819L)
     val bases = Seq(Corpus.pngForDoc(2L), Corpus.gifForDoc(5L),
-      Corpus.mp4ForDoc(7L), Corpus.jpegForDoc(3L))
+      Corpus.mp4ForDoc(7L), Corpus.jpegForDoc(3L), Corpus.mp3ForDoc(6L))
     var rejected = 0
     for (base <- bases; _ <- 0 until 300) {
       val m = base.clone()
