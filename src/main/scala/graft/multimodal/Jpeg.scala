@@ -152,7 +152,8 @@ object Jpeg {
           if (len < 8 + 3 * nComp) return None
           if ((p(b + 7) & 0xff) != 0x11) return None // 1x1 sampling
           qId = p(b + 8) & 0xff
-          if (w <= 0 || h <= 0 || qId > 3 || w.toLong * h > (1 << 22)) return None
+          if (w <= 0 || h <= 0 || qId > 3 ||
+            w.toLong * h > RealMedia.MaxPixels) return None
         case m if m == 0xc1 || m == 0xc2 || m == 0xc3 || (m >= 0xc5 && m <= 0xc7) ||
           (m >= 0xc9 && m <= 0xcb) || (m >= 0xcd && m <= 0xcf) =>
           return None // non-baseline-sequential frame types
@@ -238,7 +239,15 @@ object Jpeg {
           val rs = r.decode(acT)
           if (rs < 0) return None
           if (rs == 0x00) eob = true
-          else if (rs == 0xf0) k += 16
+          else if (rs == 0xf0) {
+            // ZRL: 16 zero coefficients, which must FIT and leave room for
+            // the coefficient that follows (trailing zeros are coded as
+            // EOB, never ZRL) — without this check a malformed scan whose
+            // zero-runs overrun the block exits the loop with no EOB
+            // consumed and misdecodes instead of rejecting
+            k += 16
+            if (k > 63) return None
+          }
           else {
             k += rs >> 4
             val sz = rs & 0x0f
@@ -262,11 +271,19 @@ object Jpeg {
       }
       by += 1
     }
-    // scan must terminate at EOI (after byte-aligning past padding bits)
+    // the scan must terminate at EOI IMMEDIATELY after the last decoded
+    // block (byte-aligned past padding bits; optional 0xFF fill bytes are
+    // legal before a marker). Scanning forward for FF D9 anywhere would
+    // accept unlimited leftover entropy data — e.g. a corrupt SOF height
+    // that halves the block count would "decode" half the image and skip
+    // the rest, a confident wrong answer instead of a reject. Bytes after
+    // EOI are ignored (trailing junk is common in the wild and cannot
+    // change decoded pixels).
     var e = r.pos
-    while (e + 1 < p.length && !((p(e) & 0xff) == 0xff && (p(e + 1) & 0xff) == 0xd9))
+    while (e + 1 < p.length && (p(e) & 0xff) == 0xff && (p(e + 1) & 0xff) == 0xff)
       e += 1
-    if (e + 1 >= p.length) return None
+    if (e + 1 >= p.length || (p(e) & 0xff) != 0xff || (p(e + 1) & 0xff) != 0xd9)
+      return None
     Some(RealMedia.Decoded("jpeg", w, h, 0L, 0L, lumaSum))
   }
 

@@ -19,21 +19,22 @@ final case class MediaMeta(
     sample_rate: Long, // audio only
     checksum: String)
 
-/** Decoder front: payloads in the codec-free formats ([[RealMedia]] —
-  * uncompressed BMP, PCM WAV, PNG, GIF) decode FOR REAL; everything else
-  * falls back to the deterministic stub below, which now stands in only
-  * for the genuinely lossy-codec-bound formats (JPEG/MP3/MP4 — no codec
-  * libraries in this container). A production deployment extends the same
-  * seam with real codecs (javax.imageio / ffmpeg bindings); the call shape
-  * (batch iterator in, metadata out, per-partition decoder state) is
-  * unchanged — [[RealMedia]] is the proof the seam carries real decoders. */
+/** Decoder front: payloads [[RealMedia]] can parse (uncompressed BMP, PCM
+  * WAV, PNG, GIF, baseline grayscale JPEG, the MP4 box tree, MP3 frame
+  * headers) decode FOR REAL; everything else falls back to the
+  * deterministic stub below, which now stands in only for DSP payload
+  * decode and non-baseline image modes (no codec libraries in this
+  * container). A production deployment extends the same seam with real
+  * codecs (javax.imageio / ffmpeg bindings); the call shape (batch
+  * iterator in, metadata out, per-partition decoder state) is unchanged —
+  * [[RealMedia]] is the proof the seam carries real decoders. */
 object MediaDecoder {
   def decode(kind: String, payload: Array[Byte]): (Long, Long, Long, Long) =
     RealMedia.decode(payload) match {
       case Some(d) if d.container == "wav" || d.container == "mp3" =>
         (0L, 0L, 0L, d.sampleRate)
       case Some(d) if d.container == "mp4" => (d.width, d.height, d.nSamples, 0L)
-      case Some(d)                         => (d.width, d.height, 1L, 0L) // bmp | png | gif
+      case Some(d)                         => (d.width, d.height, 1L, 0L) // bmp | png | gif | jpeg
       case None =>
         val n = payload.length.toLong
         kind match {

@@ -1,14 +1,17 @@
 package graft.multimodal
 
-/** REAL decoders for the media formats that need no codec library —
-  * uncompressed BMP (BITMAPINFOHEADER, 24bpp BI_RGB), RIFF WAV (PCM16),
-  * PNG (8-bit truecolor, zlib via java.util.zip + all five row filters)
-  * and GIF (87a/89a, hand-rolled variable-width LZW) — plus a pixel/
+/** REAL decoders for media formats, no codec library: uncompressed BMP
+  * (BITMAPINFOHEADER, 24bpp BI_RGB), RIFF WAV (PCM16), PNG (8-bit
+  * truecolor, zlib via java.util.zip + all five row filters), GIF
+  * (87a/89a, hand-rolled variable-width LZW), baseline grayscale JPEG
+  * ([[Jpeg]]: Huffman + dequant + IDCT), the MP4/ISO-BMFF container box
+  * tree, and the MPEG-1 Layer III frame-header walk — plus a pixel/
   * sample-level feature per payload, so the multimodal path demonstrates
   * actual byte-level media decoding end-to-end inside this container.
-  * Formats that genuinely require lossy codecs (JPEG/MP3/MP4) still fall
-  * back to [[MediaDecoder]]'s declared deterministic stub; this object is
-  * the proof the swap-in seam carries real decoders unchanged.
+  * Only DSP payload decode (MP3 samples, H.264 frames) and non-baseline
+  * image modes still fall back to [[MediaDecoder]]'s declared
+  * deterministic stub; this object is the proof the swap-in seam carries
+  * real decoders unchanged.
   *
   * All parsers are defensive the way the PDF stack is: bounds-checked
   * reads, malformed/truncated/unsupported payloads return None (an error
@@ -28,8 +31,9 @@ object RealMedia {
       sampleRate: Long, nSamples: Long, feature: Long)
 
   /** Decompression-bomb cap: max pixels per image (12 MB of RGB rows).
-    * Payloads claiming more are rejected BEFORE any allocation. */
-  private val MaxPixels = 1 << 22
+    * Payloads claiming more are rejected BEFORE any allocation. Shared
+    * with [[Jpeg]] so the cap cannot drift between decoders. */
+  private[multimodal] val MaxPixels = 1 << 22
 
   def decode(payload: Array[Byte]): Option[Decoded] =
     if (isBmp(payload)) decodeBmp(payload)
@@ -371,12 +375,21 @@ object RealMedia {
         }
       case None => return None
     }
-    if (timescale <= 0 || duration < 0) return None
+    // duration is multiplied by 1000 below; a version-1 (64-bit) value
+    // past Long.MaxValue/1000 would overflow into a garbage (possibly
+    // negative) duration returned as Some — reject it as malformed
+    if (timescale <= 0 || duration < 0 || duration > Long.MaxValue / 1000)
+      return None
     // first trak whose mdia/hdlr handler is 'vide'
     for ((typ, tb, te) <- mc if typ == "trak") {
       val tc = boxes(p, tb, te).getOrElse(return None)
-      val mdia = tc.find(_._1 == "mdia")
-      val mdiaKids = mdia.flatMap { case (_, b, e) => boxes(p, b, e) }.getOrElse(Nil)
+      // a PRESENT but malformed mdia level rejects the whole file (the
+      // boxes() contract) — folding it into "no mdia" would silently skip
+      // this trak and let a corrupt file decode Some from another track
+      val mdiaKids = tc.find(_._1 == "mdia") match {
+        case Some((_, b, e)) => boxes(p, b, e).getOrElse(return None)
+        case None            => Nil
+      }
       val handler = mdiaKids.find(_._1 == "hdlr").map { case (_, b, e) =>
         if (e - b < 12) return None
         new String(p, b + 8, 4, java.nio.charset.StandardCharsets.US_ASCII)

@@ -121,14 +121,47 @@ class MediaCodecSpec extends AnyFunSuite {
     assert(d.feature == 30L * ((9 * 3 + 0) % 256))
   }
 
-  test("GIF: width growth past 9/10/11 bits and the 4096 table reset") {
-    // 70x70 of a non-repeating pattern: the dict crosses 512/1024/2048
-    // (code width 9->10->11->12) and fills to 4096, forcing an encoder
-    // clear + decoder reset mid-stream
+  test("GIF: width growth past 9/10/11 bits (structured pattern)") {
+    // 70x70 of a structured pattern: the dict crosses 512/1024 (code width
+    // 9->10->11; it reaches ~2000 entries, NOT the 4096 cap — the dense
+    // test below covers 12-bit codes and the reset)
     val w = 70; val h = 70
     val idx = Array.tabulate(w * h)(i => ((i * 37 + (i / 7) * 11 + 5) % 256).toByte)
     val bytes = Corpus.gifBytes(w, h, idx, flatPalette(3L))
     val d = RealMedia.decode(bytes).getOrElse(fail("large gif did not decode"))
+    val expected = idx.map(b => ((b & 0xff) * 3 + 3L) % 256).sum
+    assert(d.width == w && d.height == h && d.feature == expected)
+  }
+
+  test("GIF: 12-bit codes and the 4096 table reset (dense LCG stream)") {
+    // LCG-random indices: almost every pixel pair is a new dict string, so
+    // the table genuinely fills to 4096 and the encoder emits a mid-stream
+    // CLEAR that the decoder's reset/deferred-clear arms must handle.
+    val w = 80; val h = 80
+    var s = 20260819L
+    val idx = Array.tabulate(w * h) { _ =>
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 33) % 256).toByte
+    }
+    // independent greedy-LZW bookkeeping (mirrors the GIF encoder growth
+    // rule) proves this INPUT really overflows the table — guards the test
+    // itself against the 70x70 mistake above, where the claimed reset
+    // never happened and the 12-bit arms shipped uncovered
+    val dict = scala.collection.mutable.HashMap.empty[(Int, Int), Int]
+    var next = 258; var clears = 0; var prefix = idx(0) & 0xff
+    for (j <- 1 until idx.length) {
+      val b = idx(j) & 0xff
+      dict.get((prefix, b)) match {
+        case Some(c) => prefix = c
+        case None =>
+          dict((prefix, b)) = next; next += 1
+          if (next > 4095) { dict.clear(); next = 258; clears += 1 }
+          prefix = b
+      }
+    }
+    assert(clears >= 1, s"stream must overflow the 4096 table (next=$next)")
+    val bytes = Corpus.gifBytes(w, h, idx, flatPalette(3L))
+    val d = RealMedia.decode(bytes).getOrElse(fail("dense gif did not decode"))
     val expected = idx.map(b => ((b & 0xff) * 3 + 3L) % 256).sum
     assert(d.width == w && d.height == h && d.feature == expected)
   }
@@ -370,6 +403,50 @@ class MediaCodecSpec extends AnyFunSuite {
     // multi-component (color) frame header
     val color = good.clone(); color(sofOff + 8) = 3.toByte
     assert(RealMedia.decode(color).isEmpty, "color must route to the stub lane")
+  }
+
+  test("JPEG: overrunning zero-runs and leftover entropy data reject") {
+    // (a) ZRL runs that overrun the 64-coefficient block: DC s=0 then four
+    // ZRLs drive k to 65 with no EOB ever consumed. Hand-assembled minimal
+    // stream — without the ZRL bounds check this "decoded" to a confident
+    // DC-only block instead of rejecting.
+    val out = new java.io.ByteArrayOutputStream()
+    def seg(m: Int, body: Array[Byte]): Unit = {
+      out.write(0xff); out.write(m)
+      val len = body.length + 2
+      out.write(len >> 8); out.write(len & 0xff); out.write(body, 0, body.length)
+    }
+    out.write(0xff); out.write(0xd8) // SOI
+    seg(0xdb, (0 +: Seq.fill(64)(8)).map(_.toByte).toArray) // DQT id 0
+    // DHT DC id 0: one 1-bit code -> s=0
+    seg(0xc4, (Seq(0x00, 1) ++ Seq.fill(15)(0) ++ Seq(0x00)).map(_.toByte).toArray)
+    // DHT AC id 0: two 2-bit codes -> '00'=EOB, '01'=ZRL
+    seg(0xc4, (Seq(0x10, 0, 2) ++ Seq.fill(14)(0) ++ Seq(0x00, 0xf0)).map(_.toByte).toArray)
+    seg(0xc0, Array[Byte](8, 0, 8, 0, 8, 1, 1, 0x11, 0)) // SOF0 8x8 grayscale
+    seg(0xda, Array[Byte](1, 1, 0x00, 0, 63, 0)) // SOS
+    // entropy bits MSB-first: DC '0', then ZRL '01' x4 = "001010101" ->
+    // 0x2A + padded 0xFF (stuffed as FF 00), then EOI
+    out.write(0x2a); out.write(0xff); out.write(0x00)
+    out.write(0xff); out.write(0xd9)
+    assert(RealMedia.decode(out.toByteArray).isEmpty,
+      "a scan whose zero-runs overrun the block must reject, not misdecode")
+    // (b) corrupt SOF height (16 -> 8) on a real two-block-row fixture: the
+    // decoder now consumes only half the entropy-coded blocks, and the
+    // leftover coded data must reject — an anywhere-in-the-tail EOI search
+    // would skip it and return a confident half-image.
+    val half = Corpus.jpegForDoc(1L).clone()
+    val sofOff = {
+      var i = 2; var found = -1
+      while (found < 0) {
+        if ((half(i + 1) & 0xff) == 0xc0) found = i + 1
+        else i += 2 + (((half(i + 2) & 0xff) << 8) | (half(i + 3) & 0xff))
+      }
+      found
+    }
+    assert(((half(sofOff + 4) & 0xff) << 8 | (half(sofOff + 5) & 0xff)) == 16)
+    half(sofOff + 5) = 8.toByte
+    assert(RealMedia.decode(half).isEmpty,
+      "leftover entropy-coded blocks after the last decoded block must reject")
   }
 
   test("MP3: syncsafe ID3 skip, frame-length walk, padding bit, duration") {
