@@ -258,6 +258,22 @@ class MediaCodecSpec extends AnyFunSuite {
     }
     bad(moovOff + 8) = 0x7f.toByte // first child (mvhd) size explodes
     assert(RealMedia.decode(bad).isEmpty)
+    // a malformed mdia INSIDE the decoy audio trak must reject the whole
+    // file — treating it as "no mdia" would skip the trak and still decode
+    // Some from the healthy video trak (a corrupt file decoding confidently)
+    val badMdia = good.clone()
+    val mdiaOff = {
+      var i = 0; var found = -1
+      while (found < 0) {
+        if (badMdia(i) == 'm' && badMdia(i + 1) == 'd' &&
+          badMdia(i + 2) == 'i' && badMdia(i + 3) == 'a') found = i
+        else i += 1
+      }
+      found // first occurrence = the audio trak's mdia type tag
+    }
+    badMdia(mdiaOff + 4) = 0x7f.toByte // first child (mdhd) size explodes
+    assert(RealMedia.decode(badMdia).isEmpty,
+      "malformed mdia level inside any trak rejects the file")
     // audio-only movie (no vide handler) -> None, routed to the stub
     val audioOnly = {
       val src = Corpus.mp4ForDoc(2L)
